@@ -1,0 +1,58 @@
+import dataclasses
+
+import pytest
+
+from trt_asr_tpu.config import ModelConfig
+from trt_asr_tpu.contract import load_contract
+
+
+def test_contract_loads_and_validates():
+    c = load_contract()
+    assert c.model_id == "parakeet-tdt-0.6b-v3"
+    assert c.validate() == []
+
+
+def test_contract_values_match_reference():
+    """Spot-check the canonical numbers from the reference contract."""
+    c = load_contract()
+    assert c.frontend.sample_rate_hz == 16000
+    assert c.frontend.n_fft == 512
+    assert c.frontend.n_mels == 128
+    assert c.frontend.hop_length == 160
+    assert c.frontend.win_length == 400
+    assert c.tokenizer.vocab_size == 8192
+    assert c.tokenizer.blank_id == 8192
+    assert c.encoder.num_layers == 24
+    assert c.encoder.d_model == 1024
+    assert c.encoder.n_heads == 8
+    assert c.encoder.conv_kernel_size == 9
+    assert c.encoder.subsampling.factor == 8
+    assert c.predictor.pred_hidden == 640
+    assert c.predictor.pred_rnn_layers == 2
+    assert c.joint.joint_vocab_size == 8198
+    assert c.joint.duration_values == (0, 1, 2, 3, 4)
+    assert c.decode.max_symbols_per_timestep == 8
+    assert c.streaming.valid_out_len == 3
+    assert c.streaming.cache_drop_size == 3
+    assert c.streaming.cache_last_channel_size == 256
+    assert c.streaming.cache_time_context_size == 4
+    assert c.streaming.chunk_size_frames == (41, 48)
+    assert c.streaming.shift_size_frames == (17, 24)
+
+
+def test_model_config_from_contract():
+    c = load_contract()
+    mc = ModelConfig.from_contract(c)
+    assert mc.d_model == 1024
+    assert mc.blank_id == 8192
+    assert mc.joint_vocab_size == 8198
+    assert mc.head_dim == 128
+    assert mc.conv_context_size == 4
+    assert mc.stride_stages == 3
+
+
+def test_tiny_config_invariants():
+    mc = ModelConfig.tiny()
+    assert mc.subsampling_factor == 2 ** mc.stride_stages
+    assert mc.joint_vocab_size == mc.vocab_size + 1 + len(mc.duration_values)
+    assert mc.d_model % mc.n_heads == 0
