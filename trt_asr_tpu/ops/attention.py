@@ -1,0 +1,87 @@
+"""Relative-position multi-head attention (Transformer-XL style), cache-aware.
+
+Replaces the reference's TRT-compiled NeMo ``RelPositionMultiHeadAttention``
+(behavioral contract: encoder.self_attention_model == "rel_pos",
+untie_biases, per contracts/parakeet-tdt-0.6b-v3.json).
+
+TPU-first design note: the streaming KV cache is stored RIGHT-ALIGNED
+(newest entry at the last slot, zeros/invalid on the left). With the cache
+right-aligned, key slot j always sits at global offset j and queries at
+offset C+i, so the relative-distance index matrix
+
+    idx[i, j] = Tq - 1 - i + j
+
+is STATIC — independent of the dynamic fill level. One implementation and
+one compiled program covers offline (C=0) and every streaming step; the
+dynamic fill only enters through the boolean kv mask. Cache update is a
+static-shape ``concat(cache, new)[:, -C:]`` — the functional equivalent of
+the reference's zero-copy cache ping-pong pointer swap
+(cpp/src/parakeet_trt.cpp:2741-2751).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trt_asr_tpu.ops.common import einsum, matmul
+
+
+def sinusoidal_pos_table(tq: int, tkv: int, d_model: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Sinusoidal embeddings for relative distances, descending
+    from (tkv-1) to -(tq-1). Shape [tq + tkv - 1, d_model].
+
+    Matches the NeMo RelPositionalEncoding table layout (positions ordered
+    max..min; sin on even indices, cos on odd).
+    """
+    positions = np.arange(tkv - 1, -tq, -1, dtype=np.float64)[:, None]
+    div = np.exp(np.arange(0, d_model, 2, dtype=np.float64) * -(math.log(10000.0) / d_model))
+    pe = np.zeros((positions.shape[0], d_model), dtype=np.float64)
+    pe[:, 0::2] = np.sin(positions * div)
+    pe[:, 1::2] = np.cos(positions * div)
+    return jnp.asarray(pe, dtype=dtype)
+
+
+def _rel_index_matrix(tq: int, tkv: int) -> np.ndarray:
+    i = np.arange(tq)[:, None]
+    j = np.arange(tkv)[None, :]
+    return (tq - 1 - i + j).astype(np.int32)
+
+
+def rel_pos_attention(
+    params: Dict[str, jnp.ndarray],
+    q_in: jnp.ndarray,          # [B, Tq, D]
+    kv_in: jnp.ndarray,         # [B, Tkv, D] (right-aligned cache ++ current)
+    pos_table: jnp.ndarray,     # [Tq+Tkv-1, D]
+    n_heads: int,
+    kv_mask: Optional[jnp.ndarray] = None,  # [B, Tkv] bool, True = attend
+) -> jnp.ndarray:
+    """Returns [B, Tq, D]."""
+    b, tq, d = q_in.shape
+    tkv = kv_in.shape[1]
+    dh = d // n_heads
+
+    q = matmul(q_in, params["wq"]).reshape(b, tq, n_heads, dh)
+    k = matmul(kv_in, params["wk"]).reshape(b, tkv, n_heads, dh)
+    v = matmul(kv_in, params["wv"]).reshape(b, tkv, n_heads, dh)
+    p = matmul(pos_table.astype(q_in.dtype), params["wpos"]).reshape(-1, n_heads, dh)
+
+    q_u = q + params["pos_bias_u"].astype(q.dtype)[None, None]
+    q_v = q + params["pos_bias_v"].astype(q.dtype)[None, None]
+
+    ac = einsum("bthd,bshd->bhts", q_u, k)                      # [B,H,Tq,Tkv]
+    pd = einsum("bthd,rhd->bhtr", q_v, p)                        # [B,H,Tq,R]
+    idx = jnp.asarray(_rel_index_matrix(tq, tkv))
+    bd = jnp.take_along_axis(pd, idx[None, None].astype(jnp.int32), axis=-1)
+
+    scores = (ac + bd).astype(jnp.float32) / math.sqrt(dh)
+    if kv_mask is not None:
+        scores = jnp.where(kv_mask[:, None, None, :], scores, jnp.float32(-1e30))
+    att = jax.nn.softmax(scores, axis=-1).astype(q_in.dtype)
+
+    out = einsum("bhts,bshd->bthd", att, v).reshape(b, tq, d)
+    return matmul(out, params["wo"])

@@ -1,0 +1,53 @@
+"""Shared numeric primitives with an explicit precision policy.
+
+The reference learned the hard way that TF32 matmuls break closed-loop
+streaming parity (DECISION_LOG.md:76-79 — cache_time errors up to 0.361 with
+TF32 vs 1.4e-4 without). The TPU analog is the default bf16 matmul pass for
+f32 operands. Policy here: any matmul on float32 inputs uses
+``Precision.HIGHEST`` (full f32); bf16 inputs use the MXU natively with f32
+accumulation via ``preferred_element_type``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a @ b with f32 accumulation and dtype-aware precision."""
+    prec = lax.Precision.HIGHEST if a.dtype == jnp.float32 else None
+    out = jnp.matmul(a, b, precision=prec, preferred_element_type=jnp.float32)
+    return out.astype(a.dtype) if a.dtype == jnp.bfloat16 else out
+
+
+def einsum(spec: str, *args: jnp.ndarray) -> jnp.ndarray:
+    prec = lax.Precision.HIGHEST if args[0].dtype == jnp.float32 else None
+    out = jnp.einsum(spec, *args, precision=prec, preferred_element_type=jnp.float32)
+    return out.astype(args[0].dtype) if args[0].dtype == jnp.bfloat16 else out
+
+
+def layer_norm(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm over the last axis, stats in f32 (torch parity)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+    y = (xf - mean) * lax.rsqrt(var + eps)
+    return (y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)).astype(x.dtype)
+
+
+def batch_norm_inference(x: jnp.ndarray, gamma, beta, mean, var, eps: float = 1e-5) -> jnp.ndarray:
+    """Inference-mode BatchNorm over the channel (last) axis."""
+    scale = gamma.astype(jnp.float32) * lax.rsqrt(var.astype(jnp.float32) + eps)
+    bias = beta.astype(jnp.float32) - mean.astype(jnp.float32) * scale
+    return (x.astype(jnp.float32) * scale + bias).astype(x.dtype)
+
+
+def silu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(x)
+
+
+def glu(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    a, b = jnp.split(x, 2, axis=axis)
+    return a * jax.nn.sigmoid(b)
