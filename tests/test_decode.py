@@ -1,0 +1,173 @@
+"""TDT greedy decode: three-way parity (torch-oracle host decode, JAX host
+decode, on-device while_loop kernel) plus control-flow micro-tests with a
+scripted joint (the analog of the reference's greedy_decode_smoke.cpp)."""
+
+import numpy as np
+import pytest
+
+from trt_asr_tpu.config import ModelConfig
+from trt_asr_tpu.decode import (
+    init_decode_state,
+    prime_decode_state,
+    tdt_greedy_decode_chunk,
+    tdt_greedy_decode_host,
+)
+from trt_asr_tpu.models.parakeet import init_params, offline_encode
+from trt_asr_tpu.models.parakeet.joint import joint_single_step
+from trt_asr_tpu.models.parakeet.predictor import predictor_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ModelConfig.tiny()
+    params = init_params(cfg, seed=3)
+    from oracle.torch_parakeet import TorchParakeet
+
+    return cfg, params, TorchParakeet(cfg, params)
+
+
+def _host_decode_with(cfg, joint_fn, predictor_fn, enc, state0, g0, y0, trace=None):
+    return tdt_greedy_decode_host(
+        enc, joint_fn, predictor_fn, state0, g0, y0,
+        blank_id=cfg.blank_id, token_head_size=cfg.token_head_size,
+        duration_values=cfg.duration_values,
+        max_symbols=cfg.max_symbols_per_timestep, trace=trace)
+
+
+def test_three_way_decode_parity(setup, rng):
+    cfg, params, oracle = setup
+    feats = (0.6 * rng.standard_normal((1, 150, cfg.feat_in))).astype(np.float32)
+    enc_j, enc_len = offline_encode(params, cfg, feats, np.array([150], np.int32))
+    t = int(np.asarray(enc_len)[0])
+    enc = np.asarray(enc_j)[0, :t]
+
+    # --- host decode over the torch oracle ---
+    def t_joint(enc_t, g):
+        return oracle.joint(enc_t[None, None], g[None, None])[0, 0, 0]
+
+    def t_pred(tok, st):
+        h, c = st
+        g, h2, c2 = oracle.predictor(np.array([[tok]]), h, c)
+        return g[0, 0], (h2, c2)
+
+    h0 = np.zeros((cfg.pred_rnn_layers, 1, cfg.pred_hidden), np.float32)
+    g0 = oracle.predictor(np.array([[cfg.blank_id]]), h0, h0)  # prime with blank
+    g_t, h_t, c_t = g0
+    trace_t = []
+    toks_oracle, _, _, _ = _host_decode_with(
+        cfg, t_joint, t_pred, enc, (h_t, c_t), g_t[0, 0], cfg.blank_id, trace_t)
+
+    # --- host decode over JAX components ---
+    def j_joint(enc_t, g):
+        return np.asarray(joint_single_step(params["joint"], enc_t[None], g[None]))[0]
+
+    def j_pred(tok, st):
+        h, c = st
+        g, h2, c2 = predictor_step(params["predictor"], np.array([tok], np.int32), h, c)
+        return np.asarray(g)[0], (h2, c2)
+
+    ds0 = prime_decode_state(params, cfg, init_decode_state(cfg, 1), [])
+    trace_j = []
+    toks_jax, _, _, _ = _host_decode_with(
+        cfg, j_joint, j_pred, enc, (ds0.h, ds0.c), np.asarray(ds0.g)[0],
+        cfg.blank_id, trace_j)
+
+    assert toks_oracle == toks_jax, f"host decode mismatch: {toks_oracle} vs {toks_jax}"
+    for st, sj in zip(trace_t, trace_j):
+        assert (st["time_idx"], st["best_tok"], st["advance"]) == (
+            sj["time_idx"], sj["best_tok"], sj["advance"])
+
+    # --- on-device while_loop kernel ---
+    tokens, n, _ = tdt_greedy_decode_chunk(
+        params, cfg, np.asarray(enc_j)[0], np.int32(t), ds0,
+        max_tokens=cfg.max_symbols_per_timestep * enc.shape[0])
+    device_toks = [int(x) for x in np.asarray(tokens)[: int(n)]]
+    assert device_toks == toks_jax, f"device decode mismatch: {device_toks} vs {toks_jax}"
+    assert len(device_toks) > 0, "degenerate test: nothing emitted"
+
+
+def test_decode_continuation_across_chunks(setup, rng):
+    """Decoding chunk-by-chunk with carried DecodeState == decoding at once."""
+    cfg, params, _ = setup
+    feats = (0.6 * rng.standard_normal((1, 150, cfg.feat_in))).astype(np.float32)
+    enc_j, enc_len = offline_encode(params, cfg, feats, np.array([150], np.int32))
+    t = int(np.asarray(enc_len)[0])
+    enc = np.asarray(enc_j)[0]
+
+    ds = prime_decode_state(params, cfg, init_decode_state(cfg, 1), [])
+    tokens_all, n_all, _ = tdt_greedy_decode_chunk(
+        params, cfg, enc, np.int32(t), ds, max_tokens=8 * t)
+    whole = [int(x) for x in np.asarray(tokens_all)[: int(n_all)]]
+
+    ds = prime_decode_state(params, cfg, init_decode_state(cfg, 1), [])
+    split = t // 2
+    got = []
+    n_so_far = 0
+    for enc_piece in (enc[:split], enc[split:t]):
+        toks, n, ds = tdt_greedy_decode_chunk(
+            params, cfg, enc_piece, np.int32(enc_piece.shape[0]), ds,
+            max_tokens=8 * t, emitted_so_far=np.int32(n_so_far))
+        got += [int(x) for x in np.asarray(toks)[: int(n)]]
+        n_so_far += int(n)
+    # NOTE: chunked greedy TDT can differ at the seam only if a duration
+    # jump crosses it; with a seam at an emission boundary they match. We
+    # assert equality — if this ever flakes, the seam-crossing rule needs
+    # the session to re-feed the overlap (it does in practice: chunks end
+    # at emitted boundaries by construction of the while_loop).
+    assert got == whole
+
+
+def test_scripted_control_flow():
+    """Emit-until-blank, duration advance, blank+dur0 clamp, symbol cap —
+    scripted-logits control-flow test (reference greedy_decode_smoke)."""
+    cfg = ModelConfig.tiny()
+    blank, ths = cfg.blank_id, cfg.token_head_size
+    v = cfg.joint_vocab_size
+
+    # script: time 0: token 7 dur 0, token 8 dur 2; time 2: blank dur 0 (clamp
+    # -> +1); time 3..: token 9 dur 0 repeated (hits max_symbols cap -> +1)
+    def joint_fn(enc_t, g):
+        t = int(enc_t[0])
+        u = int(g[0])
+        logits = np.zeros(v, np.float32)
+        if t == 0:
+            if u == 0:
+                logits[7] = 5; logits[ths + 0] = 5        # emit 7, dur 0
+            else:
+                logits[8] = 5; logits[ths + 2] = 5        # emit 8, dur 2
+        elif t == 2:
+            logits[blank] = 5; logits[ths + 0] = 5        # blank dur 0 -> +1
+        else:
+            logits[9] = 5; logits[ths + 0] = 5            # 9 dur 0 forever -> cap
+        return logits
+
+    def pred_fn(tok, st):
+        return np.array([st[0] + 1], np.float32), (st[0] + 1,)
+
+    toks, _, _, _ = tdt_greedy_decode_host(
+        np.arange(4, dtype=np.float32)[:, None], joint_fn, pred_fn, (0,),
+        np.array([0], np.float32), blank,
+        blank_id=blank, token_head_size=ths, duration_values=cfg.duration_values,
+        max_symbols=4)
+    # t=0: 7 (u0), 8 (+2 -> t=2); t=2: blank clamp -> t=3; t=3: 9 x4 cap -> t=4
+    assert toks == [7, 8, 9, 9, 9, 9]
+
+
+def test_blank_penalty_and_punct_suppression(setup, rng):
+    cfg, params, _ = setup
+    feats = (0.6 * rng.standard_normal((1, 100, cfg.feat_in))).astype(np.float32)
+    enc_j, enc_len = offline_encode(params, cfg, feats, np.array([100], np.int32))
+    t = int(np.asarray(enc_len)[0])
+    ds = prime_decode_state(params, cfg, init_decode_state(cfg, 1), [])
+    _, n0, _ = tdt_greedy_decode_chunk(params, cfg, np.asarray(enc_j)[0], np.int32(t),
+                                       ds, max_tokens=8 * t)
+    _, n1, _ = tdt_greedy_decode_chunk(params, cfg, np.asarray(enc_j)[0], np.int32(t),
+                                       ds, max_tokens=8 * t, blank_penalty=50.0)
+    assert int(n1) >= int(n0)  # penalizing blank can only emit more
+
+    # suppress everything -> nothing emitted ever (all tokens "punct")
+    punct = np.ones(cfg.token_head_size, bool)
+    _, n2, _ = tdt_greedy_decode_chunk(
+        params, cfg, np.asarray(enc_j)[0], np.int32(t), ds, max_tokens=8 * t,
+        punct_mask=punct, use_punct_mask=True)
+    assert int(n2) == 0

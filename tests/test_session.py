@@ -1,0 +1,97 @@
+"""Streaming session behavior: event protocol, chunking invariance,
+reset/reuse — the runtime-core semantics of the reference's C ABI surface
+(create/reset/push/poll, SURVEY §3.1-3.2)."""
+
+import numpy as np
+import pytest
+
+from trt_asr_tpu.config import ModelConfig, RuntimeConfig
+from trt_asr_tpu.models.parakeet.model import ParakeetTDT
+from trt_asr_tpu.streaming.session import EventType, StreamingSession
+
+
+@pytest.fixture(scope="module")
+def model():
+    return ParakeetTDT.random(ModelConfig.tiny(), seed=5)
+
+
+def _audio(n=48000, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)
+    return (0.4 * np.sin(2 * np.pi * 300 * t / 16000)
+            + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+
+def _run(model, audio, chunk):
+    sess = StreamingSession(model, RuntimeConfig())
+    for s in range(0, len(audio), chunk):
+        sess.push_audio(audio[s : s + chunk])
+    sess.finalize()
+    events = []
+    while (ev := sess.poll_event()) is not None:
+        events.append(ev)
+    return sess, events
+
+
+def test_event_protocol(model):
+    sess, events = _run(model, _audio(), 8000)
+    assert events, "no events emitted"
+    assert events[-1].type == EventType.FINAL_TEXT
+    final = events[-1]
+    assert final.text == sess.text
+    assert sess.chunk_latencies_ms, "no chunks processed"
+
+
+def test_chunking_invariance(model):
+    """Push granularity must not change the transcript (absolute-frame
+    scheduler + feature carry)."""
+    audio = _audio()
+    _, ev_a = _run(model, audio, 3200)
+    _, ev_b = _run(model, audio, 16000)
+    _, ev_c = _run(model, audio, len(audio))
+    fa = [e for e in ev_a if e.type == EventType.FINAL_TEXT][0]
+    fb = [e for e in ev_b if e.type == EventType.FINAL_TEXT][0]
+    fc = [e for e in ev_c if e.type == EventType.FINAL_TEXT][0]
+    assert fa.tokens == fb.tokens == fc.tokens
+
+
+def test_reset_reuse(model):
+    audio = _audio()
+    sess = StreamingSession(model, RuntimeConfig())
+    for s in range(0, len(audio), 8000):
+        sess.push_audio(audio[s : s + 8000])
+    sess.finalize()
+    t1 = sess.text
+    sess.reset_utterance()
+    for s in range(0, len(audio), 8000):
+        sess.push_audio(audio[s : s + 8000])
+    sess.finalize()
+    assert sess.text == t1, "state leaked across reset"
+
+
+def test_push_after_finalize_errors(model):
+    sess, _ = _run(model, _audio(16000), 16000)
+    sess.push_features(np.zeros((10, model.cfg.feat_in), np.float32))
+    evs = []
+    while (ev := sess.poll_event()) is not None:
+        evs.append(ev)
+    assert any(e.type == EventType.ERROR for e in evs)
+
+
+def test_offline_transcribe(model):
+    text, ids = model.transcribe_offline(_audio(32000), norm="per_feature")
+    assert isinstance(text, str)
+    assert all(0 <= i < model.cfg.vocab_size for i in ids)
+    # determinism
+    text2, ids2 = model.transcribe_offline(_audio(32000), norm="per_feature")
+    assert ids == ids2
+
+
+def test_model_dir_roundtrip(model, tmp_path):
+    d = str(tmp_path / "m")
+    model.save_model_dir(d)
+    m2 = ParakeetTDT.from_model_dir(d)
+    audio = _audio(24000)
+    t1, i1 = model.transcribe_offline(audio)
+    t2, i2 = m2.transcribe_offline(audio)
+    assert i1 == i2 and t1 == t2

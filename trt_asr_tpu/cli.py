@@ -1,0 +1,146 @@
+"""CLI / replay harness.
+
+Flag-compatible with the reference Rust CLI (rust/cli/src/main.rs:12-48):
+
+    python -m trt_asr_tpu.cli <input> --model-dir DIR [--stream-sim S]
+        [--raw-pcm] [--features-input] [--feature-norm none|per_feature]
+        [--dump-features PATH] [--no-sleep] [--synthetic-model tiny|full]
+
+Prints ``Partial:`` / ``Final:`` / ``Transcript:`` lines consumed by the
+eval suite (reference tools/stt_suite/run_suite.py parses the same). Extra
+over the reference: --no-sleep (replay faster than real time) and
+--synthetic-model (random weights, for harness testing without assets —
+the analog of the reference's mock backend N7).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from trt_asr_tpu.config import ModelConfig, RuntimeConfig
+from trt_asr_tpu.frontend import compute_per_feature_stats
+from trt_asr_tpu.io.wav import load_raw_pcm_f32, load_wav
+from trt_asr_tpu.models.parakeet.model import ParakeetTDT
+from trt_asr_tpu.streaming.session import EventType, StreamingSession
+
+
+def _load_features_replay(path: str, n_mels: int) -> np.ndarray:
+    """Raw f32 + JSON sidecar replay (reference main.rs:209-338): layout
+    bins_major [C,T] or frames_major [T,C]."""
+    sidecar = path + ".json"
+    layout, frames, bins = "frames_major", None, n_mels
+    try:
+        with open(sidecar) as f:
+            meta = json.load(f)
+        layout = meta.get("layout", layout)
+        frames = meta.get("frames")
+        bins = meta.get("bins", bins)
+    except FileNotFoundError:
+        pass
+    raw = np.fromfile(path, dtype="<f4")
+    if frames is None:
+        frames = raw.size // bins
+    a = raw[: frames * bins]
+    return a.reshape(bins, frames).T if layout == "bins_major" else a.reshape(frames, bins)
+
+
+def _drain(sess: StreamingSession, transcript_done=False) -> None:
+    while True:
+        ev = sess.poll_event()
+        if ev is None:
+            break
+        if ev.type == EventType.PARTIAL_TEXT:
+            print(f"Partial: {ev.text}", flush=True)
+        elif ev.type == EventType.FINAL_TEXT:
+            print(f"Final: {ev.text}", flush=True)
+        elif ev.type == EventType.ERROR:
+            print(f"Error: {ev.error_message}", file=sys.stderr, flush=True)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="trt-asr-tpu-cli", description=__doc__)
+    ap.add_argument("input")
+    ap.add_argument("--model-dir", default="")
+    ap.add_argument("--synthetic-model", choices=["tiny", "full"], default="")
+    ap.add_argument("--stream-sim", type=float, default=0.0,
+                    help="chunk size in seconds; 0 = offline one-shot")
+    ap.add_argument("--raw-pcm", action="store_true")
+    ap.add_argument("--features-input", action="store_true")
+    ap.add_argument("--feature-norm", choices=["none", "per_feature"], default="per_feature")
+    ap.add_argument("--dump-features", default="")
+    ap.add_argument("--no-sleep", action="store_true",
+                    help="stream-sim without real-time pacing")
+    args = ap.parse_args(argv)
+
+    rt = RuntimeConfig.from_env()
+    if args.model_dir:
+        model = ParakeetTDT.from_model_dir(args.model_dir, runtime=rt)
+    elif args.synthetic_model:
+        cfg = ModelConfig.tiny() if args.synthetic_model == "tiny" else ModelConfig()
+        model = ParakeetTDT.random(cfg)
+        model.runtime = rt
+    else:
+        ap.error("provide --model-dir or --synthetic-model")
+
+    # ---- feature replay path ----
+    if args.features_input:
+        feats = _load_features_replay(args.input, model.cfg.feat_in)
+        sess = StreamingSession(model, rt, feature_norm="none")
+        for start in range(0, feats.shape[0], 256):
+            sess.push_features(feats[start : start + 256])
+            _drain(sess)
+        sess.finalize()
+        _drain(sess)
+        print(f"Transcript: {sess.text}", flush=True)
+        return 0
+
+    # ---- audio load ----
+    audio = load_raw_pcm_f32(args.input) if args.raw_pcm else load_wav(args.input)
+
+    if args.dump_features:
+        feats = model.features(audio, norm=args.feature_norm)
+        feats.astype("<f4").tofile(args.dump_features)
+        with open(args.dump_features + ".json", "w") as f:
+            json.dump({"layout": "frames_major", "frames": int(feats.shape[0]),
+                       "bins": int(feats.shape[1])}, f)
+
+    norm_stats = None
+    if args.feature_norm == "per_feature":
+        # stats over the WHOLE utterance, then applied per chunk
+        # (reference main.rs:398-405; contract: not streaming-safe)
+        full = np.asarray(model.frontend(audio))
+        if full.shape[0] > 1:
+            norm_stats = tuple(np.asarray(s) for s in compute_per_feature_stats(full))
+
+    feature_norm = args.feature_norm if norm_stats is not None else "none"
+    sess = StreamingSession(model, rt, feature_norm=feature_norm, norm_stats=norm_stats)
+
+    if args.stream_sim > 0:
+        hop = int(args.stream_sim * 16000)
+        t_wall = time.monotonic()
+        for i, start in enumerate(range(0, len(audio), hop)):
+            sess.push_audio(audio[start : start + hop])
+            _drain(sess)
+            if not args.no_sleep:
+                next_t = t_wall + (i + 1) * args.stream_sim
+                time.sleep(max(0.0, next_t - time.monotonic()))
+    else:
+        sess.push_audio(audio)
+        _drain(sess)
+    sess.finalize()
+    _drain(sess)
+    print(f"Transcript: {sess.text}", flush=True)
+    lat = sess.chunk_latencies_ms
+    if lat:
+        print(f"ChunkLatencyMs: p50={np.percentile(lat, 50):.2f} "
+              f"p95={np.percentile(lat, 95):.2f} n={len(lat)}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

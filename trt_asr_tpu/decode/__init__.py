@@ -1,0 +1,7 @@
+from trt_asr_tpu.decode.host_decode import tdt_greedy_decode_host  # noqa: F401
+from trt_asr_tpu.decode.tdt_greedy import (  # noqa: F401
+    DecodeState,
+    init_decode_state,
+    prime_decode_state,
+    tdt_greedy_decode_chunk,
+)

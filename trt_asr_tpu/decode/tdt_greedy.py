@@ -1,0 +1,152 @@
+"""On-device TDT greedy decode: a single fused ``lax.while_loop``.
+
+The reference's decode loop round-trips to the host every step: joint
+enqueue -> D2H of 8198 logits -> host argmax -> predictor enqueue -> sync
+(parakeet_trt.cpp:2914-3713 — its main inefficiency, called out in SURVEY
+§3.2). Here the entire loop lives on device: per-step work is one dynamic
+row slice of the precomputed encoder projection, two small matmuls
+(pred+out joint projections), two argmaxes, and a ``lax.cond``-gated LSTM
+step that runs ONLY on non-blank emissions (preserving the reference's
+predictor-only-on-emit structure). The host receives one bounded token
+buffer per chunk.
+
+Semantics identical to host_decode.py (the parity test for this kernel).
+Termination: every iteration either advances time or increments the
+per-timestep symbol count; at max_symbols the advance is forced
+(reference :3665-3676), so the loop is bounded by t_enc * max_symbols.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from trt_asr_tpu.config import ModelConfig
+from trt_asr_tpu.models.parakeet.joint import joint_from_projected, joint_project_enc
+from trt_asr_tpu.models.parakeet.predictor import predictor_step
+
+
+class DecodeState(NamedTuple):
+    """Per-stream decode carry (persists across chunks within an utterance).
+
+    Mirrors the reference's per-session decode state {h, c, g, y_id}
+    (docs/ARCHITECTURE_RUNTIME.md:52-66) plus ``time_carry``: a duration
+    jump that overshoots the chunk end is carried into the next chunk, so
+    chunked decoding is exactly equivalent to whole-utterance decoding (the
+    reference dropped the overshoot at each push boundary — while-loop reset
+    at parakeet_trt.cpp:2914 — a subtle semantic divergence we fix)."""
+
+    g: jnp.ndarray           # [B, P] cached predictor output
+    h: jnp.ndarray           # [R, B, P]
+    c: jnp.ndarray           # [R, B, P]
+    y_id: jnp.ndarray        # [B] int32
+    time_carry: jnp.ndarray  # [B] int32 overshoot into the next chunk
+
+
+def init_decode_state(cfg: ModelConfig, batch: int = 1, dtype=jnp.float32) -> DecodeState:
+    return DecodeState(
+        g=jnp.zeros((batch, cfg.pred_hidden), dtype),
+        h=jnp.zeros((cfg.pred_rnn_layers, batch, cfg.pred_hidden), dtype),
+        c=jnp.zeros((cfg.pred_rnn_layers, batch, cfg.pred_hidden), dtype),
+        y_id=jnp.full((batch,), cfg.blank_id, jnp.int32),
+        time_carry=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def prime_decode_state(params: Dict[str, Any], cfg: ModelConfig, state: DecodeState,
+                       prompt_ids) -> DecodeState:
+    """Seed predictor state with prompt tokens BEFORE any audio (reference
+    parakeet_reset_utterance priming, :1884-1942). prompt_ids: python list."""
+    g, h, c, y = state.g, state.h, state.c, state.y_id
+    for tok in prompt_ids:
+        y = jnp.full_like(state.y_id, tok)
+        g, h, c = predictor_step(params["predictor"], y, h, c)
+    if not prompt_ids:
+        # NeMo fallback: prime with blank (zero embedding)
+        g, h, c = predictor_step(params["predictor"], y, h, c)
+    return DecodeState(g=g, h=h, c=c, y_id=y, time_carry=state.time_carry)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_tokens", "max_symbols", "use_punct_mask", "blank_penalty"),
+)
+def tdt_greedy_decode_chunk(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    enc: jnp.ndarray,              # [T, D] encoder output (single stream)
+    t_enc: jnp.ndarray,            # scalar int32 valid steps
+    state: DecodeState,            # batch dim B=1 inside
+    *,
+    max_tokens: int,
+    max_symbols: Optional[int] = None,
+    blank_penalty: float = 0.0,
+    emitted_so_far: jnp.ndarray = None,
+    punct_mask: Optional[jnp.ndarray] = None,   # [V+1] bool
+    use_punct_mask: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, DecodeState]:
+    """Decode one chunk on device.
+
+    Returns (tokens [max_tokens] int32 (-1 padded), n_emitted, new_state).
+    """
+    max_symbols = max_symbols or cfg.max_symbols_per_timestep
+    blank = cfg.blank_id
+    ths = cfg.token_head_size
+    dur_values = jnp.asarray(cfg.duration_values, jnp.int32)
+    if emitted_so_far is None:
+        emitted_so_far = jnp.zeros((), jnp.int32)
+
+    enc_proj = joint_project_enc(params["joint"], enc[None])[0]   # [T, J]
+
+    def cond(carry):
+        return carry[0] < t_enc
+
+    def body(carry):
+        time_idx, u_count, dstate, tokens, n = carry
+        e_t = lax.dynamic_slice_in_dim(enc_proj, time_idx, 1, axis=0)  # [1, J]
+        logits = joint_from_projected(params["joint"], e_t, dstate.g)[0]  # [V_joint]
+
+        tok_logits = logits[:ths]
+        if blank_penalty:
+            tok_logits = tok_logits.at[blank].add(-blank_penalty)
+        dur_logits = lax.dynamic_slice_in_dim(logits, ths, cfg.num_duration_bins)
+
+        best_tok = jnp.argmax(tok_logits).astype(jnp.int32)
+        if use_punct_mask and punct_mask is not None:
+            suppress = (emitted_so_far + n == 0) & punct_mask[best_tok]
+            best_tok = jnp.where(suppress, blank, best_tok)
+        duration = dur_values[jnp.argmax(dur_logits)]
+        is_blank = best_tok == blank
+        advance = jnp.where(is_blank & (duration == 0), 1, duration)
+
+        # forced advance after max_symbols emissions without progress
+        hit_cap = u_count >= (max_symbols - 1)
+        advance = jnp.where((advance == 0) & hit_cap, 1, advance)
+
+        # emit + predictor step only on non-blank
+        def do_emit(ds):
+            y = jnp.full_like(ds.y_id, best_tok)
+            g, h, c = predictor_step(params["predictor"], y, ds.h, ds.c)
+            return DecodeState(g=g, h=h, c=c, y_id=y, time_carry=ds.time_carry)
+
+        emit = (~is_blank) & (n < max_tokens)
+        new_dstate = lax.cond(emit, do_emit, lambda ds: ds, dstate)
+        tokens = tokens.at[jnp.where(emit, n, max_tokens)].set(
+            jnp.where(emit, best_tok, -1), mode="drop")
+        n = n + emit.astype(jnp.int32)
+
+        u_count = jnp.where(advance > 0, 0, u_count + 1)
+        time_idx = time_idx + advance
+        return (time_idx, u_count, new_dstate, tokens, n)
+
+    tokens0 = jnp.full((max_tokens,), -1, jnp.int32)
+    init = (state.time_carry[0].astype(jnp.int32), jnp.zeros((), jnp.int32),
+            state, tokens0, jnp.zeros((), jnp.int32))
+    time_final, _, final_state, tokens, n = lax.while_loop(cond, body, init)
+    carry = jnp.maximum(time_final - t_enc, 0).astype(jnp.int32)
+    final_state = final_state._replace(time_carry=jnp.full_like(state.time_carry, carry))
+    return tokens, n, final_state

@@ -1,0 +1,147 @@
+"""Model bundle: config + params + frontend + tokenizer, with a model-dir
+format replacing the reference's engine directory.
+
+Reference model dir: {encoder,predictor,joint}.engine + vocab.txt +
+model_meta.json (built by tools/export_onnx + tools/build_trt). Ours:
+
+    model_dir/
+      config.json        # ModelConfig fields (the architecture IS the code;
+                         # no graph compiler — SURVEY §7 architecture mapping)
+      params.npz         # weights (flat-key)
+      manifest.json      # per-tensor sha256 provenance
+      vocab.txt          # newline vocab
+
+``ParakeetTDT.transcribe_offline`` is the minimum end-to-end slice:
+wav -> log-mel -> per-feature norm -> offline encoder -> on-device TDT
+greedy decode -> tokenizer text.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from trt_asr_tpu.config import ModelConfig, RuntimeConfig
+from trt_asr_tpu.contract import FrontendSpec
+from trt_asr_tpu.decode import (
+    init_decode_state,
+    prime_decode_state,
+    tdt_greedy_decode_chunk,
+)
+from trt_asr_tpu.frontend import (
+    LogMelFrontend,
+    apply_per_feature_norm,
+    compute_per_feature_stats,
+)
+from trt_asr_tpu.models.parakeet.encoder import offline_encode
+from trt_asr_tpu.models.parakeet.params import (
+    init_params,
+    load_checkpoint,
+    save_checkpoint,
+)
+from trt_asr_tpu.tokenizer import Tokenizer, make_synthetic_vocab, write_vocab
+
+
+class ParakeetTDT:
+    def __init__(self, cfg: ModelConfig, params, tokenizer: Tokenizer,
+                 frontend: Optional[LogMelFrontend] = None,
+                 runtime: Optional[RuntimeConfig] = None):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.frontend = frontend or LogMelFrontend(FrontendSpec(n_mels=cfg.feat_in))
+        self.runtime = runtime or RuntimeConfig.from_env()
+        self._punct_mask = None
+
+    # -- assets -------------------------------------------------------------
+
+    @classmethod
+    def from_model_dir(cls, model_dir: str, runtime: Optional[RuntimeConfig] = None) -> "ParakeetTDT":
+        with open(os.path.join(model_dir, "config.json")) as f:
+            raw = json.load(f)
+        # JSON round-trip turns tuples into lists; the config must stay
+        # hashable (it is a static jit argument)
+        raw = {k: tuple(v) if isinstance(v, list) else v for k, v in raw.items()}
+        cfg = ModelConfig(**raw)
+        params = load_checkpoint(model_dir)
+        tok = Tokenizer.from_file(os.path.join(model_dir, "vocab.txt"), blank_id=cfg.blank_id)
+        return cls(cfg, params, tok, runtime=runtime)
+
+    def save_model_dir(self, model_dir: str) -> None:
+        os.makedirs(model_dir, exist_ok=True)
+        cfg_dict = dataclasses.asdict(self.cfg)
+        with open(os.path.join(model_dir, "config.json"), "w") as f:
+            json.dump(cfg_dict, f, indent=1)
+        save_checkpoint(model_dir, self.params, meta={"model": "parakeet-tdt"})
+        write_vocab(os.path.join(model_dir, "vocab.txt"), self.tokenizer.vocab)
+
+    @classmethod
+    def random(cls, cfg: Optional[ModelConfig] = None, seed: int = 0) -> "ParakeetTDT":
+        cfg = cfg or ModelConfig.tiny()
+        params = init_params(cfg, seed=seed)
+        tok = Tokenizer(make_synthetic_vocab(cfg.vocab_size), blank_id=cfg.blank_id)
+        return cls(cfg, params, tok)
+
+    # -- helpers ------------------------------------------------------------
+
+    @property
+    def prompt_ids(self) -> List[int]:
+        if self.runtime.y0_override >= 0:
+            return [self.runtime.y0_override]
+        ids = []
+        for t in ("<|startoftranscript|>", "<|en|>"):
+            i = self.tokenizer.token_id(t)
+            if i >= 0:
+                ids.append(i)
+        return ids
+
+    @property
+    def punct_mask(self) -> np.ndarray:
+        if self._punct_mask is None:
+            m = np.zeros(self.cfg.token_head_size, bool)
+            for i, t in enumerate(self.tokenizer.vocab):
+                m[i] = Tokenizer.is_punct_only(t)
+            self._punct_mask = m
+        return self._punct_mask
+
+    def features(self, audio: np.ndarray, norm: str = "per_feature") -> np.ndarray:
+        feats = np.asarray(self.frontend(audio))
+        if norm == "per_feature" and feats.shape[0] > 0:
+            mean, std = compute_per_feature_stats(feats)
+            feats = np.asarray(apply_per_feature_norm(feats, mean, std))
+        return feats
+
+    # -- offline end-to-end -------------------------------------------------
+
+    def transcribe_offline(self, audio: np.ndarray, norm: str = "per_feature",
+                           max_frames: int = 2048) -> Tuple[str, List[int]]:
+        """wav samples -> (text, token_ids). Long audio is processed in
+        <=max_frames feature windows with carried decode state (the
+        reference self-chunks >256-frame pushes, parakeet_trt.cpp:1982)."""
+        feats = self.features(audio, norm=norm)
+        t_total = feats.shape[0]
+        if t_total == 0:
+            return "", []
+        dec = prime_decode_state(self.params, self.cfg, init_decode_state(self.cfg, 1),
+                                 self.prompt_ids)
+        ids: List[int] = []
+        rt = self.runtime
+        for start in range(0, t_total, max_frames):
+            chunk = feats[start : start + max_frames]
+            enc, enc_len = offline_encode(
+                self.params, self.cfg, chunk[None], np.array([chunk.shape[0]], np.int32))
+            t_enc_static = enc.shape[1]
+            toks, n, dec = tdt_greedy_decode_chunk(
+                self.params, self.cfg, enc[0], jnp.asarray(enc_len)[0].astype(jnp.int32),
+                dec, max_tokens=self.cfg.max_symbols_per_timestep * t_enc_static,
+                blank_penalty=rt.blank_penalty,
+                emitted_so_far=np.int32(len(ids)),
+                punct_mask=jnp.asarray(self.punct_mask) if rt.suppress_leading_punct else None,
+                use_punct_mask=rt.suppress_leading_punct)
+            ids.extend(int(x) for x in np.asarray(toks)[: int(n)])
+        return self.tokenizer.decode(ids), ids

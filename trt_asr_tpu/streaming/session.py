@@ -1,0 +1,238 @@
+"""Streaming session: the runtime core.
+
+TPU-native replacement for the reference's ``ParakeetSession`` C++ hot path
+(cpp/src/parakeet_trt.cpp:1557-3876): per-session streaming state, chunk
+scheduling, encoder step + TDT greedy decode, event queue with partial/final
+emission, prompt priming on reset, debug context.
+
+Differences by design (SURVEY §3.2 "hot-loop structure to preserve"):
+- encoder step + full decode loop run as ONE jitted device program per
+  chunk; the host receives only the bounded token buffer (the reference
+  round-tripped 8198 logits per decode step);
+- session state {encoder caches, cache_len, h, c, g, y_id, time_carry} is a
+  device-resident pytree threaded functionally (the reference's cache
+  ping-pong pointer swap becomes functional state threading);
+- audio -> feature conversion carries frame overlap across pushes (the
+  reference recomputed features per chunk and dropped boundary samples).
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+import time
+from collections import deque
+from dataclasses import dataclass, field
+from enum import IntEnum
+from typing import Deque, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trt_asr_tpu.config import ModelConfig, RuntimeConfig
+from trt_asr_tpu.decode import (
+    DecodeState,
+    init_decode_state,
+    prime_decode_state,
+    tdt_greedy_decode_chunk,
+)
+from trt_asr_tpu.frontend import StreamingLogMel, apply_per_feature_norm
+from trt_asr_tpu.models.parakeet.encoder import (
+    EncoderState,
+    encode,
+    init_encoder_state,
+)
+from trt_asr_tpu.models.parakeet.model import ParakeetTDT
+from trt_asr_tpu.streaming.schedule import ChunkScheduler
+from trt_asr_tpu.debug.stage_markers import stage_marker
+from trt_asr_tpu.debug.nan_guard import check_finite
+
+
+class EventType(IntEnum):
+    PARTIAL_TEXT = 0   # PARAKEET_EVENT_PARTIAL_TEXT
+    FINAL_TEXT = 1     # PARAKEET_EVENT_FINAL_TEXT
+    ERROR = 2          # PARAKEET_EVENT_ERROR
+
+
+@dataclass
+class Event:
+    type: EventType
+    segment_id: int
+    text: str = ""
+    error_message: str = ""
+    tokens: List[int] = field(default_factory=list)
+
+
+class StreamingSession:
+    def __init__(self, model: ParakeetTDT, runtime: Optional[RuntimeConfig] = None,
+                 feature_norm: str = "none",
+                 norm_stats: Optional[tuple] = None):
+        self.model = model
+        self.cfg = model.cfg
+        self.rt = runtime or model.runtime
+        self.feature_norm = feature_norm
+        self.norm_stats = norm_stats
+        self._events: Deque[Event] = deque()
+        self._lock = threading.Lock()
+        self._debug_ctx = ""
+        self._segment = 0
+        self._chunk_latencies_ms: List[float] = []
+        self.reset_utterance()
+
+    # -- lifecycle ------------------------------------------------------
+
+    def reset_utterance(self) -> None:
+        stage_marker(self.rt, "reset_utterance enter")
+        cfg = self.cfg
+        self._mel = StreamingLogMel(self.model.frontend)
+        self._feat_buf = np.zeros((0, cfg.feat_in), np.float32)
+        self._sched = ChunkScheduler(cfg)
+        self._enc_state = init_encoder_state(cfg, 1)
+        self._dec_state = prime_decode_state(
+            self.model.params, cfg, init_decode_state(cfg, 1), self.model.prompt_ids)
+        self._tokens: List[int] = []
+        self._last_partial_t = 0.0
+        self._last_partial_len = 0
+        self._finalized = False
+        self._segment += 1
+        stage_marker(self.rt, "reset_utterance exit")
+
+    def set_debug_context(self, ctx: str) -> None:
+        self._debug_ctx = ctx
+
+    # -- input ----------------------------------------------------------
+
+    def push_audio(self, samples: np.ndarray) -> int:
+        feats = self._mel.push(np.asarray(samples, np.float32))
+        return self.push_features(feats)
+
+    def push_features(self, feats: np.ndarray) -> int:
+        """feats [T, C]. Returns number of chunks processed."""
+        if self._finalized:
+            self._error("push after finalize; call reset_utterance")
+            return 0
+        try:
+            if feats.size:
+                feats = self._normalize(np.asarray(feats, np.float32))
+                self._feat_buf = np.concatenate([self._feat_buf, feats], axis=0)
+            done = 0
+            while True:
+                spec = self._sched.next_ready(self._feat_buf.shape[0])
+                if spec is None:
+                    break
+                self._run_chunk(spec, is_last=False)
+                done += 1
+            self._maybe_partial()
+            return done
+        except Exception as e:  # noqa: BLE001 — surfaced as ERROR event (C-ABI parity)
+            self._error(f"push_features failed: {e!r}")
+            raise
+
+    def finalize(self) -> None:
+        """End of utterance: flush the final short chunk, emit FinalText."""
+        if self._finalized:
+            return
+        spec = self._sched.flush(self._feat_buf.shape[0])
+        if spec is not None:
+            self._run_chunk(spec, is_last=True)
+        self._finalized = True
+        with self._lock:
+            self._events.append(Event(EventType.FINAL_TEXT, self._segment,
+                                      self.model.tokenizer.decode(self._tokens),
+                                      tokens=list(self._tokens)))
+
+    # -- events ----------------------------------------------------------
+
+    def poll_event(self) -> Optional[Event]:
+        with self._lock:
+            return self._events.popleft() if self._events else None
+
+    @property
+    def text(self) -> str:
+        return self.model.tokenizer.decode(self._tokens)
+
+    @property
+    def chunk_latencies_ms(self) -> List[float]:
+        return list(self._chunk_latencies_ms)
+
+    # -- internals --------------------------------------------------------
+
+    def _normalize(self, feats: np.ndarray) -> np.ndarray:
+        if self.feature_norm == "per_feature":
+            if self.norm_stats is None:
+                raise ValueError(
+                    "per_feature norm needs full-utterance stats; pass norm_stats "
+                    "(contract: normalize_requires_full_utterance)")
+            mean, std = self.norm_stats
+            return np.asarray(apply_per_feature_norm(feats, mean, std))
+        return feats
+
+    def _run_chunk(self, spec, is_last: bool) -> None:
+        cfg = self.cfg
+        rt = self.rt
+        stage_marker(rt, f"chunk {spec.idx} enter [{self._debug_ctx}]")
+        x = self._feat_buf[spec.slice_start : spec.slice_end]
+        valid = x.shape[0]
+        if valid < spec.frames:
+            x = np.pad(x, ((0, spec.frames - valid), (0, 0)))
+        cache_drop = 0 if is_last else cfg.cache_drop_size
+        if rt.disable_cache:
+            self._enc_state = init_encoder_state(cfg, 1)
+
+        t0 = time.perf_counter()
+        toks, n, self._enc_state, self._dec_state = _session_step(
+            self.model.params, cfg, x[None], np.int32(valid),
+            self._enc_state, self._dec_state,
+            drop_extra=spec.drop_extra, cache_drop=cache_drop,
+            blank_penalty=rt.blank_penalty,
+            emitted_so_far=np.int32(len(self._tokens)),
+            punct_mask=jnp.asarray(self.model.punct_mask) if rt.suppress_leading_punct else None,
+            use_punct_mask=rt.suppress_leading_punct)
+        n = int(n)
+        new = [int(t) for t in np.asarray(toks)[:n]]
+        ms = (time.perf_counter() - t0) * 1e3
+        self._chunk_latencies_ms.append(ms)
+        if ms > rt.slow_step_ms:
+            stage_marker(rt, f"SLOW chunk {spec.idx}: {ms:.1f} ms", force=True)
+        if rt.nan_guard:
+            check_finite(self._enc_state.att_cache, "att_cache", halt=rt.nan_guard_halt)
+        self._tokens.extend(new)
+        if rt.debug_emit_tokens and new:
+            stage_marker(rt, f"chunk {spec.idx} emitted {new}", force=True)
+        stage_marker(rt, f"chunk {spec.idx} exit ({ms:.1f} ms, {n} tokens)")
+
+    def _maybe_partial(self) -> None:
+        now = time.monotonic()
+        if (len(self._tokens) != self._last_partial_len
+                and (now - self._last_partial_t) * 1e3 >= self.rt.partial_min_interval_ms):
+            self._last_partial_t = now
+            self._last_partial_len = len(self._tokens)
+            with self._lock:
+                self._events.append(Event(EventType.PARTIAL_TEXT, self._segment,
+                                          self.model.tokenizer.decode(self._tokens),
+                                          tokens=list(self._tokens)))
+
+    def _error(self, msg: str) -> None:
+        with self._lock:
+            self._events.append(Event(EventType.ERROR, self._segment, error_message=msg))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "drop_extra", "cache_drop", "blank_penalty", "use_punct_mask"),
+)
+def _session_step(params, cfg: ModelConfig, feats, valid, enc_state: EncoderState,
+                  dec_state: DecodeState, *, drop_extra: int, cache_drop: int,
+                  blank_penalty: float, emitted_so_far, punct_mask, use_punct_mask: bool):
+    """One fused device program: streaming encoder step + TDT decode loop."""
+    enc, out_len, enc_state = encode(
+        params, cfg, feats, valid[None] if valid.ndim == 0 else valid,
+        enc_state, drop_extra=drop_extra, cache_drop=cache_drop)
+    tq = enc.shape[1]
+    toks, n, dec_state = tdt_greedy_decode_chunk(
+        params, cfg, enc[0], out_len[0].astype(jnp.int32), dec_state,
+        max_tokens=cfg.max_symbols_per_timestep * tq,
+        blank_penalty=blank_penalty, emitted_so_far=emitted_so_far,
+        punct_mask=punct_mask, use_punct_mask=use_punct_mask)
+    return toks, n, enc_state, dec_state
