@@ -1,0 +1,133 @@
+"""Batched multi-stream TDT greedy decode.
+
+M5 of the build plan (SURVEY §7): per-stream cache state stacked on the
+batch axis; one lockstep ``lax.while_loop`` decodes all streams, per-stream
+masks handle divergent emission counts and time advances ("mask-and-
+continue" — hard part #3). The predictor LSTM runs batched every iteration
+and results are selected per-stream; on the MXU a [B, ...] matmul costs the
+same as [1, ...], so lockstep batching trades wasted lanes for an 8x+
+throughput win over the reference's one-session-per-stream design (which
+had no batching at all: B=1 everywhere, SURVEY §2.5).
+
+The batch axis is dp-shardable: all ops are elementwise or batched-matmul
+over B, so under a mesh the loop runs fully parallel with zero cross-chip
+collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from trt_asr_tpu.config import ModelConfig
+from trt_asr_tpu.decode.tdt_greedy import DecodeState
+from trt_asr_tpu.models.parakeet.joint import joint_from_projected, joint_project_enc
+from trt_asr_tpu.models.parakeet.predictor import predictor_step
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_tokens", "max_symbols", "use_punct_mask", "blank_penalty"),
+)
+def tdt_greedy_decode_batch(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    enc: jnp.ndarray,              # [B, T, D]
+    t_enc: jnp.ndarray,            # [B] int32 valid steps
+    state: DecodeState,            # batch B
+    *,
+    max_tokens: int,
+    max_symbols: Optional[int] = None,
+    blank_penalty: float = 0.0,
+    emitted_so_far: Optional[jnp.ndarray] = None,   # [B]
+    punct_mask: Optional[jnp.ndarray] = None,
+    use_punct_mask: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, DecodeState]:
+    """Returns (tokens [B, max_tokens] (-1 padded), n [B], new_state)."""
+    b = enc.shape[0]
+    max_symbols = max_symbols or cfg.max_symbols_per_timestep
+    blank = cfg.blank_id
+    ths = cfg.token_head_size
+    dur_values = jnp.asarray(cfg.duration_values, jnp.int32)
+    if emitted_so_far is None:
+        emitted_so_far = jnp.zeros((b,), jnp.int32)
+
+    enc_proj = joint_project_enc(params["joint"], enc)            # [B, T, J]
+    bi = jnp.arange(b)
+
+    def cond(carry):
+        time_idx = carry[0]
+        return jnp.any(time_idx < t_enc)
+
+    def body(carry):
+        time_idx, u_count, dstate, tokens, n = carry
+        active = time_idx < t_enc
+
+        t_c = jnp.clip(time_idx, 0, enc_proj.shape[1] - 1)
+        e_t = jnp.take_along_axis(enc_proj, t_c[:, None, None], axis=1)[:, 0]  # [B, J]
+        logits = joint_from_projected(params["joint"], e_t, dstate.g)          # [B, V]
+
+        tok_logits = logits[:, :ths]
+        if blank_penalty:
+            tok_logits = tok_logits.at[:, blank].add(-blank_penalty)
+        dur_logits = logits[:, ths : ths + cfg.num_duration_bins]
+
+        best_tok = jnp.argmax(tok_logits, axis=-1).astype(jnp.int32)
+        if use_punct_mask and punct_mask is not None:
+            suppress = ((emitted_so_far + n) == 0) & punct_mask[best_tok]
+            best_tok = jnp.where(suppress, blank, best_tok)
+        duration = dur_values[jnp.argmax(dur_logits, axis=-1)]
+        is_blank = best_tok == blank
+        advance = jnp.where(is_blank & (duration == 0), 1, duration)
+        hit_cap = u_count >= (max_symbols - 1)
+        advance = jnp.where((advance == 0) & hit_cap, 1, advance)
+
+        emit = active & (~is_blank) & (n < max_tokens)
+        # batched predictor step for all streams; select per-stream
+        y_in = jnp.where(emit, best_tok, dstate.y_id)
+        g2, h2, c2 = predictor_step(params["predictor"], y_in, dstate.h, dstate.c)
+        sel = emit[:, None]
+        new_dstate = DecodeState(
+            g=jnp.where(sel, g2, dstate.g),
+            h=jnp.where(sel[None], h2, dstate.h),
+            c=jnp.where(sel[None], c2, dstate.c),
+            y_id=jnp.where(emit, best_tok, dstate.y_id),
+            time_carry=dstate.time_carry,
+        )
+        tokens = tokens.at[bi, jnp.where(emit, n, max_tokens)].set(
+            jnp.where(emit, best_tok, -1), mode="drop")
+        n = n + emit.astype(jnp.int32)
+
+        u_count = jnp.where(advance > 0, 0, u_count + 1)
+        time_idx = time_idx + jnp.where(active, advance, 0)
+        return (time_idx, u_count, new_dstate, tokens, n)
+
+    tokens0 = jnp.full((b, max_tokens), -1, jnp.int32)
+    init = (state.time_carry.astype(jnp.int32), jnp.zeros((b,), jnp.int32),
+            state, tokens0, jnp.zeros((b,), jnp.int32))
+    time_final, _, final_state, tokens, n = lax.while_loop(cond, body, init)
+    carry = jnp.maximum(time_final - t_enc, 0).astype(jnp.int32)
+    final_state = final_state._replace(time_carry=carry)
+    return tokens, n, final_state
+
+
+def reset_decode_state_rows(params, cfg: ModelConfig, state: DecodeState,
+                            row_mask: jnp.ndarray, prompt_ids) -> DecodeState:
+    """Re-initialize (and re-prime) the decode state of selected streams —
+    stream add/remove in a batched server."""
+    from trt_asr_tpu.decode.tdt_greedy import init_decode_state, prime_decode_state
+
+    fresh = prime_decode_state(params, cfg, init_decode_state(cfg, state.g.shape[0]),
+                               prompt_ids)
+    m1 = row_mask[:, None]
+    return DecodeState(
+        g=jnp.where(m1, fresh.g, state.g),
+        h=jnp.where(m1[None], fresh.h, state.h),
+        c=jnp.where(m1[None], fresh.c, state.c),
+        y_id=jnp.where(row_mask, fresh.y_id, state.y_id),
+        time_carry=jnp.where(row_mask, 0, state.time_carry),
+    )
