@@ -1,0 +1,93 @@
+"""Native C++ runtime: build (cached), then drive the CLI with the mock
+backend and the embedded-Python backend, and check native-vs-JAX frontend
+parity. Mirrors the reference's CPU CI gate (mock lib + cargo tests,
+docs/ci_runner.md:7-17)."""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BUILD = os.path.join(REPO, "cpp", "build")
+CLI = os.path.join(BUILD, "trt_asr_cli")
+TOOL = os.path.join(BUILD, "logmel_tool")
+
+
+@pytest.fixture(scope="module")
+def built():
+    if not (os.path.exists(CLI) and os.path.exists(TOOL)):
+        if shutil.which("cmake") is None or shutil.which("ninja") is None:
+            pytest.skip("cmake/ninja unavailable")
+        subprocess.run(["cmake", "-S", os.path.join(REPO, "cpp"), "-B", BUILD,
+                        "-G", "Ninja"], check=True, capture_output=True)
+        subprocess.run(["ninja", "-C", BUILD], check=True, capture_output=True)
+    return BUILD
+
+
+def test_native_logmel_parity(built, tmp_path, rng):
+    from trt_asr_tpu.frontend import LogMelFrontend
+
+    audio = (0.3 * np.sin(np.arange(20000) * 0.13)
+             + 0.05 * rng.standard_normal(20000)).astype(np.float32)
+    p = tmp_path / "a.f32"
+    audio.tofile(p)
+    out = subprocess.run([TOOL, str(p)], capture_output=True, check=True)
+    native = np.frombuffer(out.stdout, dtype=np.float32).reshape(-1, 128)
+    ours = np.asarray(LogMelFrontend()(audio))
+    assert native.shape == ours.shape
+    np.testing.assert_allclose(native, ours, atol=2e-4)
+
+
+def test_mock_backend_cli(built, tmp_path):
+    from trt_asr_tpu.io.wav import save_wav
+
+    wav = tmp_path / "t.wav"
+    save_wav(str(wav), np.zeros(32000, np.float32))
+    out = subprocess.run([CLI, str(wav), "--mock"], capture_output=True,
+                         text=True, check=True)
+    assert "Final: Mock transcription for" in out.stdout
+    assert "Transcript: Mock transcription for" in out.stdout
+    assert "backend=mock" in out.stderr
+
+
+def test_python_backend_cli(built, tmp_path, rng):
+    """Full native->embedded-JAX path on a tiny saved model."""
+    from trt_asr_tpu.config import ModelConfig
+    from trt_asr_tpu.io.wav import save_wav
+    from trt_asr_tpu.models.parakeet.model import ParakeetTDT
+
+    mdir = tmp_path / "model"
+    ParakeetTDT.random(ModelConfig.tiny(), seed=5).save_model_dir(str(mdir))
+    wav = tmp_path / "t.wav"
+    t = np.arange(24000)
+    save_wav(str(wav), (0.4 * np.sin(2 * np.pi * 300 * t / 16000)).astype(np.float32))
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run([CLI, str(wav), "--model-dir", str(mdir)],
+                         capture_output=True, text=True, env=env, timeout=420)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Transcript:" in out.stdout
+    assert "backend=tpu" in out.stderr
+    # determinism through the whole native stack
+    out2 = subprocess.run([CLI, str(wav), "--model-dir", str(mdir)],
+                          capture_output=True, text=True, env=env, timeout=420)
+    assert out.stdout.splitlines()[-1] == out2.stdout.splitlines()[-1]
+
+
+def test_bad_model_dir_fails_cleanly(built, tmp_path):
+    from trt_asr_tpu.io.wav import save_wav
+
+    wav = tmp_path / "t.wav"
+    save_wav(str(wav), np.zeros(16000, np.float32))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run([CLI, str(wav), "--model-dir", "/nonexistent"],
+                         capture_output=True, text=True, env=env, timeout=120)
+    assert out.returncode != 0
+    assert "failed" in out.stderr.lower()
