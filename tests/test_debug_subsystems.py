@@ -1,0 +1,100 @@
+"""Taps, snapshots, NaN guard — the deterministic-replay and observability
+subsystems (reference N5/N13 + snapshot dumps)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from trt_asr_tpu.config import ModelConfig, RuntimeConfig
+from trt_asr_tpu.debug.nan_guard import NanGuardError, check_finite, scrub_logits
+from trt_asr_tpu.debug.taps import TapRun
+from trt_asr_tpu.models.parakeet.model import ParakeetTDT
+from trt_asr_tpu.streaming.session import StreamingSession
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_tap_writer_stats_and_sidecar(tmp_path):
+    run = TapRun(str(tmp_path))
+    w = run.features(n_mels=4)
+    w.write(np.ones((10, 4), np.float32))
+    bad = np.ones((5, 4), np.float32)
+    bad[0, 0] = np.nan
+    w.write(bad, {"ctx": "chunk1"})
+    run.close()
+
+    files = os.listdir(run.run_dir)
+    assert "features.f32" in files and "features.f32.json" in files
+    with open(os.path.join(run.run_dir, "features.f32.json")) as f:
+        sc = json.load(f)
+    assert sc["frames"] == 15 and sc["bins"] == 4
+    assert sc["nan_inf_count"] == 1
+    raw = np.fromfile(os.path.join(run.run_dir, "features.f32"), np.float32)
+    assert raw.size == 60
+    nd = open(os.path.join(run.run_dir, "features.chunks.ndjson")).read().splitlines()
+    assert len(nd) == 2
+    assert json.loads(nd[1])["ctx"] == "chunk1"
+
+
+def test_session_taps_and_snapshots(tmp_path):
+    model = ParakeetTDT.random(ModelConfig.tiny(), seed=5)
+    rt = RuntimeConfig(tap_enabled=True, tap_dir=str(tmp_path / "taps"),
+                       snapshot_dir=str(tmp_path / "snaps"))
+    sess = StreamingSession(model, rt)
+    t = np.arange(24000)
+    audio = (0.4 * np.sin(2 * np.pi * 300 * t / 16000)).astype(np.float32)
+    sess.push_audio(audio)
+    sess.finalize()
+
+    run_dirs = os.listdir(tmp_path / "taps")
+    assert len(run_dirs) == 1
+    files = os.listdir(tmp_path / "taps" / run_dirs[0])
+    assert "audio.f32" in files and "features.f32" in files
+
+    snaps = sorted(os.listdir(tmp_path / "snaps"))
+    assert len(snaps) >= 2
+    with open(tmp_path / "snaps" / snaps[0] / "meta.json") as f:
+        meta = json.load(f)
+    assert "att_cache_shape" in meta and "y_id" in meta
+    att = np.fromfile(tmp_path / "snaps" / snaps[0] / "att_cache.f32", np.float32)
+    assert att.size == np.prod(meta["att_cache_shape"])
+
+    # tap replays through the CLI feature-replay path
+    feats_path = str(tmp_path / "taps" / run_dirs[0] / "features.f32")
+    from trt_asr_tpu.cli import main as cli_main
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cli_main([feats_path, "--features-input", "--synthetic-model", "tiny"])
+    assert "Transcript:" in buf.getvalue()
+
+
+def test_analyze_tap_tool(tmp_path):
+    run = TapRun(str(tmp_path))
+    w = run.audio()
+    w.write(0.5 * np.sin(np.arange(16000) * 0.1).astype(np.float32))
+    run.close()
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "analyze_tap.py"), w.path],
+        capture_output=True, text=True)
+    assert out.returncode == 0
+    assert "samples=16000" in out.stdout
+    assert "nan/inf: 0" in out.stdout
+
+
+def test_nan_guard():
+    assert check_finite(np.ones(10), "x")
+    assert not check_finite(np.array([1.0, np.nan]), "x")
+    with pytest.raises(NanGuardError):
+        check_finite(np.array([np.inf]), "x", halt=True)
+    out = scrub_logits(np.array([1.0, np.nan, -np.inf]))
+    np.testing.assert_array_equal(out, [1.0, -100.0, -100.0])
+    # sampling cadence: after first_n, only every `every` is checked
+    for _ in range(12):
+        check_finite(np.array([np.nan]), "sampled", sample=True, first_n=2, every=100)

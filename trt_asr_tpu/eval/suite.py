@@ -1,0 +1,190 @@
+"""STT eval suite driver.
+
+Reference equivalent: tools/stt_suite/run_suite.py:554-779 — a matrix of
+env-variant configurations x N rounds over a manifest, driving the CLI,
+parsing Partial/Final/Transcript stdout, collecting latencies and NaN
+counts, then WER scoring per variant.
+
+Variants (reference :117-125):
+  base            — defaults
+  nopunct         — leading-punct suppression ON (TRT_ASR variants map)
+  nocache         — streaming cache disabled
+  nocache_nopunct — both
+
+Engines: "python" (in-process StreamingSession — fast, no subprocess) or
+"cli" / "native" (subprocess over the Python CLI / the C++ CLI binary).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from trt_asr_tpu.config import RuntimeConfig
+from trt_asr_tpu.eval.manifest import ManifestEntry, read_manifest
+from trt_asr_tpu.eval.wer import score_corpus
+
+VARIANTS: Dict[str, Dict[str, str]] = {
+    "base": {},
+    "nopunct": {"TRT_ASR_ALLOW_LEADING_PUNCT": "0"},
+    "nocache": {"TRT_ASR_DISABLE_CACHE": "1"},
+    "nocache_nopunct": {"TRT_ASR_DISABLE_CACHE": "1", "TRT_ASR_ALLOW_LEADING_PUNCT": "0"},
+}
+
+
+@dataclass
+class SuiteConfig:
+    manifest_path: str
+    out_dir: str
+    model_dir: str = ""
+    engine: str = "python"            # python | cli | native
+    native_cli: str = ""
+    variants: List[str] = field(default_factory=lambda: ["base"])
+    rounds: int = 1
+    stream_sim: float = 0.5
+    feature_norm: str = "per_feature"
+    verify_sha: bool = False
+    synthetic_model: str = ""         # tiny|full for asset-free runs
+
+
+def _parse_cli_stdout(stdout: str) -> Dict[str, object]:
+    transcript, partials, finals = "", [], []
+    for line in stdout.splitlines():
+        if line.startswith("Partial: "):
+            partials.append(line[len("Partial: "):])
+        elif line.startswith("Final: "):
+            finals.append(line[len("Final: "):])
+        elif line.startswith("Transcript: "):
+            transcript = line[len("Transcript: "):]
+    return {"transcript": transcript, "num_partials": len(partials),
+            "num_finals": len(finals)}
+
+
+def _run_python_engine(entry: ManifestEntry, model, variant_env: Dict[str, str],
+                       cfg: SuiteConfig) -> Dict[str, object]:
+    from trt_asr_tpu.frontend import compute_per_feature_stats
+    from trt_asr_tpu.io.wav import load_wav
+    from trt_asr_tpu.streaming.session import StreamingSession
+
+    old_env = {k: os.environ.get(k) for k in variant_env}
+    os.environ.update(variant_env)
+    try:
+        rt = RuntimeConfig.from_env()
+        audio = load_wav(entry.audio_path)
+        norm_stats = None
+        if cfg.feature_norm == "per_feature":
+            full = np.asarray(model.frontend(audio))
+            if full.shape[0] > 1:
+                norm_stats = tuple(np.asarray(s) for s in compute_per_feature_stats(full))
+        sess = StreamingSession(
+            model, rt,
+            feature_norm=cfg.feature_norm if norm_stats is not None else "none",
+            norm_stats=norm_stats)
+        hop = max(int(cfg.stream_sim * 16000), 1600)
+        n_partials = 0
+        for s in range(0, len(audio), hop):
+            sess.push_audio(audio[s : s + hop])
+            while (ev := sess.poll_event()) is not None:
+                n_partials += ev.type == 0
+        sess.finalize()
+        transcript = ""
+        while (ev := sess.poll_event()) is not None:
+            if ev.type == 1:
+                transcript = ev.text
+        lat = sess.chunk_latencies_ms
+        return {"transcript": transcript, "num_partials": n_partials,
+                "latency_ms": lat}
+    finally:
+        for k, v in old_env.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def _run_subprocess_engine(entry: ManifestEntry, variant_env: Dict[str, str],
+                           cfg: SuiteConfig) -> Dict[str, object]:
+    env = dict(os.environ)
+    env.update(variant_env)
+    if cfg.engine == "native":
+        cmd = [cfg.native_cli or "cpp/build/trt_asr_cli", entry.audio_path,
+               "--model-dir", cfg.model_dir, "--stream-sim", str(cfg.stream_sim),
+               "--no-sleep", "--feature-norm", cfg.feature_norm]
+    else:
+        cmd = [sys.executable, "-m", "trt_asr_tpu.cli", entry.audio_path,
+               "--stream-sim", str(cfg.stream_sim), "--no-sleep",
+               "--feature-norm", cfg.feature_norm]
+        if cfg.model_dir:
+            cmd += ["--model-dir", cfg.model_dir]
+        elif cfg.synthetic_model:
+            cmd += ["--synthetic-model", cfg.synthetic_model]
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=1200)
+    r = _parse_cli_stdout(out.stdout)
+    r["returncode"] = out.returncode
+    if out.returncode != 0:
+        r["stderr_tail"] = out.stderr[-1000:]
+    return r
+
+
+def run_suite(cfg: SuiteConfig) -> Dict[str, object]:
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    entries = read_manifest(cfg.manifest_path, verify_sha=cfg.verify_sha)
+
+    model = None
+    if cfg.engine == "python":
+        from trt_asr_tpu.models.parakeet.model import ParakeetTDT
+        if cfg.model_dir:
+            model = ParakeetTDT.from_model_dir(cfg.model_dir)
+        else:
+            from trt_asr_tpu.config import ModelConfig
+            mc = ModelConfig.tiny() if cfg.synthetic_model != "full" else ModelConfig()
+            model = ParakeetTDT.random(mc)
+
+    results: Dict[str, object] = {"config": {
+        "manifest": cfg.manifest_path, "engine": cfg.engine,
+        "variants": cfg.variants, "rounds": cfg.rounds,
+        "stream_sim": cfg.stream_sim, "feature_norm": cfg.feature_norm,
+        "num_utterances": len(entries)}, "variants": {}}
+
+    for variant in cfg.variants:
+        venv = VARIANTS[variant]
+        rounds_out = []
+        for rnd in range(cfg.rounds):
+            utts = []
+            t0 = time.time()
+            for entry in entries:
+                if cfg.engine == "python":
+                    r = _run_python_engine(entry, model, venv, cfg)
+                else:
+                    r = _run_subprocess_engine(entry, venv, cfg)
+                r["audio_path"] = entry.audio_path
+                r["reference"] = entry.transcript
+                utts.append(r)
+            wall = time.time() - t0
+            wer = score_corpus((u["reference"], u["transcript"]) for u in utts)
+            lat_all = [x for u in utts for x in u.get("latency_ms", [])]
+            audio_sec = sum(e.duration_sec for e in entries)
+            rounds_out.append({
+                "round": rnd, "wer": {k: v for k, v in wer.items() if k != "per_utterance"},
+                "wall_sec": wall,
+                "rtfx": (audio_sec / wall) if wall > 0 and audio_sec > 0 else None,
+                "latency_ms": ({
+                    "p50": float(np.percentile(lat_all, 50)),
+                    "p95": float(np.percentile(lat_all, 95)),
+                    "mean": float(np.mean(lat_all)),
+                } if lat_all else None),
+                "utterances": utts,
+            })
+        results["variants"][variant] = rounds_out
+
+    out_path = os.path.join(cfg.out_dir, "suite_results.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    return results

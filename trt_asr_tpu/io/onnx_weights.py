@@ -1,0 +1,262 @@
+"""ONNX component weight interchange.
+
+Replaces the reference's export/load pipeline role (tools/export_onnx
+produced {encoder,encoder_streaming,predictor,joint}.onnx whose
+initializers the runtime consumed): we export our parameter pytree to
+weight-carrying ONNX component files using NeMo/torch state-dict naming and
+torch tensor layouts, and load such files back (so a real NeMo Parakeet
+export with standard initializer names maps onto the pytree).
+
+The name map is declarative data; ``load_params_from_onnx`` accepts an
+override map (JSON) for artifacts with different naming. Unknown names are
+reported, not silently dropped (the reference's loader resolved tensors by
+name, never index, with explicit fallbacks — parakeet_trt.cpp:1081-1142).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from trt_asr_tpu.config import ModelConfig
+from trt_asr_tpu.io.onnx_lite import read_onnx, write_onnx
+
+# transforms between torch layout (export) and ours (pytree)
+_T = lambda a: np.ascontiguousarray(np.swapaxes(a, -1, -2))  # noqa: E731
+
+
+def _conv2d_ours_to_torch(a):  # [kh,kw,in,out] -> [out,in,kh,kw]
+    return np.ascontiguousarray(np.transpose(a, (3, 2, 0, 1)))
+
+
+def _conv2d_torch_to_ours(a):
+    return np.ascontiguousarray(np.transpose(a, (2, 3, 1, 0)))
+
+
+def _pw1d_ours_to_torch(a):   # [in,out] -> [out,in,1]
+    return np.ascontiguousarray(a.T[..., None])
+
+
+def _pw1d_torch_to_ours(a):
+    return np.ascontiguousarray(a[..., 0].T)
+
+
+def _dw1d_ours_to_torch(a):   # [K,D] -> [D,1,K]
+    return np.ascontiguousarray(a.T[:, None, :])
+
+
+def _dw1d_torch_to_ours(a):
+    return np.ascontiguousarray(a[:, 0, :].T)
+
+
+def _ident(a):
+    return np.ascontiguousarray(a)
+
+
+def encoder_name_map(cfg: ModelConfig) -> List[Tuple[str, str, Callable, Callable]]:
+    """(pytree_path, onnx_name, ours_to_torch, torch_to_ours)."""
+    m: List[Tuple[str, str, Callable, Callable]] = [
+        ("encoder/pre_encode/conv_in/w", "encoder.pre_encode.conv.0.weight",
+         _conv2d_ours_to_torch, _conv2d_torch_to_ours),
+        ("encoder/pre_encode/conv_in/b", "encoder.pre_encode.conv.0.bias", _ident, _ident),
+        ("encoder/pre_encode/out/w", "encoder.pre_encode.out.weight", _T, _T),
+        ("encoder/pre_encode/out/b", "encoder.pre_encode.out.bias", _ident, _ident),
+    ]
+    # dw_striding stages: Sequential indices 2,3 then 5,6 (ReLU between)
+    for s in range(cfg.stride_stages - 1):
+        base = 2 + 3 * s
+        m += [
+            (f"encoder/pre_encode/stages/{s}/dw_w", f"encoder.pre_encode.conv.{base}.weight",
+             _conv2d_ours_to_torch, _conv2d_torch_to_ours),
+            (f"encoder/pre_encode/stages/{s}/dw_b", f"encoder.pre_encode.conv.{base}.bias",
+             _ident, _ident),
+            (f"encoder/pre_encode/stages/{s}/pw_w", f"encoder.pre_encode.conv.{base+1}.weight",
+             _conv2d_ours_to_torch, _conv2d_torch_to_ours),
+            (f"encoder/pre_encode/stages/{s}/pw_b", f"encoder.pre_encode.conv.{base+1}.bias",
+             _ident, _ident),
+        ]
+    per_layer = [
+        ("ff1_ln_g", "norm_feed_forward1.weight", _ident, _ident),
+        ("ff1_ln_b", "norm_feed_forward1.bias", _ident, _ident),
+        ("ff1_w1", "feed_forward1.linear1.weight", _T, _T),
+        ("ff1_w2", "feed_forward1.linear2.weight", _T, _T),
+        ("att_ln_g", "norm_self_att.weight", _ident, _ident),
+        ("att_ln_b", "norm_self_att.bias", _ident, _ident),
+        ("att_wq", "self_attn.linear_q.weight", _T, _T),
+        ("att_wk", "self_attn.linear_k.weight", _T, _T),
+        ("att_wv", "self_attn.linear_v.weight", _T, _T),
+        ("att_wo", "self_attn.linear_out.weight", _T, _T),
+        ("att_wpos", "self_attn.linear_pos.weight", _T, _T),
+        ("att_bias_u", "self_attn.pos_bias_u", _ident, _ident),
+        ("att_bias_v", "self_attn.pos_bias_v", _ident, _ident),
+        ("conv_ln_g", "norm_conv.weight", _ident, _ident),
+        ("conv_ln_b", "norm_conv.bias", _ident, _ident),
+        ("conv_pw1", "conv.pointwise_conv1.weight", _pw1d_ours_to_torch, _pw1d_torch_to_ours),
+        ("conv_dw", "conv.depthwise_conv.weight", _dw1d_ours_to_torch, _dw1d_torch_to_ours),
+        ("conv_bn_g", "conv.batch_norm.weight", _ident, _ident),
+        ("conv_bn_b", "conv.batch_norm.bias", _ident, _ident),
+        ("conv_bn_m", "conv.batch_norm.running_mean", _ident, _ident),
+        ("conv_bn_v", "conv.batch_norm.running_var", _ident, _ident),
+        ("conv_pw2", "conv.pointwise_conv2.weight", _pw1d_ours_to_torch, _pw1d_torch_to_ours),
+        ("ff2_ln_g", "norm_feed_forward2.weight", _ident, _ident),
+        ("ff2_ln_b", "norm_feed_forward2.bias", _ident, _ident),
+        ("ff2_w1", "feed_forward2.linear1.weight", _T, _T),
+        ("ff2_w2", "feed_forward2.linear2.weight", _T, _T),
+        ("out_ln_g", "norm_out.weight", _ident, _ident),
+        ("out_ln_b", "norm_out.bias", _ident, _ident),
+    ]
+    for li in range(cfg.num_layers):
+        for key, name, fwd, bwd in per_layer:
+            m.append((f"encoder/layers/{key}[{li}]",
+                      f"encoder.layers.{li}.{name}", fwd, bwd))
+    return m
+
+
+def predictor_name_map(cfg: ModelConfig) -> List[Tuple[str, str, Callable, Callable]]:
+    m = [("predictor/embed", "prediction.embed.weight", _ident, _ident)]
+    for li in range(cfg.pred_rnn_layers):
+        m += [
+            (f"predictor/lstm/{li}/wi", f"prediction.dec_rnn.lstm.weight_ih_l{li}", _T, _T),
+            (f"predictor/lstm/{li}/wh", f"prediction.dec_rnn.lstm.weight_hh_l{li}", _T, _T),
+            (f"predictor/lstm/{li}/bi", f"prediction.dec_rnn.lstm.bias_ih_l{li}", _ident, _ident),
+            (f"predictor/lstm/{li}/bh", f"prediction.dec_rnn.lstm.bias_hh_l{li}", _ident, _ident),
+        ]
+    return m
+
+
+def joint_name_map(cfg: ModelConfig) -> List[Tuple[str, str, Callable, Callable]]:
+    return [
+        ("joint/enc/w", "joint.enc.weight", _T, _T),
+        ("joint/enc/b", "joint.enc.bias", _ident, _ident),
+        ("joint/pred/w", "joint.pred.weight", _T, _T),
+        ("joint/pred/b", "joint.pred.bias", _ident, _ident),
+        ("joint/out/w", "joint.joint_net.2.weight", _T, _T),
+        ("joint/out/b", "joint.joint_net.2.bias", _ident, _ident),
+    ]
+
+
+def _get_path(params: Dict[str, Any], path: str) -> np.ndarray:
+    """Resolve 'a/b/c' or 'a/layers/key[i]' into the pytree."""
+    if "[" in path:
+        base, idx = path[:-1].rsplit("[", 1)
+        return np.asarray(_get_path(params, base))[int(idx)]
+    node: Any = params
+    for part in path.split("/"):
+        node = node[int(part)] if isinstance(node, (list, tuple)) else node[part]
+    return np.asarray(node)
+
+
+def _set_path(params: Dict[str, Any], path: str, value: np.ndarray) -> None:
+    if "[" in path:
+        base, idx = path[:-1].rsplit("[", 1)
+        # stacked layer arrays are materialized as numpy during loading
+        parts = base.split("/")
+        node: Any = params
+        for part in parts[:-1]:
+            node = node[int(part)] if isinstance(node, (list, tuple)) else node[part]
+        stacked = np.asarray(node[parts[-1]]).copy()
+        stacked[int(idx)] = value
+        node[parts[-1]] = stacked
+        return
+    parts = path.split("/")
+    node = params
+    for part in parts[:-1]:
+        node = node[int(part)] if isinstance(node, (list, tuple)) else node[part]
+    last = parts[-1]
+    if isinstance(node, (list, tuple)):
+        node[int(last)] = value
+    else:
+        node[last] = value
+
+
+def export_params_to_onnx(params: Dict[str, Any], cfg: ModelConfig, out_dir: str,
+                          external_threshold: Optional[int] = 1 << 20) -> Dict[str, str]:
+    """Write encoder.onnx / predictor.onnx / joint.onnx weight components
+    (torch layouts, NeMo state-dict names) + model_meta.json."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {}
+    comps = {
+        "encoder": (encoder_name_map(cfg),
+                    ["audio_signal", "length", "cache_last_channel",
+                     "cache_last_time", "cache_last_channel_len"],
+                    ["encoder_output", "encoded_lengths", "cache_last_channel_out",
+                     "cache_last_time_out", "cache_last_channel_len_out"]),
+        "predictor": (predictor_name_map(cfg), ["y", "h", "c"], ["g", "h_out", "c_out"]),
+        "joint": (joint_name_map(cfg), ["encoder_output", "predictor_output"],
+                  ["joint_output"]),
+    }
+    for comp, (name_map, ins, outs) in comps.items():
+        inits = {}
+        for path, onnx_name, fwd, _bwd in name_map:
+            inits[onnx_name] = fwd(_get_path(params, path)).astype(np.float32)
+        p = os.path.join(out_dir, f"{comp}.onnx")
+        write_onnx(p, comp, inits, ins, outs, external_threshold=external_threshold)
+        paths[comp] = p
+    meta = {
+        "format": "trt-asr-tpu/onnx-weights/v1",
+        "components": {k: os.path.basename(v) for k, v in paths.items()},
+        "config": {"num_layers": cfg.num_layers, "d_model": cfg.d_model,
+                   "n_heads": cfg.n_heads, "vocab_size": cfg.vocab_size,
+                   "pred_hidden": cfg.pred_hidden, "feat_in": cfg.feat_in},
+    }
+    with open(os.path.join(out_dir, "model_meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    return paths
+
+
+def load_params_from_onnx(cfg: ModelConfig, onnx_dir: str,
+                          name_map_override: Optional[str] = None,
+                          strict: bool = True) -> Dict[str, Any]:
+    """Load encoder/predictor/joint.onnx initializers into a parameter
+    pytree. name_map_override: JSON file {our_path: onnx_name} replacing
+    defaults for foreign artifacts."""
+    from trt_asr_tpu.models.parakeet.params import init_params
+
+    params = jax_tree_to_numpy(init_params(cfg, seed=0))
+    override: Dict[str, str] = {}
+    if name_map_override:
+        with open(name_map_override) as f:
+            override = json.load(f)
+
+    missing: List[str] = []
+    for comp, name_map in (("encoder", encoder_name_map(cfg)),
+                           ("predictor", predictor_name_map(cfg)),
+                           ("joint", joint_name_map(cfg))):
+        model = read_onnx(os.path.join(onnx_dir, f"{comp}.onnx"))
+        inits = model.initializers
+        for path, onnx_name, _fwd, bwd in name_map:
+            name = override.get(path, onnx_name)
+            t = inits.get(name)
+            if t is None:
+                # tolerate common prefixes from graph exporters
+                for cand in (name, name.split(".", 1)[-1], "onnx::" + name):
+                    if cand in inits:
+                        t = inits[cand]
+                        break
+            if t is None or t.array is None:
+                missing.append(f"{comp}:{name}")
+                continue
+            _set_path(params, path, bwd(t.array).astype(np.float32))
+    if missing and strict:
+        raise KeyError(f"missing {len(missing)} initializers, e.g. {missing[:5]}")
+    return jax_numpy_to_tree(params)
+
+
+def jax_tree_to_numpy(tree):
+    if isinstance(tree, dict):
+        return {k: jax_tree_to_numpy(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return [jax_tree_to_numpy(v) for v in tree]
+    return np.asarray(tree)
+
+
+def jax_numpy_to_tree(tree):
+    if isinstance(tree, dict):
+        return {k: jax_numpy_to_tree(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return [jax_numpy_to_tree(v) for v in tree]
+    return jnp.asarray(tree)

@@ -47,6 +47,8 @@ from trt_asr_tpu.models.parakeet.model import ParakeetTDT
 from trt_asr_tpu.streaming.schedule import ChunkScheduler
 from trt_asr_tpu.debug.stage_markers import stage_marker
 from trt_asr_tpu.debug.nan_guard import check_finite
+from trt_asr_tpu.debug.taps import maybe_tap_run
+from trt_asr_tpu.debug.snapshot import maybe_snapshot_chunk
 
 
 class EventType(IntEnum):
@@ -78,6 +80,7 @@ class StreamingSession:
         self._debug_ctx = ""
         self._segment = 0
         self._chunk_latencies_ms: List[float] = []
+        self._taps = maybe_tap_run(self.rt)
         self.reset_utterance()
 
     # -- lifecycle ------------------------------------------------------
@@ -104,6 +107,9 @@ class StreamingSession:
     # -- input ----------------------------------------------------------
 
     def push_audio(self, samples: np.ndarray) -> int:
+        if self._taps is not None:
+            self._taps.audio().write(np.asarray(samples, np.float32),
+                                     {"ctx": self._debug_ctx})
         feats = self._mel.push(np.asarray(samples, np.float32))
         return self.push_features(feats)
 
@@ -115,6 +121,9 @@ class StreamingSession:
         try:
             if feats.size:
                 feats = self._normalize(np.asarray(feats, np.float32))
+                if self._taps is not None:
+                    self._taps.features(n_mels=self.cfg.feat_in).write(
+                        feats, {"ctx": self._debug_ctx})
                 self._feat_buf = np.concatenate([self._feat_buf, feats], axis=0)
             done = 0
             while True:
@@ -137,6 +146,8 @@ class StreamingSession:
         if spec is not None:
             self._run_chunk(spec, is_last=True)
         self._finalized = True
+        if self._taps is not None:
+            self._taps.close()
         with self._lock:
             self._events.append(Event(EventType.FINAL_TEXT, self._segment,
                                       self.model.tokenizer.decode(self._tokens),
@@ -200,6 +211,8 @@ class StreamingSession:
         self._tokens.extend(new)
         if rt.debug_emit_tokens and new:
             stage_marker(rt, f"chunk {spec.idx} emitted {new}", force=True)
+        maybe_snapshot_chunk(rt, spec.idx, enc_state=self._enc_state,
+                             dec_state=self._dec_state, tokens=new)
         stage_marker(rt, f"chunk {spec.idx} exit ({ms:.1f} ms, {n} tokens)")
 
     def _maybe_partial(self) -> None:
