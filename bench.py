@@ -22,6 +22,15 @@ import numpy as np
 
 
 def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=0,
+                    help="measure batched multi-stream throughput at B streams "
+                         "instead of single-stream latency")
+    ap.add_argument("--iters", type=int, default=100)
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -33,6 +42,9 @@ def main() -> int:
 
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
+
+    if args.batch:
+        return _bench_batch(args.batch, args.iters)
 
     cfg = ModelConfig()
     t0 = time.time()
@@ -86,6 +98,60 @@ def main() -> int:
         "value": round(p50, 3),
         "unit": "ms",
         "vs_baseline": round(baseline_ms / p50, 2),
+    }))
+    return 0
+
+
+def _bench_batch(b: int, iters: int) -> int:
+    """Batched multi-stream streaming step: throughput in real-time streams
+    per chip (each step advances every stream by 240 ms of audio)."""
+    import jax
+    import jax.numpy as jnp
+
+    from trt_asr_tpu.config import ModelConfig
+    from trt_asr_tpu.decode import init_decode_state
+    from trt_asr_tpu.decode.batched import tdt_greedy_decode_batch
+    from trt_asr_tpu.models.parakeet import encode, init_encoder_state, init_params
+    from trt_asr_tpu.models.parakeet.params import cast_params_for_compute
+    from trt_asr_tpu.streaming.batch_engine import _batch_step
+
+    cfg = ModelConfig()
+    params = jax.device_put(cast_params_for_compute(init_params(cfg, seed=0), jnp.bfloat16))
+    frames = cfg.chunk_size_frames[1] + cfg.pre_encode_cache_size[1]
+    enc_state = init_encoder_state(cfg, b, dtype=jnp.bfloat16)
+    dec_state = init_decode_state(cfg, b)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((b, frames, cfg.feat_in)).astype(np.float32))
+    valid = jnp.full((b,), frames, jnp.int32)
+    emitted = jnp.zeros((b,), jnp.int32)
+    max_tokens = cfg.max_symbols_per_timestep * (frames // cfg.subsampling_factor + 1)
+
+    def step(es, ds):
+        return _batch_step(params, cfg, feats, valid, es, ds, emitted,
+                           drop_extra=cfg.drop_extra_pre_encoded,
+                           cache_drop=cfg.cache_drop_size, max_tokens=max_tokens)
+
+    t0 = time.time()
+    toks, n, enc_state, dec_state = step(enc_state, dec_state)
+    jax.block_until_ready(toks)
+    print(f"compile+first step: {time.time()-t0:.1f}s", file=sys.stderr)
+    lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        toks, n, enc_state, dec_state = step(enc_state, dec_state)
+        jax.block_until_ready(toks)
+        lat.append((time.perf_counter() - t0) * 1e3)
+    lat = np.asarray(lat)
+    p50 = float(np.percentile(lat, 50))
+    chunk_audio_ms = cfg.shift_size_frames[1] * 10.0
+    streams = b * chunk_audio_ms / p50
+    print(f"B={b}: p50={p50:.3f} ms/step p95={np.percentile(lat,95):.3f} "
+          f"-> {streams:.0f} real-time streams/chip", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"streaming_realtime_streams_per_chip_b{b}",
+        "value": round(streams, 1),
+        "unit": "streams",
+        "vs_baseline": round(streams / 12.8, 2),   # ref: 240ms/18.8ms = 12.8 streams
     }))
     return 0
 

@@ -1,0 +1,96 @@
+"""Parity-ladder tools end-to-end: gen goldens (torch oracle) -> streaming
+parity harness (functional + closed-loop) -> TDT trace comparison. These
+are the reference's P4/P5/P8 harnesses as one pipeline."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = {**os.environ, "PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu"}
+
+
+def _run(args, **kw):
+    return subprocess.run([sys.executable] + args, capture_output=True,
+                          text=True, env=ENV, timeout=600, **kw)
+
+
+@pytest.fixture(scope="module")
+def goldens(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("goldens"))
+    out = _run([os.path.join(REPO, "tools/parity/gen_goldens.py"),
+                "--out-dir", d, "--config", "tiny", "--seed", "1",
+                "--chunks", "8", "--trace"])
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert os.path.exists(os.path.join(d, "streaming_encoder_reference.jsonl"))
+    assert os.path.exists(os.path.join(d, "tdt_trace.jsonl"))
+    return d
+
+
+def test_streaming_parity_passes(goldens, tmp_path):
+    for mode in ("functional", "closedloop"):
+        summary = str(tmp_path / f"{mode}.json")
+        out = _run([os.path.join(REPO, "tools/parity/streaming_parity.py"),
+                    "--goldens", os.path.join(goldens, "streaming_encoder_reference.jsonl"),
+                    "--mode", mode, "--config", "tiny", "--seed", "1",
+                    "--summary", summary])
+        assert out.returncode == 0, out.stdout + out.stderr[-1000:]
+        with open(summary) as f:
+            s = json.load(f)
+        assert s["pass_rate"] == 1.0
+        assert s["encoder_output_error_distribution"]["max"] < 1e-4
+
+
+def test_streaming_parity_detects_mismatch(goldens, tmp_path):
+    """Wrong seed -> different weights -> harness must FAIL (exit 1)."""
+    out = _run([os.path.join(REPO, "tools/parity/streaming_parity.py"),
+                "--goldens", os.path.join(goldens, "streaming_encoder_reference.jsonl"),
+                "--mode", "functional", "--config", "tiny", "--seed", "99",
+                "--fail-dump", str(tmp_path / "fail.npz")])
+    assert out.returncode == 1
+    assert "0/" in out.stdout or "PASS" in out.stdout
+    assert os.path.exists(tmp_path / "fail.npz")
+
+
+def test_tdt_trace_comparison(goldens, tmp_path):
+    trace = str(tmp_path / "jax_trace.jsonl")
+    out = _run([os.path.join(REPO, "tools/parity/jax_tdt_trace.py"),
+                "--out", trace, "--config", "tiny", "--seed", "1",
+                "--frames", "150"])
+    assert out.returncode == 0, out.stderr[-1000:]
+    # regenerate a matching oracle trace at the same frame count
+    gold2 = str(tmp_path / "g2")
+    out = _run([os.path.join(REPO, "tools/parity/gen_goldens.py"),
+                "--out-dir", gold2, "--config", "tiny", "--seed", "1",
+                "--chunks", "6", "--trace"])
+    assert out.returncode == 0
+    # hand-roll the oracle trace at 150 frames for an exact match
+    sys.path.insert(0, REPO)
+    from tools.parity.gen_goldens import gen_tdt_trace
+    from oracle.torch_parakeet import TorchParakeet
+    from trt_asr_tpu.config import ModelConfig
+    from trt_asr_tpu.models.parakeet.params import init_params
+
+    cfg = ModelConfig.tiny()
+    oracle = TorchParakeet(cfg, init_params(cfg, seed=1))
+    gtrace = str(tmp_path / "oracle_trace.jsonl")
+    gen_tdt_trace(cfg, oracle, 150, 0, gtrace)
+
+    out = _run([os.path.join(REPO, "tools/parity/compare_tdt_trace.py"),
+                gtrace, trace])
+    assert out.returncode == 0, out.stdout
+    assert "IDENTICAL" in out.stdout
+
+    # and the comparator detects a divergence
+    lines = open(trace).read().splitlines()
+    rec = json.loads(lines[5])
+    rec["best_tok"] = (rec["best_tok"] + 1) % 7
+    lines[5] = json.dumps(rec)
+    bad = str(tmp_path / "bad.jsonl")
+    open(bad, "w").write("\n".join(lines))
+    out = _run([os.path.join(REPO, "tools/parity/compare_tdt_trace.py"), gtrace, bad])
+    assert out.returncode == 1
+    assert "FIRST DIVERGENCE" in out.stdout

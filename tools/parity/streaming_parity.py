@@ -1,0 +1,187 @@
+#!/usr/bin/env python3
+"""Streaming encoder parity harness: JAX implementation vs golden JSONL.
+
+Reference equivalents: tools/onnxruntime/onnx_streaming_parity.py (ORT) and
+tools/tensorrt/trt_streaming_parity.py (TRT) — functional mode (each chunk
+evaluated with the GOLDEN cache inputs, isolating per-step numerics) and
+closed-loop mode (the system under test feeds its own cache outputs forward,
+catching drift), valid-region masked comparison, per-tensor tolerances,
+hard contract enforcement (encoded_lengths, cache_len bounds), per-chunk
+timing percentiles, NPZ dump of worst failures, summary JSON.
+
+    python tools/parity/streaming_parity.py --goldens G/streaming_encoder_reference.jsonl \
+        --mode closedloop [--config tiny --seed 1 | --model-dir DIR] \
+        [--dtype f32|bf16] [--platform cpu|tpu] [--atol 1e-4] [--summary out.json]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/tools/", 1)[0])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--goldens", required=True)
+    ap.add_argument("--mode", default="closedloop", choices=["functional", "closedloop"])
+    ap.add_argument("--model-dir", default="")
+    ap.add_argument("--config", default="tiny", choices=["tiny", "full"])
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu", "env"])
+    ap.add_argument("--atol", type=float, default=None, help="default: contract tolerance")
+    ap.add_argument("--cache-atol", type=float, default=None)
+    ap.add_argument("--max-chunks", type=int, default=0)
+    ap.add_argument("--summary", default="")
+    ap.add_argument("--fail-dump", default="", help="NPZ path for worst-chunk tensors")
+    args = ap.parse_args()
+
+    if args.platform != "env":
+        os.environ["JAX_PLATFORMS"] = args.platform
+    import jax
+
+    if args.platform != "env":
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from trt_asr_tpu.config import ModelConfig
+    from trt_asr_tpu.contract import load_contract
+    from trt_asr_tpu.io.fixtures import read_jsonl
+    from trt_asr_tpu.models.parakeet import encode
+    from trt_asr_tpu.models.parakeet.encoder import (
+        EncoderState, state_from_contract, state_to_contract)
+    from trt_asr_tpu.models.parakeet.params import cast_params_for_compute, init_params
+
+    contract = load_contract()
+    atol = args.atol if args.atol is not None else contract.tolerances.cpu_f32_atol
+    cache_atol = (args.cache_atol if args.cache_atol is not None
+                  else contract.tolerances.cache_last_time_atol)
+    if args.dtype == "bf16" and args.atol is None:
+        atol = contract.tolerances.tpu_bf16_p95 * 10  # bf16 abs tolerance
+
+    if args.model_dir:
+        from trt_asr_tpu.models.parakeet.model import ParakeetTDT
+
+        m = ParakeetTDT.from_model_dir(args.model_dir)
+        cfg, params = m.cfg, m.params
+    else:
+        cfg = ModelConfig.tiny() if args.config == "tiny" else ModelConfig()
+        params = init_params(cfg, seed=args.seed)
+    compute_dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    if args.dtype == "bf16":
+        params = cast_params_for_compute(params, jnp.bfloat16)
+
+    import functools
+
+    jit_encode = functools.partial(
+        jax.jit(encode, static_argnames=("cfg", "drop_extra", "cache_drop",
+                                         "compute_dtype")))
+
+    records = list(read_jsonl(args.goldens))
+    meta = records[0]
+    chunks = records[1:]
+    if args.max_chunks:
+        chunks = chunks[: args.max_chunks]
+
+    state = None  # closed-loop state threaded across chunks
+    results = []
+    worst = None
+    for rec in chunks:
+        ins, outs = rec["inputs"], rec["outputs"]
+        if args.mode == "functional" or state is None:
+            state = state_from_contract({
+                "cache_last_channel": jnp.asarray(ins["cache_last_channel"].transpose(0, 1, 2, 3), compute_dtype),
+                "cache_last_time": jnp.asarray(ins["cache_last_time"], compute_dtype),
+                "cache_last_channel_len": jnp.asarray(
+                    ins["cache_last_channel_len"].astype(np.int32)),
+            })
+        cache_drop = 0 if rec["is_last"] else cfg.cache_drop_size
+        t0 = time.perf_counter()
+        x = ins["audio_features"]
+        if x.ndim == 2:
+            x = x[None]
+        enc, out_len, new_state = jit_encode(
+            params, cfg, jnp.asarray(x, jnp.float32),
+            np.array([rec["valid_frames"]], np.int32), state,
+            drop_extra=rec["drop_extra"], cache_drop=cache_drop,
+            compute_dtype=compute_dtype)
+        enc = np.asarray(enc, np.float32)
+        out_len_v = int(np.asarray(out_len)[0])
+        ms = (time.perf_counter() - t0) * 1e3
+        state = new_state
+
+        want_enc = outs["encoder_output"]
+        want_len = int(outs["encoded_lengths"][0])
+        cstate = state_to_contract(new_state)
+        got_lc = np.asarray(cstate["cache_last_channel"], np.float32)
+        got_lt = np.asarray(cstate["cache_last_time"], np.float32)
+        got_cl = int(np.asarray(cstate["cache_last_channel_len"])[0])
+        want_cl = int(outs["cache_last_channel_len_out"][0])
+
+        # hard contract checks (reference trt_streaming_parity.py:355-395)
+        contract_errs = []
+        if out_len_v != want_len:
+            contract_errs.append(f"encoded_lengths {out_len_v} != {want_len}")
+        if not (0 <= got_cl <= cfg.att_cache_size):
+            contract_errs.append(f"cache_len {got_cl} out of bounds")
+        if got_cl != want_cl:
+            contract_errs.append(f"cache_len {got_cl} != golden {want_cl}")
+
+        enc_err = float(np.abs(enc[0, :want_len] - want_enc[0, :want_len]).max()) \
+            if want_len else 0.0
+        ml = min(got_cl, want_cl)
+        lc_err = float(np.abs(got_lc[0, :, :ml] - outs["cache_last_channel_out"][0, :, :ml]).max()) if ml else 0.0
+        lt_err = float(np.abs(got_lt[0] - outs["cache_last_time_out"][0]).max())
+
+        ok = (not contract_errs and enc_err <= atol and lc_err <= atol
+              and lt_err <= cache_atol)
+        results.append({"chunk_idx": rec["chunk_idx"], "pass": ok,
+                        "encoder_output_max_abs": enc_err,
+                        "cache_last_channel_max_abs": lc_err,
+                        "cache_last_time_max_abs": lt_err,
+                        "contract_errors": contract_errs, "timing_ms": ms})
+        if worst is None or enc_err > worst[0]:
+            worst = (enc_err, rec, enc)
+
+    n_pass = sum(r["pass"] for r in results)
+    enc_errs = np.array([r["encoder_output_max_abs"] for r in results])
+    times = np.array([r["timing_ms"] for r in results])
+    summary = {
+        "goldens": args.goldens, "mode": args.mode, "dtype": args.dtype,
+        "platform": args.platform, "atol": atol, "cache_atol": cache_atol,
+        "num_chunks": len(results), "num_pass": int(n_pass),
+        "pass_rate": n_pass / max(len(results), 1),
+        "encoder_output_error_distribution": {
+            "max": float(enc_errs.max()) if len(enc_errs) else 0.0,
+            "mean": float(enc_errs.mean()) if len(enc_errs) else 0.0,
+            "p95": float(np.percentile(enc_errs, 95)) if len(enc_errs) else 0.0,
+            "p99": float(np.percentile(enc_errs, 99)) if len(enc_errs) else 0.0,
+        },
+        "timing_ms": {
+            "mean": float(times.mean()), "p50": float(np.percentile(times, 50)),
+            "p95": float(np.percentile(times, 95)), "p99": float(np.percentile(times, 99)),
+        } if len(times) else {},
+        "per_chunk": results,
+    }
+    print(f"{args.mode} parity: {n_pass}/{len(results)} PASS "
+          f"(enc max_abs {summary['encoder_output_error_distribution']['max']:.3e}, "
+          f"p95 {summary['encoder_output_error_distribution']['p95']:.3e}; "
+          f"timing p50 {summary['timing_ms'].get('p50', 0):.2f} ms)")
+    if args.summary:
+        os.makedirs(os.path.dirname(args.summary) or ".", exist_ok=True)
+        with open(args.summary, "w") as f:
+            json.dump(summary, f, indent=1)
+    if args.fail_dump and worst and worst[0] > atol:
+        np.savez(args.fail_dump, enc_got=worst[2],
+                 enc_want=worst[1]["outputs"]["encoder_output"],
+                 chunk_idx=worst[1]["chunk_idx"])
+        print(f"worst chunk dumped -> {args.fail_dump}")
+    return 0 if n_pass == len(results) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

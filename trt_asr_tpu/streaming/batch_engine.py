@@ -1,0 +1,227 @@
+"""Batched multi-stream streaming engine (M5 of the build plan).
+
+Serves up to B concurrent streams with ONE jitted device program per step:
+batched unified-profile encoder chunk + lockstep batched TDT decode. Stream
+slots attach/detach by row reset (encoder caches + decode state), the
+batched analog of parakeet_reset_utterance. The reference had no batching
+at all (B=1 per session, SURVEY §2.5 DP row); on the MXU a [B, ...] step
+costs roughly the same as B=1, so throughput scales ~linearly in B until
+HBM bandwidth saturates.
+
+Per-stream chunk readiness is handled by mask-and-skip: a slot without a
+full chunk buffered runs with valid=0 feature frames, which is a provable
+no-op on its caches (append count 0) and decode state (t_enc 0).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from collections import deque
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trt_asr_tpu.config import ModelConfig, RuntimeConfig
+from trt_asr_tpu.decode import init_decode_state, prime_decode_state
+from trt_asr_tpu.decode.batched import reset_decode_state_rows, tdt_greedy_decode_batch
+from trt_asr_tpu.models.parakeet.encoder import (
+    encode,
+    init_encoder_state,
+    reset_encoder_state_rows,
+)
+from trt_asr_tpu.models.parakeet.model import ParakeetTDT
+from trt_asr_tpu.frontend import StreamingLogMel
+from trt_asr_tpu.streaming.schedule import ChunkScheduler, extract_chunk
+from trt_asr_tpu.streaming.session import Event, EventType
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "drop_extra", "cache_drop",
+                                             "max_tokens"))
+def _batch_step(params, cfg: ModelConfig, feats, valid, enc_state, dec_state,
+                emitted_so_far, *, drop_extra: int, cache_drop: int, max_tokens: int):
+    enc, out_len, enc_state = encode(params, cfg, feats, valid, enc_state,
+                                     drop_extra=drop_extra, cache_drop=cache_drop)
+    toks, n, dec_state = tdt_greedy_decode_batch(
+        params, cfg, enc, out_len.astype(jnp.int32), dec_state,
+        max_tokens=max_tokens, emitted_so_far=emitted_so_far)
+    return toks, n, enc_state, dec_state
+
+
+class BatchStreamingEngine:
+    def __init__(self, model: ParakeetTDT, batch_size: int = 8,
+                 runtime: Optional[RuntimeConfig] = None):
+        self.model = model
+        self.cfg = model.cfg
+        self.rt = runtime or model.runtime
+        self.b = batch_size
+        cfg = self.cfg
+        self._frames = cfg.chunk_size_frames[1] + cfg.pre_encode_cache_size[1]
+        self._enc_state = init_encoder_state(cfg, batch_size)
+        self._dec_state = prime_decode_state(
+            model.params, cfg, init_decode_state(cfg, batch_size), model.prompt_ids)
+        self._active = [False] * batch_size
+        self._mel = [StreamingLogMel(model.frontend) for _ in range(batch_size)]
+        self._bufs = [np.zeros((0, cfg.feat_in), np.float32) for _ in range(batch_size)]
+        self._scheds = [ChunkScheduler(cfg, unified=True) for _ in range(batch_size)]
+        self._tokens: List[List[int]] = [[] for _ in range(batch_size)]
+        self._events: List[deque] = [deque() for _ in range(batch_size)]
+        self._finalizing = [False] * batch_size
+        self.step_latencies_ms: List[float] = []
+
+    # -- stream lifecycle -------------------------------------------------
+
+    def open_stream(self) -> int:
+        for sid in range(self.b):
+            if not self._active[sid]:
+                self._reset_slot(sid)
+                self._active[sid] = True
+                return sid
+        raise RuntimeError(f"all {self.b} stream slots busy")
+
+    def close_stream(self, sid: int) -> None:
+        self._active[sid] = False
+
+    def _reset_slot(self, sid: int) -> None:
+        mask = np.zeros(self.b, bool)
+        mask[sid] = True
+        self._enc_state = reset_encoder_state_rows(self._enc_state, jnp.asarray(mask))
+        self._dec_state = reset_decode_state_rows(
+            self.model.params, self.cfg, self._dec_state, jnp.asarray(mask),
+            self.model.prompt_ids)
+        self._mel[sid].reset()
+        self._bufs[sid] = np.zeros((0, self.cfg.feat_in), np.float32)
+        self._scheds[sid].reset()
+        self._tokens[sid] = []
+        self._events[sid].clear()
+        self._finalizing[sid] = False
+
+    # -- input ------------------------------------------------------------
+
+    def push_audio(self, sid: int, samples: np.ndarray) -> None:
+        feats = self._mel[sid].push(np.asarray(samples, np.float32))
+        self.push_features(sid, feats)
+
+    def push_features(self, sid: int, feats: np.ndarray) -> None:
+        assert self._active[sid], f"stream {sid} not open"
+        if feats.size:
+            self._bufs[sid] = np.concatenate(
+                [self._bufs[sid], np.asarray(feats, np.float32)], axis=0)
+
+    def finalize_stream(self, sid: int) -> None:
+        self._finalizing[sid] = True
+
+    # -- the batched step -------------------------------------------------
+
+    def pending(self) -> int:
+        return sum(1 for sid in range(self.b)
+                   if self._active[sid] and self._peek_ready(sid))
+
+    def _peek_ready(self, sid: int) -> bool:
+        sched = self._scheds[sid]
+        idx, start = sched._idx, sched._start
+        spec = sched.next_ready(self._bufs[sid].shape[0])
+        if spec is not None:
+            sched._idx, sched._start = idx, start  # un-consume
+            return True
+        return self._finalizing[sid]
+
+    def step(self) -> int:
+        """Run one lockstep batched chunk over all ready streams. Returns
+        the number of streams that made progress."""
+        cfg = self.cfg
+        feats = np.zeros((self.b, self._frames, cfg.feat_in), np.float32)
+        valid = np.zeros((self.b,), np.int32)
+        progressed = []
+        for sid in range(self.b):
+            if not self._active[sid]:
+                continue
+            spec = self._scheds[sid].next_ready(self._bufs[sid].shape[0])
+            if spec is None and self._finalizing[sid]:
+                flush = self._scheds[sid].flush(self._bufs[sid].shape[0])
+                if flush is not None:
+                    # final chunk needs keep_all (cache_drop=0) semantics,
+                    # which differs from the batch's static cache_drop:
+                    # run it as a single-row program (the row's state is
+                    # final anyway)
+                    self._run_odd_flush(sid, flush)
+                else:
+                    self._emit_final(sid)
+                continue
+            if spec is None:
+                continue
+            feats[sid] = extract_chunk(self._bufs[sid], spec)
+            valid[sid] = spec.valid_frames
+            progressed.append(sid)
+
+        if not progressed:
+            return 0
+
+        t0 = time.perf_counter()
+        max_tokens = cfg.max_symbols_per_timestep * (self._frames // cfg.subsampling_factor + 1)
+        emitted = jnp.asarray([len(t) for t in self._tokens], jnp.int32)
+        toks, n, self._enc_state, self._dec_state = _batch_step(
+            self.model.params, cfg, jnp.asarray(feats), jnp.asarray(valid),
+            self._enc_state, self._dec_state, emitted,
+            drop_extra=cfg.drop_extra_pre_encoded, cache_drop=cfg.cache_drop_size,
+            max_tokens=max_tokens)
+        toks, n = np.asarray(toks), np.asarray(n)
+        self.step_latencies_ms.append((time.perf_counter() - t0) * 1e3)
+
+        for sid in progressed:
+            new = [int(x) for x in toks[sid, : n[sid]]]
+            if new:
+                self._tokens[sid].extend(new)
+                self._events[sid].append(Event(
+                    EventType.PARTIAL_TEXT, 0,
+                    self.model.tokenizer.decode(self._tokens[sid]),
+                    tokens=list(self._tokens[sid])))
+        return len(progressed)
+
+    def _run_odd_flush(self, sid: int, spec) -> None:
+        """Sub-41-frame utterances: single-row program (rare shape)."""
+        from trt_asr_tpu.decode import tdt_greedy_decode_chunk
+        from trt_asr_tpu.decode.tdt_greedy import DecodeState
+        from trt_asr_tpu.models.parakeet.encoder import EncoderState
+
+        x = extract_chunk(self._bufs[sid], spec)[None]
+        row_enc = EncoderState(self._enc_state.att_cache[:, sid:sid+1],
+                               self._enc_state.time_cache[:, sid:sid+1],
+                               self._enc_state.cache_len[sid:sid+1])
+        enc, out_len, _ = encode(self.model.params, self.cfg, x,
+                                 np.array([spec.valid_frames], np.int32), row_enc,
+                                 drop_extra=spec.drop_extra, cache_drop=0)
+        ds = self._dec_state
+        row_dec = DecodeState(ds.g[sid:sid+1], ds.h[:, sid:sid+1],
+                              ds.c[:, sid:sid+1], ds.y_id[sid:sid+1],
+                              ds.time_carry[sid:sid+1])
+        toks, nn, _ = tdt_greedy_decode_chunk(
+            self.model.params, self.cfg, enc[0],
+            jnp.asarray(out_len)[0].astype(jnp.int32), row_dec,
+            max_tokens=self.cfg.max_symbols_per_timestep * enc.shape[1],
+            emitted_so_far=np.int32(len(self._tokens[sid])))
+        self._tokens[sid].extend(int(t) for t in np.asarray(toks)[: int(nn)])
+        self._emit_final(sid)
+
+    def _emit_final(self, sid: int) -> None:
+        if not self._finalizing[sid]:
+            return
+        self._finalizing[sid] = False
+        self._events[sid].append(Event(
+            EventType.FINAL_TEXT, 0, self.model.tokenizer.decode(self._tokens[sid]),
+            tokens=list(self._tokens[sid])))
+
+    def run_until_drained(self, max_steps: int = 10000) -> None:
+        for _ in range(max_steps):
+            if self.step() == 0:
+                return
+
+    # -- output -----------------------------------------------------------
+
+    def poll_event(self, sid: int) -> Optional[Event]:
+        return self._events[sid].popleft() if self._events[sid] else None
+
+    def text(self, sid: int) -> str:
+        return self.model.tokenizer.decode(self._tokens[sid])

@@ -62,13 +62,39 @@ def build_schedule(total_frames: int, cfg: ModelConfig) -> List[ChunkSpec]:
     return chunks
 
 
+def extract_chunk(feat_buf, spec: ChunkSpec):
+    """Slice [slice_start, slice_end) out of the absolute feature buffer,
+    zero-padding on both sides to the static program shape. Negative
+    slice_start (unified first chunk) pads zeros on the left."""
+    import numpy as np
+
+    lo = max(spec.slice_start, 0)
+    x = feat_buf[lo : spec.slice_end]
+    left = lo - spec.slice_start
+    right = spec.frames - left - x.shape[0]
+    if left or right > 0:
+        x = np.pad(x, ((left, max(right, 0)), (0, 0)))
+    return x
+
+
 class ChunkScheduler:
     """Online chunker: accepts arbitrary feature pushes, yields fixed-shape
     chunks per the schedule. Keeps the feature tail needed for the next
-    chunk's pre-encode context."""
+    chunk's pre-encode context.
 
-    def __init__(self, cfg: ModelConfig):
+    unified=True uses ONE program shape for every chunk (the reference's TRT
+    ``unified_profile``, contract trt.profiles.encoder_streaming): the first
+    chunk is served by the steady 57-frame program with
+    (steady_chunk + pre_encode - first_chunk) zero frames prepended; since
+    the prepended zeros subsample onto exactly the drop_extra_pre_encoded
+    steps and the conv stack zero-pads edges anyway, the valid outputs are
+    numerically identical to the dedicated 41-frame program (verified in
+    tests), while halving the number of compiled programs and enabling
+    lockstep multi-stream batching."""
+
+    def __init__(self, cfg: ModelConfig, unified: bool = False):
         self.cfg = cfg
+        self.unified = unified
         self.reset()
 
     def reset(self) -> None:
@@ -85,7 +111,13 @@ class ChunkScheduler:
         if self._idx == 0:
             if frames_available < first_chunk:
                 return None
-            spec = ChunkSpec(0, 0, 0, first_chunk, first_chunk, first_chunk, 0, False)
+            if self.unified:
+                frames = steady_chunk + pre
+                lead = frames - first_chunk
+                spec = ChunkSpec(0, 0, -lead, first_chunk, frames, frames,
+                                 cfg.drop_extra_pre_encoded, False)
+            else:
+                spec = ChunkSpec(0, 0, 0, first_chunk, first_chunk, first_chunk, 0, False)
             self._idx, self._start = 1, first_shift
             return spec
         s0 = self._start - pre

@@ -183,10 +183,13 @@ class StreamingSession:
         cfg = self.cfg
         rt = self.rt
         stage_marker(rt, f"chunk {spec.idx} enter [{self._debug_ctx}]")
-        x = self._feat_buf[spec.slice_start : spec.slice_end]
-        valid = x.shape[0]
-        if valid < spec.frames:
-            x = np.pad(x, ((0, spec.frames - valid), (0, 0)))
+        from trt_asr_tpu.streaming.schedule import extract_chunk
+
+        x = extract_chunk(self._feat_buf, spec)
+        # valid = implicit left zeros (unified first chunk) + real frames
+        buflen = self._feat_buf.shape[0]
+        valid = (max(-spec.slice_start, 0)
+                 + max(min(spec.slice_end, buflen) - max(spec.slice_start, 0), 0))
         cache_drop = 0 if is_last else cfg.cache_drop_size
         if rt.disable_cache:
             self._enc_state = init_encoder_state(cfg, 1)
