@@ -1,0 +1,63 @@
+"""Full-size (0.6B) smoke tests — slow, opt-in:
+
+    python -m pytest tests/test_fullsize_slow.py -m slow --override-ini addopts=
+
+Covers the full-dimension code paths the tiny config can't: 24-layer scan,
+128-mel subsampling to 16 freq bins, 8192-vocab decode, 8198 joint head.
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def full():
+    from trt_asr_tpu.config import ModelConfig
+    from trt_asr_tpu.models.parakeet import init_params
+
+    cfg = ModelConfig()
+    return cfg, init_params(cfg, seed=0)
+
+
+def test_full_size_streaming_chunk_and_decode(full):
+    import jax.numpy as jnp
+
+    from trt_asr_tpu.decode import init_decode_state
+    from trt_asr_tpu.models.parakeet import init_encoder_state
+    from trt_asr_tpu.streaming.session import _session_step
+
+    cfg, params = full
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((1, 57, cfg.feat_in)).astype(np.float32)
+    enc_state = init_encoder_state(cfg, 1)
+    dec_state = init_decode_state(cfg, 1)
+    toks, n, enc_state, dec_state = _session_step(
+        params, cfg, feats, np.int32(57), enc_state, dec_state,
+        drop_extra=2, cache_drop=3, blank_penalty=0.0,
+        emitted_so_far=np.int32(0), punct_mask=None, use_punct_mask=False)
+    # buffer sized max_symbols x post-drop encoder steps (57 frames -> 8 - 2 = 6)
+    assert toks.shape[0] == cfg.max_symbols_per_timestep * 6
+    assert 0 <= int(n) <= toks.shape[0]
+    assert int(np.asarray(enc_state.cache_len)[0]) == 3
+    att = np.asarray(enc_state.att_cache)
+    assert att.shape == (24, 1, 256, 1024)
+    assert np.isfinite(att).all()
+
+
+def test_full_size_component_oracle_parity(full):
+    """One full-size chunk vs the torch oracle at contract tolerance."""
+    from oracle.torch_parakeet import TorchParakeet
+    from trt_asr_tpu.models.parakeet import offline_encode
+
+    cfg, params = full
+    oracle = TorchParakeet(cfg, params)
+    rng = np.random.default_rng(1)
+    feats = rng.standard_normal((1, 41, cfg.feat_in)).astype(np.float32)
+    enc_j, len_j = offline_encode(params, cfg, feats, np.array([41], np.int32))
+    enc_t, len_t = oracle.offline_encode(feats, np.array([41]))
+    v = int(np.asarray(len_j)[0])
+    assert v == int(len_t[0]) == 6
+    np.testing.assert_allclose(np.asarray(enc_j)[0, :v], enc_t[0, :v],
+                               atol=1e-4, rtol=1e-4)

@@ -1,0 +1,139 @@
+#!/usr/bin/env python3
+"""Long-horizon closed-loop stability run (reference: 300-chunk runs with
+per-chunk error series + plot_stability.py drift plots,
+artifacts/parity/trt_parity_300chunks_*.json).
+
+Drives the JAX streaming encoder closed-loop against the torch oracle
+closed-loop for N chunks on a continuous random feature stream, recording
+the per-chunk error series (drift detection), cache_len trajectory, and
+timing percentiles. ASCII drift summary always; PNG plot when matplotlib
+exists.
+
+    python tools/parity/stability_run.py --chunks 300 --config tiny --seed 1 \
+        --summary artifacts/parity/stability.json
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/tools/", 1)[0])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunks", type=int, default=300)
+    ap.add_argument("--config", default="tiny", choices=["tiny", "full"])
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--feats-seed", type=int, default=0)
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu", "env"])
+    ap.add_argument("--summary", default="")
+    ap.add_argument("--plot", default="")
+    args = ap.parse_args()
+
+    if args.platform != "env":
+        os.environ["JAX_PLATFORMS"] = args.platform
+    import jax
+
+    if args.platform != "env":
+        jax.config.update("jax_platforms", args.platform)
+    import functools
+
+    import jax.numpy as jnp
+
+    from oracle.torch_parakeet import TorchParakeet
+    from trt_asr_tpu.config import ModelConfig
+    from trt_asr_tpu.models.parakeet import encode, init_encoder_state, init_params
+    from trt_asr_tpu.models.parakeet.encoder import state_to_contract
+    from trt_asr_tpu.streaming import build_schedule
+
+    cfg = ModelConfig.tiny() if args.config == "tiny" else ModelConfig()
+    params = init_params(cfg, seed=args.seed)
+    oracle = TorchParakeet(cfg, params)
+
+    jit_encode = jax.jit(encode, static_argnames=("cfg", "drop_extra", "cache_drop"))
+
+    first_shift, steady_shift = cfg.shift_size_frames
+    total = first_shift + steady_shift * args.chunks + cfg.chunk_size_frames[1]
+    rng = np.random.default_rng(args.feats_seed)
+    feats = (0.5 * rng.standard_normal((total, cfg.feat_in))).astype(np.float32)
+    sched = [s for s in build_schedule(total, cfg) if not s.is_last][: args.chunks]
+
+    state = init_encoder_state(cfg, 1)
+    lc = np.zeros((1, cfg.num_layers, cfg.att_cache_size, cfg.d_model), np.float32)
+    lt = np.zeros((1, cfg.num_layers, cfg.d_model, cfg.conv_context_size), np.float32)
+    cache_len = 0
+
+    series = []
+    times = []
+    for spec in sched:
+        x = feats[spec.slice_start : spec.slice_end]
+        if x.shape[0] < spec.frames:
+            x = np.pad(x, ((0, spec.frames - x.shape[0]), (0, 0)))
+        t0 = time.perf_counter()
+        enc_j, len_j, state = jit_encode(
+            params, cfg, jnp.asarray(x[None]), np.array([spec.valid_frames], np.int32),
+            state, drop_extra=spec.drop_extra, cache_drop=cfg.cache_drop_size)
+        enc_j = np.asarray(enc_j)
+        times.append((time.perf_counter() - t0) * 1e3)
+        enc_t, len_t, lc, lt, cache_len = oracle.streaming_step(
+            x[None], spec.valid_frames, lc, lt, cache_len, spec.drop_extra)
+        v = int(len_t)
+        err = float(np.abs(enc_j[0, :v] - enc_t[0]).max()) if v else 0.0
+        cs = state_to_contract(state)
+        cl = int(np.asarray(cs["cache_last_channel_len"])[0])
+        series.append({"chunk": spec.idx, "enc_err": err, "cache_len": cl,
+                       "cache_len_oracle": int(cache_len)})
+        if cl != cache_len:
+            print(f"CACHE LEN DIVERGENCE at chunk {spec.idx}: {cl} vs {cache_len}")
+
+    errs = np.array([s["enc_err"] for s in series])
+    n10 = max(len(errs) // 10, 1)
+    first10, last10 = errs[:n10], errs[-n10:]
+    drift_ratio = float(last10.mean() / max(first10.mean(), 1e-30))
+    tms = np.array(times)
+    print(f"stability: {len(series)} chunks | err max {errs.max():.3e} "
+          f"mean {errs.mean():.3e} | first-decile mean {first10.mean():.3e} "
+          f"last-decile mean {last10.mean():.3e} (drift x{drift_ratio:.2f}) | "
+          f"timing p50 {np.percentile(tms, 50):.2f} ms p99 {np.percentile(tms, 99):.2f} ms")
+    # ascii sparkline of error by decile
+    dec = [errs[i * len(errs) // 10:(i + 1) * len(errs) // 10].mean() for i in range(10)]
+    lo, hi = min(dec), max(dec)
+    bars = "▁▂▃▄▅▆▇█"
+    line = "".join(bars[int((d - lo) / (hi - lo + 1e-30) * 7)] for d in dec)
+    print(f"error-by-decile: {line}  ({lo:.1e}..{hi:.1e})")
+
+    summary = {
+        "chunks": len(series), "err_max": float(errs.max()), "err_mean": float(errs.mean()),
+        "drift_ratio_last10_over_first10": drift_ratio,
+        "timing_ms": {"p50": float(np.percentile(tms, 50)),
+                      "p95": float(np.percentile(tms, 95)),
+                      "p99": float(np.percentile(tms, 99))},
+        "series": series,
+    }
+    if args.summary:
+        os.makedirs(os.path.dirname(args.summary) or ".", exist_ok=True)
+        with open(args.summary, "w") as f:
+            json.dump(summary, f, indent=1)
+    if args.plot:
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(figsize=(10, 4))
+            ax.semilogy([s["chunk"] for s in series], errs, lw=0.8)
+            ax.set_xlabel("chunk")
+            ax.set_ylabel("encoder max_abs err")
+            fig.savefig(args.plot, dpi=100)
+        except ImportError:
+            print("matplotlib unavailable; skipping plot", file=sys.stderr)
+    # gate: drift beyond 10x across the run indicates accumulation
+    return 0 if drift_ratio < 10.0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
