@@ -29,7 +29,7 @@ import numpy as np
 BASELINE_PER_240MS_MS = 9.4
 
 
-def _measure(step, state0, feats0, iters: int) -> float:
+def _measure(step, make_state, feats0, iters: int) -> float:
     """Chained varied-input loop, one final block: aggregate wall / N.
 
     Per-step blocking would serialize tunnel round trips that do not exist
@@ -39,7 +39,7 @@ def _measure(step, state0, feats0, iters: int) -> float:
     import jax
 
     def run_once(salt: float):
-        states = state0
+        states = make_state()         # fresh buffers (steps donate state)
         f = feats0 * (1.0 + salt)     # distinct data stream per run
         t0 = time.perf_counter()
         out = None
@@ -54,7 +54,7 @@ def _measure(step, state0, feats0, iters: int) -> float:
         _ = np.asarray(jax.tree.leaves(states[0])[0][..., -1:, :])
         return (time.perf_counter() - t0) * 1e3 / iters
 
-    out = step(feats0, *state0)
+    out = step(feats0, *make_state())
     _ = np.asarray(out[0])          # compile + warm
     return min(run_once(0.03 * (k + 1)) for k in range(3))
 
@@ -102,11 +102,14 @@ def main() -> int:
 
     b = args.batch or 1
     step = make_step(b)
-    es = init_encoder_state(cfg, b, dtype=jnp.bfloat16)
-    ds = init_decode_state(cfg, b)
+
+    def make_state():
+        return (init_encoder_state(cfg, b, dtype=jnp.bfloat16),
+                init_decode_state(cfg, b))
+
     feats = jnp.asarray(rng.standard_normal((b, frames, cfg.feat_in)).astype(np.float32))
     t0 = time.time()
-    mean_ms = _measure(step, (es, ds), feats, args.iters)
+    mean_ms = _measure(step, make_state, feats, args.iters)
     print(f"measure wall: {time.time()-t0:.1f}s (incl compile)", file=sys.stderr)
 
     p50 = mean_ms  # aggregate mean; see _measure docstring

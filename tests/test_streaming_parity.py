@@ -130,7 +130,9 @@ def test_state_contract_roundtrip(setup, rng):
     c = state_to_contract(state)
     assert c["cache_last_channel"].shape == (2, cfg.num_layers, cfg.att_cache_size, cfg.d_model)
     assert c["cache_last_time"].shape == (2, cfg.num_layers, cfg.d_model, cfg.conv_context_size)
-    rt = state_from_contract(c)
+    rt = state_from_contract(c, params)
     np.testing.assert_allclose(np.asarray(rt.att_cache), np.asarray(state.att_cache), atol=1e-6)
     np.testing.assert_allclose(np.asarray(rt.time_cache), np.asarray(state.time_cache), atol=1e-6)
+    # derived kv cache reconstructs exactly from the raw cache
+    np.testing.assert_allclose(np.asarray(rt.kv_cache), np.asarray(state.kv_cache), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(rt.cache_len), np.asarray(state.cache_len))

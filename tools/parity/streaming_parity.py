@@ -94,11 +94,11 @@ def main() -> int:
         ins, outs = rec["inputs"], rec["outputs"]
         if args.mode == "functional" or state is None:
             state = state_from_contract({
-                "cache_last_channel": jnp.asarray(ins["cache_last_channel"].transpose(0, 1, 2, 3), compute_dtype),
+                "cache_last_channel": jnp.asarray(ins["cache_last_channel"], compute_dtype),
                 "cache_last_time": jnp.asarray(ins["cache_last_time"], compute_dtype),
                 "cache_last_channel_len": jnp.asarray(
                     ins["cache_last_channel_len"].astype(np.int32)),
-            })
+            }, params)
         cache_drop = 0 if rec["is_last"] else cfg.cache_drop_size
         t0 = time.perf_counter()
         x = ins["audio_features"]

@@ -4,6 +4,7 @@ from trt_asr_tpu.models.parakeet.encoder import (  # noqa: F401
     encode,
     init_encoder_state,
     offline_encode,
+    precompute_pos_proj,
 )
 from trt_asr_tpu.models.parakeet.predictor import predictor_step, predictor_sequence  # noqa: F401
 from trt_asr_tpu.models.parakeet.joint import joint_apply, joint_single_step  # noqa: F401

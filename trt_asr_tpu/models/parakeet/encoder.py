@@ -42,24 +42,45 @@ import jax.numpy as jnp
 from jax import lax
 
 from trt_asr_tpu.config import ModelConfig
-from trt_asr_tpu.ops.attention import rel_pos_attention, sinusoidal_pos_table
-from trt_asr_tpu.ops.common import batch_norm_inference, glu, layer_norm, matmul, silu
+from trt_asr_tpu.ops.attention import rel_pos_attention_kv, sinusoidal_pos_table
+from trt_asr_tpu.ops.common import batch_norm_inference, einsum, glu, layer_norm, matmul, silu
 from trt_asr_tpu.ops.conv import depthwise_conv1d, dw_striding_subsample, subsampled_length
 
 
 class EncoderState(NamedTuple):
-    """Streaming caches. att_cache right-aligned along axis 2."""
+    """Streaming caches, stored as RING BUFFERS along the cache axis.
+
+    ``att_cache`` holds the contract's raw attention INPUTS (needed for
+    state export in the reference layout); ``kv_cache`` holds the PROJECTED
+    keys++values ([..., :D] = k, [..., D:] = v) so the hot path projects
+    only the Tq new positions per chunk (exact, since use_bias=false makes
+    k/v projections linear). kv_cache is derived state, reconstructable
+    from att_cache + params (state_from_contract).
+
+    Ring layout: ``cursor[b]`` is the next write slot; slot j holds the
+    entry of age ((cursor-1-j) mod C) + 1 encoder steps, valid while age <=
+    cache_len. Each chunk SCATTERS only its new entries instead of
+    rewriting the whole cache (at B=32 full size, the rewrite alone cost
+    ~2.4 GB of HBM traffic per chunk — the ring cuts cache update cost by
+    ~2 orders of magnitude and is the true functional analog of the
+    reference's zero-copy ping-pong swap, parakeet_trt.cpp:2741-2751).
+    Attention consumes the cache in ring order with per-slot relative
+    distances (see ops/attention.py rel_idx)."""
 
     att_cache: jnp.ndarray   # [L, B, C, D]
     time_cache: jnp.ndarray  # [L, B, K, D]
-    cache_len: jnp.ndarray   # [B] int32 — valid suffix length of att_cache
+    kv_cache: jnp.ndarray    # [L, B, C, 2D]
+    cache_len: jnp.ndarray   # [B] int32 — number of valid entries
+    cursor: jnp.ndarray      # [B] int32 — next ring write slot
 
 
 def init_encoder_state(cfg: ModelConfig, batch: int, dtype=jnp.float32) -> EncoderState:
     return EncoderState(
         att_cache=jnp.zeros((cfg.num_layers, batch, cfg.att_cache_size, cfg.d_model), dtype),
         time_cache=jnp.zeros((cfg.num_layers, batch, cfg.conv_context_size, cfg.d_model), dtype),
+        kv_cache=jnp.zeros((cfg.num_layers, batch, cfg.att_cache_size, 2 * cfg.d_model), dtype),
         cache_len=jnp.zeros((batch,), jnp.int32),
+        cursor=jnp.zeros((batch,), jnp.int32),
     )
 
 
@@ -70,8 +91,24 @@ def reset_encoder_state_rows(state: EncoderState, row_mask: jnp.ndarray) -> Enco
     return EncoderState(
         att_cache=jnp.where(m_b, 0.0, state.att_cache).astype(state.att_cache.dtype),
         time_cache=jnp.where(m_b, 0.0, state.time_cache).astype(state.time_cache.dtype),
+        kv_cache=jnp.where(m_b, 0.0, state.kv_cache).astype(state.kv_cache.dtype),
         cache_len=jnp.where(row_mask, 0, state.cache_len),
+        cursor=jnp.where(row_mask, 0, state.cursor),
     )
+
+
+def _ring_write(cache: jnp.ndarray, block: jnp.ndarray, cursor: jnp.ndarray,
+                appended: jnp.ndarray) -> jnp.ndarray:
+    """Scatter block[b, :appended[b]] into ring slots (cursor[b] + i) mod C.
+
+    cache [B, C, D], block [B, S, D]. Touches only the written slots; with
+    donated state buffers this is an in-place update."""
+    b, c, _ = cache.shape
+    s = block.shape[1]
+    pos = (cursor[:, None] + jnp.arange(s)[None, :]) % c               # [B, S]
+    pos = jnp.where(jnp.arange(s)[None, :] < appended[:, None], pos, c)  # -> drop
+    bidx = jnp.arange(b)[:, None]
+    return cache.at[bidx, pos].set(block.astype(cache.dtype), mode="drop")
 
 
 def _layer_params_slice(layers: Dict[str, jnp.ndarray]):
@@ -95,34 +132,49 @@ def _append_cache(cache: jnp.ndarray, block: jnp.ndarray, appended: jnp.ndarray)
 def _conformer_layer(
     lp: Dict[str, jnp.ndarray],
     x: jnp.ndarray,                 # [B, Tq, D]
-    att_cache: jnp.ndarray,         # [B, C, D] right-aligned
+    att_cache: jnp.ndarray,         # [B, C, D] ring-ordered raw inputs
     time_cache: jnp.ndarray,        # [B, K, D]
-    pos_table: jnp.ndarray,         # [Tq + C + Tq - 1, D]
+    kv_cache: jnp.ndarray,          # [B, C, 2D] ring-ordered projected k++v
+    pos_proj: jnp.ndarray,          # [Tq + C + Tq - 1, D] (pos_table @ W_pos)
     kv_mask: jnp.ndarray,           # [B, C + Tq] bool
+    rel_idx: jnp.ndarray,           # [B, Tq, C + Tq] pos-table indices
     time_mask: jnp.ndarray,         # [B, Tq] bool (valid current steps)
+    cursor: jnp.ndarray,            # [B] ring write position
     n_heads: int,
     cache_keep: int,                # Tq - cache_drop (static)
     appended: jnp.ndarray,          # [B] = min(sub_len, cache_keep), dynamic
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     b, tq, d = x.shape
     k = time_cache.shape[1]
+    dh = d // n_heads
+    c_size = att_cache.shape[1]
 
     # --- macaron FFN (1/2 residual) ---
     h = layer_norm(x, lp["ff1_ln_g"], lp["ff1_ln_b"])
     h = matmul(silu(matmul(h, lp["ff1_w1"])), lp["ff1_w2"])
     x = x + 0.5 * h
 
-    # --- rel-pos self-attention over [cache ++ current] ---
+    # --- rel-pos self-attention: project ONLY the Tq new positions; the
+    # cached history contributes pre-projected k/v in ring order ---
     u = layer_norm(x, lp["att_ln_g"], lp["att_ln_b"])
-    kv = jnp.concatenate([att_cache.astype(u.dtype), u], axis=1)
-    att_params = {
-        "wq": lp["att_wq"], "wk": lp["att_wk"], "wv": lp["att_wv"], "wo": lp["att_wo"],
-        "wpos": lp["att_wpos"], "pos_bias_u": lp["att_bias_u"], "pos_bias_v": lp["att_bias_v"],
-    }
-    y = rel_pos_attention(att_params, u, kv, pos_table, n_heads, kv_mask=kv_mask)
+    q = matmul(u, lp["att_wq"]).reshape(b, tq, n_heads, dh)
+    k_new = matmul(u, lp["att_wk"])                       # [B, Tq, D]
+    v_new = matmul(u, lp["att_wv"])
+    k_full = jnp.concatenate([kv_cache[..., :d].astype(u.dtype), k_new], axis=1)
+    v_full = jnp.concatenate([kv_cache[..., d:].astype(u.dtype), v_new], axis=1)
+    y = rel_pos_attention_kv(
+        q, k_full.reshape(b, c_size + tq, n_heads, dh),
+        v_full.reshape(b, c_size + tq, n_heads, dh),
+        pos_proj.reshape(-1, n_heads, dh),
+        lp["att_bias_u"], lp["att_bias_v"], lp["att_wo"],
+        kv_mask=kv_mask, rel_idx=rel_idx)
     x = x + y
-    new_att_cache = (_append_cache(att_cache, u[:, :cache_keep], appended)
-                     if att_cache.shape[1] else att_cache)
+    if c_size:
+        new_att_cache = _ring_write(att_cache, u[:, :cache_keep], cursor, appended)
+        kv_new = jnp.concatenate([k_new, v_new], axis=-1)[:, :cache_keep]
+        new_kv_cache = _ring_write(kv_cache, kv_new, cursor, appended)
+    else:
+        new_att_cache, new_kv_cache = att_cache, kv_cache
 
     # --- convolution module ---
     c = layer_norm(x, lp["conv_ln_g"], lp["conv_ln_b"])
@@ -143,7 +195,7 @@ def _conformer_layer(
     x = x + 0.5 * h
 
     x = layer_norm(x, lp["out_ln_g"], lp["out_ln_b"])
-    return x, new_att_cache, new_time_cache
+    return x, new_att_cache, new_time_cache, new_kv_cache
 
 
 def encode(
@@ -156,6 +208,7 @@ def encode(
     drop_extra: int = 0,           # static: pre-encoded steps to drop (0 | drop_extra_pre_encoded)
     cache_drop: int = 0,           # static: trailing lookahead steps kept out of caches
     compute_dtype=jnp.float32,
+    pos_proj: Optional[jnp.ndarray] = None,  # precomputed [L, R, D] (see precompute_pos_proj)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[EncoderState]]:
     """Returns (enc_out [B, Tq, D] in compute dtype, out_lengths [B], new_state).
 
@@ -177,41 +230,78 @@ def encode(
     if streaming:
         c_size = state.att_cache.shape[2]
         cache_len = state.cache_len
-        att_cache0, time_cache0 = state.att_cache, state.time_cache
+        cursor = state.cursor
+        att_cache0, time_cache0, kv_cache0 = (state.att_cache, state.time_cache,
+                                              state.kv_cache)
     else:
         c_size = 0
         cache_len = jnp.zeros((b,), jnp.int32)
+        cursor = jnp.zeros((b,), jnp.int32)
         att_cache0 = jnp.zeros((cfg.num_layers, b, 0, d), compute_dtype)
         time_cache0 = jnp.zeros((cfg.num_layers, b, cfg.conv_context_size, d), compute_dtype)
+        kv_cache0 = jnp.zeros((cfg.num_layers, b, 0, 2 * d), compute_dtype)
 
     cache_keep = max(tq - cache_drop, 0)
     appended = jnp.minimum(sub_len, cache_keep).astype(jnp.int32)
 
-    pos_table = sinusoidal_pos_table(tq, c_size + tq, d, dtype=compute_dtype)
+    if pos_proj is None:
+        # one einsum for all layers (input-independent; sessions may pass a
+        # precomputed table — see precompute_pos_proj)
+        pos_table = sinusoidal_pos_table(tq, c_size + tq, d, dtype=compute_dtype)
+        pos_proj = einsum("rd,lde->lre", pos_table,
+                          enc_p["layers"]["att_wpos"].astype(compute_dtype))
+
     time_mask = jnp.arange(tq)[None, :] < sub_len[:, None]               # [B, Tq]
-    cache_mask = jnp.arange(c_size)[None, :] >= (c_size - cache_len[:, None])
+    # ring-slot ages and relative-position indices (shared by all layers):
+    # slot j holds the entry age ((cursor-1-j) mod C) + 1; valid while
+    # age <= cache_len. pos-table index for distance dist is
+    # (C+Tq-1) - dist (table descending); cache dist = age + i, current
+    # dist = i - j'.
+    if c_size:
+        age = ((cursor[:, None] - 1 - jnp.arange(c_size)[None, :]) % c_size) + 1
+        cache_mask = age <= cache_len[:, None]
+        idx_cache = (c_size + tq - 1) - (age[:, None, :]
+                                         + jnp.arange(tq)[None, :, None])   # [B,Tq,C]
+    else:
+        cache_mask = jnp.zeros((b, 0), bool)
+        idx_cache = jnp.zeros((b, tq, 0), jnp.int32)
+    ii = jnp.arange(tq)[None, :, None]
+    jj = jnp.arange(tq)[None, None, :]
+    idx_cur = jnp.broadcast_to((c_size + tq - 1) - (ii - jj), (b, tq, tq))
+    rel_idx = jnp.concatenate([idx_cache.astype(jnp.int32), idx_cur], axis=2)
     kv_mask = jnp.concatenate([cache_mask, time_mask], axis=1)
 
     x = jnp.where(time_mask[:, :, None], x, 0)
 
     def body(carry, layer_in):
         xc = carry
-        lp, ac, tc = layer_in
-        y, new_ac, new_tc = _conformer_layer(
-            lp, xc, ac, tc, pos_table, kv_mask, time_mask,
+        lp, ac, tc, kvc, pp = layer_in
+        y, new_ac, new_tc, new_kvc = _conformer_layer(
+            lp, xc, ac, tc, kvc, pp, kv_mask, rel_idx, time_mask, cursor,
             cfg.n_heads, cache_keep, appended)
-        return y, (new_ac, new_tc)
+        return y, (new_ac, new_tc, new_kvc)
 
-    x, (new_att, new_time) = lax.scan(
-        body, x, (_layer_params_slice(enc_p["layers"]), att_cache0, time_cache0))
+    x, (new_att, new_time, new_kv) = lax.scan(
+        body, x, (_layer_params_slice(enc_p["layers"]), att_cache0, time_cache0,
+                  kv_cache0, pos_proj))
 
     out_len = jnp.minimum(sub_len, tq)
     new_state = None
     if streaming:
         out_len = jnp.minimum(out_len, cache_keep)
         new_cache_len = jnp.minimum(cache_len + appended, c_size).astype(jnp.int32)
-        new_state = EncoderState(new_att, new_time, new_cache_len)
+        new_cursor = ((cursor + appended) % max(c_size, 1)).astype(jnp.int32)
+        new_state = EncoderState(new_att, new_time, new_kv, new_cache_len, new_cursor)
     return x, out_len, new_state
+
+
+def precompute_pos_proj(params, cfg: ModelConfig, tq: int, c_size: int,
+                        compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Per-layer positional projections for a fixed chunk shape — compute
+    once per session instead of once per chunk. [L, Tq+C+Tq-1, D]."""
+    pos_table = sinusoidal_pos_table(tq, c_size + tq, cfg.d_model, dtype=compute_dtype)
+    return einsum("rd,lde->lre", pos_table,
+                  params["encoder"]["layers"]["att_wpos"].astype(compute_dtype))
 
 
 def offline_encode(params, cfg: ModelConfig, feats, lengths, compute_dtype=jnp.float32):
@@ -224,18 +314,19 @@ def offline_encode(params, cfg: ModelConfig, feats, lengths, compute_dtype=jnp.f
 
 
 def state_to_contract(state: EncoderState) -> Dict[str, jnp.ndarray]:
-    """Internal right-aligned [L,B,C,D] -> contract batch-first layouts:
-    cache_last_channel [B, L, C, D] (valid prefix), cache_last_time
-    [B, L, D, K], cache_last_channel_len [B]."""
+    """Internal ring-ordered [L,B,C,D] -> contract batch-first layouts:
+    cache_last_channel [B, L, C, D] (chronological valid prefix),
+    cache_last_time [B, L, D, K], cache_last_channel_len [B]."""
     l, b, c, d = state.att_cache.shape
-    # roll each batch row left by (C - len) so valid entries form a prefix
-    shift = (c - state.cache_len).astype(jnp.int32)            # [B]
-    idx = (jnp.arange(c)[None, :] + shift[:, None]) % max(c, 1)  # [B, C]
-    att = jnp.transpose(state.att_cache, (1, 0, 2, 3))          # [B, L, C, D]
+    # chronological order: oldest valid entry sits at ring slot
+    # (cursor - cache_len) mod C
+    start = (state.cursor - state.cache_len) % max(c, 1)         # [B]
+    idx = (start[:, None] + jnp.arange(c)[None, :]) % max(c, 1)  # [B, C]
+    att = jnp.transpose(state.att_cache, (1, 0, 2, 3))           # [B, L, C, D]
     att = jnp.take_along_axis(att, idx[:, None, :, None], axis=2)
     valid = jnp.arange(c)[None, None, :, None] < state.cache_len[:, None, None, None]
     att = jnp.where(valid, att, 0)
-    time = jnp.transpose(state.time_cache, (1, 0, 3, 2))        # [B, L, D, K]
+    time = jnp.transpose(state.time_cache, (1, 0, 3, 2))         # [B, L, D, K]
     return {
         "cache_last_channel": att,
         "cache_last_time": time,
@@ -243,14 +334,27 @@ def state_to_contract(state: EncoderState) -> Dict[str, jnp.ndarray]:
     }
 
 
-def state_from_contract(d: Dict[str, jnp.ndarray]) -> EncoderState:
+def state_from_contract(d: Dict[str, jnp.ndarray], params=None) -> EncoderState:
+    """Contract layout -> internal state. The projected kv_cache is derived
+    state: when ``params`` is given it is reconstructed exactly
+    (kv = raw_cache @ [W_k ++ W_v], linear because use_bias=false);
+    without params it is zeroed and the state is NOT usable for further
+    streaming steps."""
     att = jnp.transpose(d["cache_last_channel"], (1, 0, 2, 3))  # [L, B, C, D]
     c = att.shape[2]
     cache_len = d["cache_last_channel_len"].astype(jnp.int32)
-    shift = (c - cache_len).astype(jnp.int32)
-    idx = (jnp.arange(c)[None, :] - shift[:, None]) % max(c, 1)
-    att = jnp.take_along_axis(att, idx[None, :, :, None], axis=2)
-    valid = jnp.arange(c)[None, None, :, None] >= (c - cache_len)[None, :, None, None]
+    # chronological prefix maps directly onto ring slots [0, len) with
+    # cursor = len mod C (slot j then has age len - j, as required)
+    valid = (jnp.arange(c)[None, None, :, None]
+             < cache_len[None, :, None, None])
     att = jnp.where(valid, att, 0)
     time = jnp.transpose(d["cache_last_time"], (1, 0, 3, 2))
-    return EncoderState(att, time, cache_len)
+    if params is not None:
+        layers = params["encoder"]["layers"]
+        wk = layers["att_wk"].astype(att.dtype)
+        wv = layers["att_wv"].astype(att.dtype)
+        kv = jnp.concatenate([einsum("lbcd,lde->lbce", att, wk),
+                              einsum("lbcd,lde->lbce", att, wv)], axis=-1)
+    else:
+        kv = jnp.zeros(att.shape[:-1] + (2 * att.shape[-1],), att.dtype)
+    return EncoderState(att, time, kv, cache_len, cache_len % max(c, 1))

@@ -4,19 +4,21 @@ Replaces the reference's TRT-compiled NeMo ``RelPositionMultiHeadAttention``
 (behavioral contract: encoder.self_attention_model == "rel_pos",
 untie_biases, per contracts/parakeet-tdt-0.6b-v3.json).
 
-TPU-first design note: the streaming KV cache is stored RIGHT-ALIGNED
-(newest entry at the last slot, zeros/invalid on the left). With the cache
-right-aligned, key slot j always sits at global offset j and queries at
-offset C+i, so the relative-distance index matrix
+TPU-first design notes:
 
-    idx[i, j] = Tq - 1 - i + j
-
-is STATIC — independent of the dynamic fill level. One implementation and
-one compiled program covers offline (C=0) and every streaming step; the
-dynamic fill only enters through the boolean kv mask. Cache update is a
-static-shape ``concat(cache, new)[:, -C:]`` — the functional equivalent of
-the reference's zero-copy cache ping-pong pointer swap
-(cpp/src/parakeet_trt.cpp:2741-2751).
+- The streaming KV cache is stored RIGHT-ALIGNED (newest entry at the last
+  slot). With the cache right-aligned, key slot j sits at global offset j
+  and queries at offset C+i, so the relative-distance index matrix
+  ``idx[i, j] = Tq - 1 - i + j`` is STATIC — independent of the dynamic
+  fill. One compiled program covers offline (C=0) and every streaming step;
+  the fill level enters only through the boolean kv mask.
+- The hot path caches PROJECTED k/v (``rel_pos_attention_kv``): per chunk
+  only the Tq new positions go through the k/v projections instead of
+  re-projecting all C+Tq cached positions (the contract's raw-input cache
+  is maintained alongside for state export — see encoder.py). With
+  use_bias=false the k/v projections are linear, so caching them is exact.
+- The positional projection (pos_table @ W_pos) is input-independent; the
+  session precomputes it once per (layer, shape) instead of per chunk.
 """
 
 from __future__ import annotations
@@ -52,36 +54,64 @@ def _rel_index_matrix(tq: int, tkv: int) -> np.ndarray:
     return (tq - 1 - i + j).astype(np.int32)
 
 
+def rel_pos_attention_kv(
+    q: jnp.ndarray,              # [B, Tq, H, dh] (projected)
+    k: jnp.ndarray,              # [B, Tkv, H, dh] (projected, cache ++ new)
+    v: jnp.ndarray,              # [B, Tkv, H, dh]
+    pos_proj: jnp.ndarray,       # [Tq+Tkv-1, H, dh] (pos_table @ W_pos)
+    pos_bias_u: jnp.ndarray,     # [H, dh]
+    pos_bias_v: jnp.ndarray,     # [H, dh]
+    wo: jnp.ndarray,             # [D, D]
+    kv_mask: Optional[jnp.ndarray] = None,  # [B, Tkv] bool, True = attend
+    rel_idx: Optional[jnp.ndarray] = None,  # [B, Tq, Tkv] pos-table indices
+                                            # (ring-ordered caches); default
+                                            # static right-aligned formula
+) -> jnp.ndarray:
+    """Attention core on pre-projected q/k/v. Returns [B, Tq, D].
+
+    kv position order is arbitrary as long as ``rel_idx`` gives each
+    (query, slot) pair the right relative-distance table index and
+    ``kv_mask`` excludes invalid slots — attention is permutation-invariant
+    over kv given those. This is what lets the ring-buffered cache feed in
+    ring order with no reordering gathers."""
+    b, tq, h, dh = q.shape
+    tkv = k.shape[1]
+
+    q_u = q + pos_bias_u.astype(q.dtype)[None, None]
+    q_v = q + pos_bias_v.astype(q.dtype)[None, None]
+
+    ac = einsum("bthd,bshd->bhts", q_u, k)                       # [B,H,Tq,Tkv]
+    pd = einsum("bthd,rhd->bhtr", q_v, pos_proj.astype(q.dtype))  # [B,H,Tq,R]
+    if rel_idx is None:
+        idx = jnp.asarray(_rel_index_matrix(tq, tkv))[None, None]
+    else:
+        idx = rel_idx[:, None]
+    bd = jnp.take_along_axis(pd, idx.astype(jnp.int32), axis=-1)
+
+    scores = (ac + bd).astype(jnp.float32) / math.sqrt(dh)
+    if kv_mask is not None:
+        scores = jnp.where(kv_mask[:, None, None, :], scores, jnp.float32(-1e30))
+    att = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+
+    out = einsum("bhts,bshd->bthd", att, v).reshape(b, tq, h * dh)
+    return matmul(out, wo)
+
+
 def rel_pos_attention(
     params: Dict[str, jnp.ndarray],
     q_in: jnp.ndarray,          # [B, Tq, D]
     kv_in: jnp.ndarray,         # [B, Tkv, D] (right-aligned cache ++ current)
     pos_table: jnp.ndarray,     # [Tq+Tkv-1, D]
     n_heads: int,
-    kv_mask: Optional[jnp.ndarray] = None,  # [B, Tkv] bool, True = attend
+    kv_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Returns [B, Tq, D]."""
+    """Unprojected-input convenience form (projects q/k/v/pos inside)."""
     b, tq, d = q_in.shape
     tkv = kv_in.shape[1]
     dh = d // n_heads
-
     q = matmul(q_in, params["wq"]).reshape(b, tq, n_heads, dh)
     k = matmul(kv_in, params["wk"]).reshape(b, tkv, n_heads, dh)
     v = matmul(kv_in, params["wv"]).reshape(b, tkv, n_heads, dh)
     p = matmul(pos_table.astype(q_in.dtype), params["wpos"]).reshape(-1, n_heads, dh)
-
-    q_u = q + params["pos_bias_u"].astype(q.dtype)[None, None]
-    q_v = q + params["pos_bias_v"].astype(q.dtype)[None, None]
-
-    ac = einsum("bthd,bshd->bhts", q_u, k)                      # [B,H,Tq,Tkv]
-    pd = einsum("bthd,rhd->bhtr", q_v, p)                        # [B,H,Tq,R]
-    idx = jnp.asarray(_rel_index_matrix(tq, tkv))
-    bd = jnp.take_along_axis(pd, idx[None, None].astype(jnp.int32), axis=-1)
-
-    scores = (ac + bd).astype(jnp.float32) / math.sqrt(dh)
-    if kv_mask is not None:
-        scores = jnp.where(kv_mask[:, None, None, :], scores, jnp.float32(-1e30))
-    att = jax.nn.softmax(scores, axis=-1).astype(q_in.dtype)
-
-    out = einsum("bhts,bshd->bthd", att, v).reshape(b, tq, d)
-    return matmul(out, params["wo"])
+    return rel_pos_attention_kv(q, k, v, p, params["pos_bias_u"],
+                                params["pos_bias_v"], params["wo"], kv_mask)

@@ -115,7 +115,9 @@ def encoder_state_shardings(mesh: Mesh):
     return EncoderState(
         att_cache=ns(None, "dp", None, None),
         time_cache=ns(None, "dp", None, None),
+        kv_cache=ns(None, "dp", None, None),
         cache_len=ns("dp"),
+        cursor=ns("dp"),
     )
 
 

@@ -39,11 +39,14 @@ from trt_asr_tpu.streaming.session import Event, EventType
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "drop_extra", "cache_drop",
-                                             "max_tokens"))
+                                             "max_tokens"),
+                   donate_argnames=("enc_state", "dec_state"))
 def _batch_step(params, cfg: ModelConfig, feats, valid, enc_state, dec_state,
-                emitted_so_far, *, drop_extra: int, cache_drop: int, max_tokens: int):
+                emitted_so_far, *, drop_extra: int, cache_drop: int, max_tokens: int,
+                pos_proj=None):
     enc, out_len, enc_state = encode(params, cfg, feats, valid, enc_state,
-                                     drop_extra=drop_extra, cache_drop=cache_drop)
+                                     drop_extra=drop_extra, cache_drop=cache_drop,
+                                     pos_proj=pos_proj)
     toks, n, dec_state = tdt_greedy_decode_batch(
         params, cfg, enc, out_len.astype(jnp.int32), dec_state,
         max_tokens=max_tokens, emitted_so_far=emitted_so_far)
@@ -59,6 +62,12 @@ class BatchStreamingEngine:
         self.b = batch_size
         cfg = self.cfg
         self._frames = cfg.chunk_size_frames[1] + cfg.pre_encode_cache_size[1]
+        from trt_asr_tpu.models.parakeet.encoder import precompute_pos_proj
+        from trt_asr_tpu.ops.conv import subsampled_length
+
+        tq = int(subsampled_length(np.asarray(self._frames), cfg.stride_stages)) \
+            - cfg.drop_extra_pre_encoded
+        self._pos_proj = precompute_pos_proj(model.params, cfg, tq, cfg.att_cache_size)
         self._enc_state = init_encoder_state(cfg, batch_size)
         self._dec_state = prime_decode_state(
             model.params, cfg, init_decode_state(cfg, batch_size), model.prompt_ids)
@@ -166,7 +175,7 @@ class BatchStreamingEngine:
             self.model.params, cfg, jnp.asarray(feats), jnp.asarray(valid),
             self._enc_state, self._dec_state, emitted,
             drop_extra=cfg.drop_extra_pre_encoded, cache_drop=cfg.cache_drop_size,
-            max_tokens=max_tokens)
+            max_tokens=max_tokens, pos_proj=self._pos_proj)
         toks, n = np.asarray(toks), np.asarray(n)
         self.step_latencies_ms.append((time.perf_counter() - t0) * 1e3)
 
@@ -189,7 +198,9 @@ class BatchStreamingEngine:
         x = extract_chunk(self._bufs[sid], spec)[None]
         row_enc = EncoderState(self._enc_state.att_cache[:, sid:sid+1],
                                self._enc_state.time_cache[:, sid:sid+1],
-                               self._enc_state.cache_len[sid:sid+1])
+                               self._enc_state.kv_cache[:, sid:sid+1],
+                               self._enc_state.cache_len[sid:sid+1],
+                               self._enc_state.cursor[sid:sid+1])
         enc, out_len, _ = encode(self.model.params, self.cfg, x,
                                  np.array([spec.valid_frames], np.int32), row_enc,
                                  drop_extra=spec.drop_extra, cache_drop=0)

@@ -81,6 +81,16 @@ class StreamingSession:
         self._segment = 0
         self._chunk_latencies_ms: List[float] = []
         self._taps = maybe_tap_run(self.rt)
+        # positional projections are input-independent for the (fixed)
+        # streaming chunk shape — computed once per session, not per chunk
+        from trt_asr_tpu.models.parakeet.encoder import precompute_pos_proj
+        from trt_asr_tpu.ops.conv import subsampled_length
+
+        frames = self.cfg.chunk_size_frames[1] + self.cfg.pre_encode_cache_size[1]
+        tq = int(subsampled_length(np.asarray(frames), self.cfg.stride_stages)) \
+            - self.cfg.drop_extra_pre_encoded  # 57 frames -> 8 steps - 2 = 6
+        self._pos_proj = precompute_pos_proj(model.params, self.cfg, tq,
+                                             self.cfg.att_cache_size)
         self.reset_utterance()
 
     # -- lifecycle ------------------------------------------------------
@@ -194,6 +204,14 @@ class StreamingSession:
         if rt.disable_cache:
             self._enc_state = init_encoder_state(cfg, 1)
 
+        # pos_proj is shape-specific: only pass it when this chunk's
+        # post-drop step count matches the steady profile
+        tq_chunk = spec.frames
+        for _ in range(cfg.stride_stages):
+            tq_chunk = (tq_chunk - 1) // 2 + 1
+        tq_chunk -= spec.drop_extra
+        pos_proj = self._pos_proj if tq_chunk * 2 - 1 + cfg.att_cache_size == self._pos_proj.shape[1] else None
+
         t0 = time.perf_counter()
         toks, n, self._enc_state, self._dec_state = _session_step(
             self.model.params, cfg, x[None], np.int32(valid),
@@ -202,7 +220,7 @@ class StreamingSession:
             blank_penalty=rt.blank_penalty,
             emitted_so_far=np.int32(len(self._tokens)),
             punct_mask=jnp.asarray(self.model.punct_mask) if rt.suppress_leading_punct else None,
-            use_punct_mask=rt.suppress_leading_punct)
+            use_punct_mask=rt.suppress_leading_punct, pos_proj=pos_proj)
         n = int(n)
         new = [int(t) for t in np.asarray(toks)[:n]]
         ms = (time.perf_counter() - t0) * 1e3
@@ -237,14 +255,16 @@ class StreamingSession:
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "drop_extra", "cache_drop", "blank_penalty", "use_punct_mask"),
+    donate_argnames=("enc_state", "dec_state"),
 )
 def _session_step(params, cfg: ModelConfig, feats, valid, enc_state: EncoderState,
                   dec_state: DecodeState, *, drop_extra: int, cache_drop: int,
-                  blank_penalty: float, emitted_so_far, punct_mask, use_punct_mask: bool):
+                  blank_penalty: float, emitted_so_far, punct_mask, use_punct_mask: bool,
+                  pos_proj=None):
     """One fused device program: streaming encoder step + TDT decode loop."""
     enc, out_len, enc_state = encode(
         params, cfg, feats, valid[None] if valid.ndim == 0 else valid,
-        enc_state, drop_extra=drop_extra, cache_drop=cache_drop)
+        enc_state, drop_extra=drop_extra, cache_drop=cache_drop, pos_proj=pos_proj)
     tq = enc.shape[1]
     toks, n, dec_state = tdt_greedy_decode_chunk(
         params, cfg, enc[0], out_len[0].astype(jnp.int32), dec_state,
