@@ -65,6 +65,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="disable the fused Pallas joint decode step")
     args = ap.parse_args()
 
     import jax
@@ -95,7 +97,8 @@ def main() -> int:
             toks, n, es, ds = _batch_step(
                 params, cfg, f, valid, es, ds, emitted,
                 drop_extra=cfg.drop_extra_pre_encoded,
-                cache_drop=cfg.cache_drop_size, max_tokens=max_tokens)
+                cache_drop=cfg.cache_drop_size, max_tokens=max_tokens,
+                use_pallas_joint=not args.no_pallas)
             return toks, n, es, ds
 
         return step

@@ -31,7 +31,8 @@ from trt_asr_tpu.models.parakeet.predictor import predictor_step
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_tokens", "max_symbols", "use_punct_mask", "blank_penalty"),
+    static_argnames=("cfg", "max_tokens", "max_symbols", "use_punct_mask",
+                     "blank_penalty", "use_pallas_joint", "pallas_interpret"),
 )
 def tdt_greedy_decode_batch(
     params: Dict[str, Any],
@@ -46,6 +47,8 @@ def tdt_greedy_decode_batch(
     emitted_so_far: Optional[jnp.ndarray] = None,   # [B]
     punct_mask: Optional[jnp.ndarray] = None,
     use_punct_mask: bool = False,
+    use_pallas_joint: bool = False,
+    pallas_interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, DecodeState]:
     """Returns (tokens [B, max_tokens] (-1 padded), n [B], new_state)."""
     b = enc.shape[0]
@@ -58,6 +61,11 @@ def tdt_greedy_decode_batch(
 
     enc_proj = joint_project_enc(params["joint"], enc)            # [B, T, J]
     bi = jnp.arange(b)
+    if use_pallas_joint:
+        from trt_asr_tpu.ops.pallas.joint_step_kernel import (
+            joint_step_pallas_prepadded, pad_joint_weights)
+
+        padded_w = pad_joint_weights(params["joint"])
 
     def cond(carry):
         time_idx = carry[0]
@@ -69,18 +77,25 @@ def tdt_greedy_decode_batch(
 
         t_c = jnp.clip(time_idx, 0, enc_proj.shape[1] - 1)
         e_t = jnp.take_along_axis(enc_proj, t_c[:, None, None], axis=1)[:, 0]  # [B, J]
-        logits = joint_from_projected(params["joint"], e_t, dstate.g)          # [B, V]
 
-        tok_logits = logits[:, :ths]
-        if blank_penalty:
-            tok_logits = tok_logits.at[:, blank].add(-blank_penalty)
-        dur_logits = logits[:, ths : ths + cfg.num_duration_bins]
+        if use_pallas_joint:
+            best_tok, dur_sel, _ = joint_step_pallas_prepadded(
+                e_t, dstate.g, *padded_w, ths=ths, ndur=cfg.num_duration_bins,
+                blank_id=blank, blank_penalty=blank_penalty,
+                interpret=pallas_interpret)
+        else:
+            logits = joint_from_projected(params["joint"], e_t, dstate.g)     # [B, V]
+            tok_logits = logits[:, :ths]
+            if blank_penalty:
+                tok_logits = tok_logits.at[:, blank].add(-blank_penalty)
+            dur_logits = logits[:, ths : ths + cfg.num_duration_bins]
+            best_tok = jnp.argmax(tok_logits, axis=-1).astype(jnp.int32)
+            dur_sel = jnp.argmax(dur_logits, axis=-1)
 
-        best_tok = jnp.argmax(tok_logits, axis=-1).astype(jnp.int32)
         if use_punct_mask and punct_mask is not None:
             suppress = ((emitted_so_far + n) == 0) & punct_mask[best_tok]
             best_tok = jnp.where(suppress, blank, best_tok)
-        duration = dur_values[jnp.argmax(dur_logits, axis=-1)]
+        duration = dur_values[dur_sel]
         is_blank = best_tok == blank
         advance = jnp.where(is_blank & (duration == 0), 1, duration)
         hit_cap = u_count >= (max_symbols - 1)

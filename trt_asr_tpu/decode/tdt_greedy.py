@@ -73,7 +73,8 @@ def prime_decode_state(params: Dict[str, Any], cfg: ModelConfig, state: DecodeSt
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_tokens", "max_symbols", "use_punct_mask", "blank_penalty"),
+    static_argnames=("cfg", "max_tokens", "max_symbols", "use_punct_mask",
+                     "blank_penalty", "use_pallas_joint", "pallas_interpret"),
 )
 def tdt_greedy_decode_chunk(
     params: Dict[str, Any],
@@ -88,10 +89,15 @@ def tdt_greedy_decode_chunk(
     emitted_so_far: jnp.ndarray = None,
     punct_mask: Optional[jnp.ndarray] = None,   # [V+1] bool
     use_punct_mask: bool = False,
+    use_pallas_joint: bool = False,
+    pallas_interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, DecodeState]:
     """Decode one chunk on device.
 
     Returns (tokens [max_tokens] int32 (-1 padded), n_emitted, new_state).
+    use_pallas_joint fuses the per-step joint work (pred proj + relu + out
+    proj + dual argmax) into one Pallas kernel (~3x fewer per-iteration ops
+    — ops/pallas/joint_step_kernel.py).
     """
     max_symbols = max_symbols or cfg.max_symbols_per_timestep
     blank = cfg.blank_id
@@ -101,6 +107,11 @@ def tdt_greedy_decode_chunk(
         emitted_so_far = jnp.zeros((), jnp.int32)
 
     enc_proj = joint_project_enc(params["joint"], enc[None])[0]   # [T, J]
+    if use_pallas_joint:
+        from trt_asr_tpu.ops.pallas.joint_step_kernel import (
+            joint_step_pallas_prepadded, pad_joint_weights)
+
+        padded_w = pad_joint_weights(params["joint"])   # once, outside the loop
 
     def cond(carry):
         return carry[0] < t_enc
@@ -108,18 +119,27 @@ def tdt_greedy_decode_chunk(
     def body(carry):
         time_idx, u_count, dstate, tokens, n = carry
         e_t = lax.dynamic_slice_in_dim(enc_proj, time_idx, 1, axis=0)  # [1, J]
-        logits = joint_from_projected(params["joint"], e_t, dstate.g)[0]  # [V_joint]
 
-        tok_logits = logits[:ths]
-        if blank_penalty:
-            tok_logits = tok_logits.at[blank].add(-blank_penalty)
-        dur_logits = lax.dynamic_slice_in_dim(logits, ths, cfg.num_duration_bins)
+        if use_pallas_joint:
+            toks_b, durs_b, _ = joint_step_pallas_prepadded(
+                e_t, dstate.g, *padded_w, ths=ths, ndur=cfg.num_duration_bins,
+                blank_id=blank, blank_penalty=blank_penalty,
+                interpret=pallas_interpret)
+            best_tok = toks_b[0]
+            dur_sel = durs_b[0]
+        else:
+            logits = joint_from_projected(params["joint"], e_t, dstate.g)[0]
+            tok_logits = logits[:ths]
+            if blank_penalty:
+                tok_logits = tok_logits.at[blank].add(-blank_penalty)
+            dur_logits = lax.dynamic_slice_in_dim(logits, ths, cfg.num_duration_bins)
+            best_tok = jnp.argmax(tok_logits).astype(jnp.int32)
+            dur_sel = jnp.argmax(dur_logits)
 
-        best_tok = jnp.argmax(tok_logits).astype(jnp.int32)
         if use_punct_mask and punct_mask is not None:
             suppress = (emitted_so_far + n == 0) & punct_mask[best_tok]
             best_tok = jnp.where(suppress, blank, best_tok)
-        duration = dur_values[jnp.argmax(dur_logits)]
+        duration = dur_values[dur_sel]
         is_blank = best_tok == blank
         advance = jnp.where(is_blank & (duration == 0), 1, duration)
 

@@ -39,17 +39,18 @@ from trt_asr_tpu.streaming.session import Event, EventType
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "drop_extra", "cache_drop",
-                                             "max_tokens"),
+                                             "max_tokens", "use_pallas_joint"),
                    donate_argnames=("enc_state", "dec_state"))
 def _batch_step(params, cfg: ModelConfig, feats, valid, enc_state, dec_state,
                 emitted_so_far, *, drop_extra: int, cache_drop: int, max_tokens: int,
-                pos_proj=None):
+                pos_proj=None, use_pallas_joint: bool = False):
     enc, out_len, enc_state = encode(params, cfg, feats, valid, enc_state,
                                      drop_extra=drop_extra, cache_drop=cache_drop,
                                      pos_proj=pos_proj)
     toks, n, dec_state = tdt_greedy_decode_batch(
         params, cfg, enc, out_len.astype(jnp.int32), dec_state,
-        max_tokens=max_tokens, emitted_so_far=emitted_so_far)
+        max_tokens=max_tokens, emitted_so_far=emitted_so_far,
+        use_pallas_joint=use_pallas_joint)
     return toks, n, enc_state, dec_state
 
 
@@ -175,7 +176,8 @@ class BatchStreamingEngine:
             self.model.params, cfg, jnp.asarray(feats), jnp.asarray(valid),
             self._enc_state, self._dec_state, emitted,
             drop_extra=cfg.drop_extra_pre_encoded, cache_drop=cfg.cache_drop_size,
-            max_tokens=max_tokens, pos_proj=self._pos_proj)
+            max_tokens=max_tokens, pos_proj=self._pos_proj,
+            use_pallas_joint=self.rt.use_pallas_joint)
         toks, n = np.asarray(toks), np.asarray(n)
         self.step_latencies_ms.append((time.perf_counter() - t0) * 1e3)
 

@@ -220,7 +220,8 @@ class StreamingSession:
             blank_penalty=rt.blank_penalty,
             emitted_so_far=np.int32(len(self._tokens)),
             punct_mask=jnp.asarray(self.model.punct_mask) if rt.suppress_leading_punct else None,
-            use_punct_mask=rt.suppress_leading_punct, pos_proj=pos_proj)
+            use_punct_mask=rt.suppress_leading_punct, pos_proj=pos_proj,
+            use_pallas_joint=rt.use_pallas_joint)
         n = int(n)
         new = [int(t) for t in np.asarray(toks)[:n]]
         ms = (time.perf_counter() - t0) * 1e3
@@ -254,13 +255,14 @@ class StreamingSession:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "drop_extra", "cache_drop", "blank_penalty", "use_punct_mask"),
+    static_argnames=("cfg", "drop_extra", "cache_drop", "blank_penalty",
+                     "use_punct_mask", "use_pallas_joint"),
     donate_argnames=("enc_state", "dec_state"),
 )
 def _session_step(params, cfg: ModelConfig, feats, valid, enc_state: EncoderState,
                   dec_state: DecodeState, *, drop_extra: int, cache_drop: int,
                   blank_penalty: float, emitted_so_far, punct_mask, use_punct_mask: bool,
-                  pos_proj=None):
+                  pos_proj=None, use_pallas_joint: bool = False):
     """One fused device program: streaming encoder step + TDT decode loop."""
     enc, out_len, enc_state = encode(
         params, cfg, feats, valid[None] if valid.ndim == 0 else valid,
@@ -270,5 +272,6 @@ def _session_step(params, cfg: ModelConfig, feats, valid, enc_state: EncoderStat
         params, cfg, enc[0], out_len[0].astype(jnp.int32), dec_state,
         max_tokens=cfg.max_symbols_per_timestep * tq,
         blank_penalty=blank_penalty, emitted_so_far=emitted_so_far,
-        punct_mask=punct_mask, use_punct_mask=use_punct_mask)
+        punct_mask=punct_mask, use_punct_mask=use_punct_mask,
+        use_pallas_joint=use_pallas_joint)
     return toks, n, enc_state, dec_state
