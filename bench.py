@@ -67,6 +67,8 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--no-pallas", action="store_true",
                     help="disable the fused Pallas joint decode step")
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
+                    help="encoder weights/compute dtype (f32 = accuracy mode)")
     args = ap.parse_args()
 
     import jax
@@ -80,9 +82,13 @@ def main() -> int:
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     cfg = ModelConfig()
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     t0 = time.time()
-    params = jax.device_put(cast_params_for_compute(init_params(cfg, seed=0), jnp.bfloat16))
-    print(f"params init+put: {time.time()-t0:.1f}s", file=sys.stderr)
+    params = init_params(cfg, seed=0)
+    if args.dtype == "bf16":
+        params = cast_params_for_compute(params, jnp.bfloat16)
+    params = jax.device_put(params)
+    print(f"params init+put: {time.time()-t0:.1f}s ({args.dtype})", file=sys.stderr)
 
     frames = cfg.chunk_size_frames[1] + cfg.pre_encode_cache_size[1]   # 57
     chunk_audio_ms = cfg.shift_size_frames[1] * 10.0                    # 240
@@ -107,7 +113,7 @@ def main() -> int:
     step = make_step(b)
 
     def make_state():
-        return (init_encoder_state(cfg, b, dtype=jnp.bfloat16),
+        return (init_encoder_state(cfg, b, dtype=dtype),
                 init_decode_state(cfg, b))
 
     feats = jnp.asarray(rng.standard_normal((b, frames, cfg.feat_in)).astype(np.float32))
