@@ -10,20 +10,31 @@ accumulation via ``preferred_element_type``.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
+# f32 matmul pass count on the MXU: HIGHEST = 6-pass (full f32-equivalent),
+# HIGH = 3-pass (~1e-5 class), DEFAULT = 1-pass bf16 (the TF32-analog trap).
+# Env knob TRT_ASR_F32_PRECISION in {highest, high, default}; read once.
+_F32_PRECISION = {
+    "highest": lax.Precision.HIGHEST,
+    "high": lax.Precision.HIGH,
+    "default": lax.Precision.DEFAULT,
+}[os.environ.get("TRT_ASR_F32_PRECISION", "highest").lower()]
+
 
 def matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """a @ b with f32 accumulation and dtype-aware precision."""
-    prec = lax.Precision.HIGHEST if a.dtype == jnp.float32 else None
+    prec = _F32_PRECISION if a.dtype == jnp.float32 else None
     out = jnp.matmul(a, b, precision=prec, preferred_element_type=jnp.float32)
     return out.astype(a.dtype) if a.dtype == jnp.bfloat16 else out
 
 
 def einsum(spec: str, *args: jnp.ndarray) -> jnp.ndarray:
-    prec = lax.Precision.HIGHEST if args[0].dtype == jnp.float32 else None
+    prec = _F32_PRECISION if args[0].dtype == jnp.float32 else None
     out = jnp.einsum(spec, *args, precision=prec, preferred_element_type=jnp.float32)
     return out.astype(args[0].dtype) if args[0].dtype == jnp.bfloat16 else out
 
