@@ -46,6 +46,43 @@ def test_full_size_streaming_chunk_and_decode(full):
     assert np.isfinite(att).all()
 
 
+def test_full_size_streaming_oracle_parity(full):
+    """Two full-size streaming chunks closed-loop vs the torch oracle."""
+    import numpy as np
+
+    from oracle.torch_parakeet import TorchParakeet
+    from trt_asr_tpu.models.parakeet import encode, init_encoder_state
+    from trt_asr_tpu.streaming import build_schedule
+
+    cfg, params = full
+    oracle = TorchParakeet(cfg, params)
+    rng = np.random.default_rng(2)
+    total = 72  # chunk 0 (41f) + chunk 1 (57f window)
+    feats = (0.5 * rng.standard_normal((total, cfg.feat_in))).astype(np.float32)
+    sched = [s for s in build_schedule(total, cfg)][:2]
+
+    state = init_encoder_state(cfg, 1)
+    lc = np.zeros((1, cfg.num_layers, cfg.att_cache_size, cfg.d_model), np.float32)
+    lt = np.zeros((1, cfg.num_layers, cfg.d_model, cfg.conv_context_size), np.float32)
+    cache_len = 0
+    for spec in sched:
+        x = feats[max(spec.slice_start, 0):spec.slice_end]
+        valid = x.shape[0]
+        if x.shape[0] < spec.frames:
+            x = np.pad(x, ((0, spec.frames - x.shape[0]), (0, 0)))
+        enc_j, len_j, state = encode(params, cfg, x[None],
+                                     np.array([valid], np.int32), state,
+                                     drop_extra=spec.drop_extra,
+                                     cache_drop=cfg.cache_drop_size)
+        enc_t, len_t, lc, lt, cache_len = oracle.streaming_step(
+            x[None], valid, lc, lt, cache_len, spec.drop_extra)
+        v = int(len_t)
+        assert int(np.asarray(len_j)[0]) == v
+        np.testing.assert_allclose(np.asarray(enc_j)[0, :v], enc_t[0],
+                                   atol=2e-4, rtol=1e-4,
+                                   err_msg=f"full-size chunk {spec.idx}")
+
+
 def test_full_size_component_oracle_parity(full):
     """One full-size chunk vs the torch oracle at contract tolerance."""
     from oracle.torch_parakeet import TorchParakeet
