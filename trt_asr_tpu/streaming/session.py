@@ -114,6 +114,52 @@ class StreamingSession:
     def set_debug_context(self, ctx: str) -> None:
         self._debug_ctx = ctx
 
+    # -- snapshot / restore (stream migration) ---------------------------
+
+    def snapshot(self) -> dict:
+        """Serialize the complete per-stream state (SURVEY §5: the state a
+        multi-stream server must snapshot per stream — encoder caches in
+        contract layout, predictor h/c/g, y_id, tokens, decode time carry,
+        scheduler progress). Restorable in another process via restore()."""
+        from trt_asr_tpu.models.parakeet.encoder import state_to_contract
+
+        enc = {k: np.asarray(v) for k, v in state_to_contract(self._enc_state).items()}
+        d = self._dec_state
+        return {
+            "encoder": enc,
+            "decoder": {"g": np.asarray(d.g), "h": np.asarray(d.h),
+                        "c": np.asarray(d.c), "y_id": np.asarray(d.y_id),
+                        "time_carry": np.asarray(d.time_carry)},
+            "tokens": list(self._tokens),
+            "feat_buf": self._feat_buf.copy(),
+            "mel_carry": self._mel._carry.copy(),
+            "sched": {"idx": self._sched._idx, "start": self._sched._start},
+            "segment": self._segment,
+            "finalized": self._finalized,
+        }
+
+    def restore(self, snap: dict) -> None:
+        """Inverse of snapshot(): resume a stream exactly where it left off
+        (continuation is transcript-identical — tested)."""
+        from trt_asr_tpu.decode.tdt_greedy import DecodeState
+        from trt_asr_tpu.models.parakeet.encoder import state_from_contract
+
+        self._enc_state = state_from_contract(
+            {k: jnp.asarray(v) for k, v in snap["encoder"].items()},
+            self.model.params)
+        dd = snap["decoder"]
+        self._dec_state = DecodeState(
+            g=jnp.asarray(dd["g"]), h=jnp.asarray(dd["h"]), c=jnp.asarray(dd["c"]),
+            y_id=jnp.asarray(dd["y_id"]), time_carry=jnp.asarray(dd["time_carry"]))
+        self._tokens = list(snap["tokens"])
+        self._feat_buf = snap["feat_buf"].copy()
+        self._mel._carry = snap["mel_carry"].copy()
+        self._sched._idx = snap["sched"]["idx"]
+        self._sched._start = snap["sched"]["start"]
+        self._segment = snap["segment"]
+        self._finalized = snap["finalized"]
+        self._last_partial_len = len(self._tokens)
+
     # -- input ----------------------------------------------------------
 
     def push_audio(self, samples: np.ndarray) -> int:
