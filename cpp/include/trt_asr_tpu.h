@@ -68,6 +68,13 @@ bool parakeet_poll_event(ParakeetSession* session, ParakeetEvent* event);
 int trt_asr_push_features_tc(ParakeetSession* session, const float* features,
                              size_t num_frames);
 
+/* IEEE 754 half-precision frames-major push; converted to f32 on the host
+ * (reference trt_asr.h f16 push + the N10 scalar converters,
+ * parakeet_trt.cpp:1016-1053). */
+int trt_asr_push_features_tc_f16(ParakeetSession* session,
+                                 const uint16_t* features_f16,
+                                 size_t num_frames);
+
 /* 16 kHz mono f32 audio push; features computed natively in the runtime. */
 int trt_asr_push_audio(ParakeetSession* session, const float* samples,
                        size_t num_samples);

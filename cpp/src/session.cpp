@@ -88,6 +88,49 @@ int trt_asr_push_features_tc(ParakeetSession* s, const float* features,
     return 0;
 }
 
+namespace {
+
+// IEEE 754 binary16 -> binary32 (reference fp16_to_f32,
+// parakeet_trt.cpp:1037-1053)
+float f16_to_f32(uint16_t h) {
+    const uint32_t sign = (static_cast<uint32_t>(h) & 0x8000u) << 16;
+    uint32_t exp = (h >> 10) & 0x1Fu;
+    uint32_t mant = h & 0x3FFu;
+    uint32_t bits;
+    if (exp == 0) {
+        if (mant == 0) {
+            bits = sign;  // signed zero
+        } else {
+            // subnormal: normalize
+            exp = 127 - 15 + 1;
+            while ((mant & 0x400u) == 0) {
+                mant <<= 1;
+                --exp;
+            }
+            mant &= 0x3FFu;
+            bits = sign | (exp << 23) | (mant << 13);
+        }
+    } else if (exp == 0x1Fu) {
+        bits = sign | 0x7F800000u | (mant << 13);  // inf / nan
+    } else {
+        bits = sign | ((exp - 15 + 127) << 23) | (mant << 13);
+    }
+    float out;
+    std::memcpy(&out, &bits, sizeof(out));
+    return out;
+}
+
+}  // namespace
+
+int trt_asr_push_features_tc_f16(ParakeetSession* s, const uint16_t* features_f16,
+                                 size_t num_frames) {
+    if (!s || !features_f16) return -1;
+    const int c = s->backend->n_mels();
+    std::vector<float> f32(num_frames * static_cast<size_t>(c));
+    for (size_t i = 0; i < f32.size(); ++i) f32[i] = f16_to_f32(features_f16[i]);
+    return trt_asr_push_features_tc(s, f32.data(), num_frames);
+}
+
 int trt_asr_push_audio(ParakeetSession* s, const float* samples,
                        size_t num_samples) {
     if (!s || !samples) return -1;

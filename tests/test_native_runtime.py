@@ -79,6 +79,69 @@ def test_python_backend_cli(built, tmp_path, rng):
     assert out.stdout.splitlines()[-1] == out2.stdout.splitlines()[-1]
 
 
+def test_f16_push_matches_f32(built, tmp_path):
+    """v2 ABI f16 feature push == f32 push of the same (f16-rounded) values,
+    end-to-end through the embedded backend."""
+    import ctypes
+
+    from trt_asr_tpu.config import ModelConfig
+    from trt_asr_tpu.models.parakeet.model import ParakeetTDT
+
+    mdir = tmp_path / "model"
+    ParakeetTDT.random(ModelConfig.tiny(), seed=5).save_model_dir(str(mdir))
+
+    lib = ctypes.CDLL(os.path.join(BUILD, "libtrt_asr_tpu.so"))
+
+    class Config(ctypes.Structure):
+        _fields_ = [("model_dir", ctypes.c_char_p), ("device_id", ctypes.c_int32),
+                    ("use_fp16", ctypes.c_bool), ("use_mock", ctypes.c_bool)]
+
+    class Event(ctypes.Structure):
+        _fields_ = [("type", ctypes.c_int), ("segment_id", ctypes.c_int32),
+                    ("text", ctypes.c_char_p), ("error_message", ctypes.c_char_p)]
+
+    lib.parakeet_create_session.restype = ctypes.c_void_p
+    lib.parakeet_create_session.argtypes = [ctypes.POINTER(Config)]
+    lib.trt_asr_push_features_tc.argtypes = [ctypes.c_void_p,
+                                             ctypes.POINTER(ctypes.c_float),
+                                             ctypes.c_size_t]
+    lib.trt_asr_push_features_tc_f16.argtypes = [ctypes.c_void_p,
+                                                 ctypes.POINTER(ctypes.c_uint16),
+                                                 ctypes.c_size_t]
+    lib.trt_asr_finalize.argtypes = [ctypes.c_void_p]
+    lib.parakeet_poll_event.restype = ctypes.c_bool
+    lib.parakeet_poll_event.argtypes = [ctypes.c_void_p, ctypes.POINTER(Event)]
+    lib.parakeet_reset_utterance.argtypes = [ctypes.c_void_p]
+    lib.parakeet_destroy_session.argtypes = [ctypes.c_void_p]
+
+    os.environ["PYTHONPATH"] = REPO  # embedded interpreter import path
+    cfg = Config(str(mdir).encode(), 0, True, False)
+    s = lib.parakeet_create_session(ctypes.byref(cfg))
+    assert s, "session create failed (embedded backend)"
+
+    rng = np.random.default_rng(3)
+    f16 = rng.standard_normal((90, 32)).astype(np.float16)
+    f32 = f16.astype(np.float32)  # exactly the f16-representable values
+
+    def run(push):
+        lib.parakeet_reset_utterance(s)
+        push()
+        lib.trt_asr_finalize(s)
+        ev = Event()
+        final = ""
+        while lib.parakeet_poll_event(s, ctypes.byref(ev)):
+            if ev.type == 1:
+                final = ev.text.decode()
+        return final
+
+    t32 = run(lambda: lib.trt_asr_push_features_tc(
+        s, f32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 90))
+    t16 = run(lambda: lib.trt_asr_push_features_tc_f16(
+        s, f16.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), 90))
+    lib.parakeet_destroy_session(s)
+    assert t16 == t32 and t32 != ""
+
+
 def test_bad_model_dir_fails_cleanly(built, tmp_path):
     from trt_asr_tpu.io.wav import save_wav
 
