@@ -58,6 +58,40 @@ def test_decode_with_pallas_joint_matches_xla(rng):
     assert got == want and len(got) > 0
 
 
+def test_fused_ffn_kernel_matches_xla(rng):
+    import jax.numpy as jnp
+
+    from trt_asr_tpu.ops.common import layer_norm, matmul, silu
+    from trt_asr_tpu.ops.pallas.ffn_kernel import fused_ffn_pallas
+
+    t, d, e = 6, 64, 256
+    x = rng.standard_normal((2, t, d)).astype(np.float32)
+    g = (0.1 * rng.standard_normal(d) + 1).astype(np.float32)
+    b = (0.1 * rng.standard_normal(d)).astype(np.float32)
+    w1 = (rng.standard_normal((d, e)) / np.sqrt(d)).astype(np.float32)
+    w2 = (rng.standard_normal((e, d)) / np.sqrt(e)).astype(np.float32)
+    want = x + 0.5 * np.asarray(matmul(silu(matmul(layer_norm(jnp.asarray(x), g, b), w1)), w2))
+    got = np.asarray(fused_ffn_pallas(jnp.asarray(x), g, b, w1, w2, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_encoder_with_pallas_ffn_matches(rng):
+    """Full encoder with fused-FFN layers == XLA encoder (streaming chunk)."""
+    from trt_asr_tpu.models.parakeet import encode, init_encoder_state
+
+    cfg = ModelConfig.tiny()
+    params = init_params(cfg, seed=2)
+    feats = (0.5 * rng.standard_normal((1, 57, cfg.feat_in))).astype(np.float32)
+    lens = np.array([57], np.int32)
+    e1, l1, s1 = encode(params, cfg, feats, lens, init_encoder_state(cfg, 1),
+                        drop_extra=2, cache_drop=3)
+    e2, l2, s2 = encode(params, cfg, feats, lens, init_encoder_state(cfg, 1),
+                        drop_extra=2, cache_drop=3, use_pallas_ffn=True)
+    np.testing.assert_allclose(np.asarray(e2), np.asarray(e1), atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2.att_cache), np.asarray(s1.att_cache),
+                               atol=2e-5)
+
+
 def test_joint_step_kernel_blank_penalty(rng):
     from trt_asr_tpu.ops.pallas.joint_step_kernel import joint_step_pallas
 

@@ -48,7 +48,7 @@ def tdt_greedy_decode_batch(
     punct_mask: Optional[jnp.ndarray] = None,
     use_punct_mask: bool = False,
     use_pallas_joint: bool = False,
-    pallas_interpret: bool = False,
+    pallas_interpret=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, DecodeState]:
     """Returns (tokens [B, max_tokens] (-1 padded), n [B], new_state)."""
     b = enc.shape[0]

@@ -90,7 +90,7 @@ def tdt_greedy_decode_chunk(
     punct_mask: Optional[jnp.ndarray] = None,   # [V+1] bool
     use_punct_mask: bool = False,
     use_pallas_joint: bool = False,
-    pallas_interpret: bool = False,
+    pallas_interpret=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, DecodeState]:
     """Decode one chunk on device.
 

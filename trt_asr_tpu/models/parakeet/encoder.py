@@ -143,16 +143,23 @@ def _conformer_layer(
     n_heads: int,
     cache_keep: int,                # Tq - cache_drop (static)
     appended: jnp.ndarray,          # [B] = min(sub_len, cache_keep), dynamic
+    use_pallas_ffn: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     b, tq, d = x.shape
     k = time_cache.shape[1]
     dh = d // n_heads
     c_size = att_cache.shape[1]
 
+    def ffn(xx, ln_g, ln_b, w1, w2):
+        if use_pallas_ffn:
+            from trt_asr_tpu.ops.pallas.ffn_kernel import fused_ffn_pallas
+
+            return fused_ffn_pallas(xx, ln_g, ln_b, w1, w2, scale=0.5)
+        hh = layer_norm(xx, ln_g, ln_b)
+        return xx + 0.5 * matmul(silu(matmul(hh, w1)), w2)
+
     # --- macaron FFN (1/2 residual) ---
-    h = layer_norm(x, lp["ff1_ln_g"], lp["ff1_ln_b"])
-    h = matmul(silu(matmul(h, lp["ff1_w1"])), lp["ff1_w2"])
-    x = x + 0.5 * h
+    x = ffn(x, lp["ff1_ln_g"], lp["ff1_ln_b"], lp["ff1_w1"], lp["ff1_w2"])
 
     # --- rel-pos self-attention: project ONLY the Tq new positions; the
     # cached history contributes pre-projected k/v in ring order ---
@@ -190,9 +197,7 @@ def _conformer_layer(
     new_time_cache = _append_cache(time_cache, c[:, :cache_keep], appended)
 
     # --- FFN 2 (1/2 residual) ---
-    h = layer_norm(x, lp["ff2_ln_g"], lp["ff2_ln_b"])
-    h = matmul(silu(matmul(h, lp["ff2_w1"])), lp["ff2_w2"])
-    x = x + 0.5 * h
+    x = ffn(x, lp["ff2_ln_g"], lp["ff2_ln_b"], lp["ff2_w1"], lp["ff2_w2"])
 
     x = layer_norm(x, lp["out_ln_g"], lp["out_ln_b"])
     return x, new_att_cache, new_time_cache, new_kv_cache
@@ -209,6 +214,7 @@ def encode(
     cache_drop: int = 0,           # static: trailing lookahead steps kept out of caches
     compute_dtype=jnp.float32,
     pos_proj: Optional[jnp.ndarray] = None,  # precomputed [L, R, D] (see precompute_pos_proj)
+    use_pallas_ffn: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[EncoderState]]:
     """Returns (enc_out [B, Tq, D] in compute dtype, out_lengths [B], new_state).
 
@@ -278,7 +284,7 @@ def encode(
         lp, ac, tc, kvc, pp = layer_in
         y, new_ac, new_tc, new_kvc = _conformer_layer(
             lp, xc, ac, tc, kvc, pp, kv_mask, rel_idx, time_mask, cursor,
-            cfg.n_heads, cache_keep, appended)
+            cfg.n_heads, cache_keep, appended, use_pallas_ffn=use_pallas_ffn)
         return y, (new_ac, new_tc, new_kvc)
 
     x, (new_att, new_time, new_kv) = lax.scan(

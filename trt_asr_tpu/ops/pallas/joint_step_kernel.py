@@ -77,9 +77,12 @@ def pad_joint_weights(joint_params, dtype=None):
 def joint_step_pallas_prepadded(enc_proj_t, g, wp, bp, wo, bo, *, ths: int,
                                 ndur: int, blank_id: int,
                                 blank_penalty: float = 0.0,
-                                interpret: bool = False):
+                                interpret=None):
     """Kernel call on pre-padded weights. enc_proj_t [B, J], g [B, P]
-    (unpadded); returns (best_tok [B], best_dur_idx [B], logits [B, V_pad])."""
+    (unpadded); returns (best_tok [B], best_dur_idx [B], logits [B, V_pad]).
+    interpret=None auto-selects interpreter mode off-TPU."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
     b, j = enc_proj_t.shape
     p = g.shape[1]
     b_pad = _round_up(b, 8)
