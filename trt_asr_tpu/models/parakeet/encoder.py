@@ -148,7 +148,7 @@ def _conformer_layer(
     b, tq, d = x.shape
     k = time_cache.shape[1]
     dh = d // n_heads
-    c_size = att_cache.shape[1]
+    c_size = att_cache.shape[1] if att_cache is not None else 0
 
     def ffn(xx, ln_g, ln_b, w1, w2):
         if use_pallas_ffn:
@@ -167,8 +167,11 @@ def _conformer_layer(
     q = matmul(u, lp["att_wq"]).reshape(b, tq, n_heads, dh)
     k_new = matmul(u, lp["att_wk"])                       # [B, Tq, D]
     v_new = matmul(u, lp["att_wv"])
-    k_full = jnp.concatenate([kv_cache[..., :d].astype(u.dtype), k_new], axis=1)
-    v_full = jnp.concatenate([kv_cache[..., d:].astype(u.dtype), v_new], axis=1)
+    if c_size:
+        k_full = jnp.concatenate([kv_cache[..., :d].astype(u.dtype), k_new], axis=1)
+        v_full = jnp.concatenate([kv_cache[..., d:].astype(u.dtype), v_new], axis=1)
+    else:  # offline: no cache, no concat (zero-size arrays hurt some backends)
+        k_full, v_full = k_new, v_new
     y = rel_pos_attention_kv(
         q, k_full.reshape(b, c_size + tq, n_heads, dh),
         v_full.reshape(b, c_size + tq, n_heads, dh),
@@ -243,9 +246,8 @@ def encode(
         c_size = 0
         cache_len = jnp.zeros((b,), jnp.int32)
         cursor = jnp.zeros((b,), jnp.int32)
-        att_cache0 = jnp.zeros((cfg.num_layers, b, 0, d), compute_dtype)
+        att_cache0 = kv_cache0 = None  # offline: no zero-size arrays in the scan
         time_cache0 = jnp.zeros((cfg.num_layers, b, cfg.conv_context_size, d), compute_dtype)
-        kv_cache0 = jnp.zeros((cfg.num_layers, b, 0, 2 * d), compute_dtype)
 
     cache_keep = max(tq - cache_drop, 0)
     appended = jnp.minimum(sub_len, cache_keep).astype(jnp.int32)
@@ -268,28 +270,43 @@ def encode(
         cache_mask = age <= cache_len[:, None]
         idx_cache = (c_size + tq - 1) - (age[:, None, :]
                                          + jnp.arange(tq)[None, :, None])   # [B,Tq,C]
+        ii = jnp.arange(tq)[None, :, None]
+        jj = jnp.arange(tq)[None, None, :]
+        idx_cur = jnp.broadcast_to((c_size + tq - 1) - (ii - jj), (b, tq, tq))
+        rel_idx = jnp.concatenate([idx_cache.astype(jnp.int32), idx_cur], axis=2)
+        kv_mask = jnp.concatenate([cache_mask, time_mask], axis=1)
     else:
-        cache_mask = jnp.zeros((b, 0), bool)
-        idx_cache = jnp.zeros((b, tq, 0), jnp.int32)
-    ii = jnp.arange(tq)[None, :, None]
-    jj = jnp.arange(tq)[None, None, :]
-    idx_cur = jnp.broadcast_to((c_size + tq - 1) - (ii - jj), (b, tq, tq))
-    rel_idx = jnp.concatenate([idx_cache.astype(jnp.int32), idx_cur], axis=2)
-    kv_mask = jnp.concatenate([cache_mask, time_mask], axis=1)
+        # offline: indices are static — rel_idx=None selects the attention
+        # core's static index matrix (a dynamic-index gather at large T
+        # compiles pathologically on some backends)
+        rel_idx = None
+        kv_mask = time_mask
 
     x = jnp.where(time_mask[:, :, None], x, 0)
 
-    def body(carry, layer_in):
-        xc = carry
-        lp, ac, tc, kvc, pp = layer_in
-        y, new_ac, new_tc, new_kvc = _conformer_layer(
-            lp, xc, ac, tc, kvc, pp, kv_mask, rel_idx, time_mask, cursor,
-            cfg.n_heads, cache_keep, appended, use_pallas_ffn=use_pallas_ffn)
-        return y, (new_ac, new_tc, new_kvc)
+    if streaming:
+        def body(carry, layer_in):
+            lp, ac, tc, kvc, pp = layer_in
+            y, new_ac, new_tc, new_kvc = _conformer_layer(
+                lp, carry, ac, tc, kvc, pp, kv_mask, rel_idx, time_mask, cursor,
+                cfg.n_heads, cache_keep, appended, use_pallas_ffn=use_pallas_ffn)
+            return y, (new_ac, new_tc, new_kvc)
 
-    x, (new_att, new_time, new_kv) = lax.scan(
-        body, x, (_layer_params_slice(enc_p["layers"]), att_cache0, time_cache0,
-                  kv_cache0, pos_proj))
+        x, (new_att, new_time, new_kv) = lax.scan(
+            body, x, (_layer_params_slice(enc_p["layers"]), att_cache0,
+                      time_cache0, kv_cache0, pos_proj))
+    else:
+        def body_off(carry, layer_in):
+            lp, tc, pp = layer_in
+            y, _, new_tc, _ = _conformer_layer(
+                lp, carry, None, tc, None, pp, kv_mask, rel_idx, time_mask,
+                cursor, cfg.n_heads, cache_keep, appended,
+                use_pallas_ffn=use_pallas_ffn)
+            return y, new_tc
+
+        x, _ = lax.scan(
+            body_off, x, (_layer_params_slice(enc_p["layers"]), time_cache0,
+                          pos_proj))
 
     out_len = jnp.minimum(sub_len, tq)
     new_state = None
