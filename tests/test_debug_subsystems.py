@@ -98,3 +98,52 @@ def test_nan_guard():
     # sampling cadence: after first_n, only every `every` is checked
     for _ in range(12):
         check_finite(np.array([np.nan]), "sampled", sample=True, first_n=2, every=100)
+
+
+def test_session_tdt_trace_and_toggles(tmp_path):
+    """debug_tdt_steps produces an NDJSON trace from the production device
+    loop; final_on_push and cache_len_override are live (VERDICT r1 #5)."""
+    model = ParakeetTDT.random(ModelConfig.tiny(), seed=5)
+    trace_path = str(tmp_path / "device_trace.jsonl")
+    rt = RuntimeConfig(debug_tdt_steps=True, tdt_trace_path=trace_path,
+                       final_on_push=True, suppress_leading_punct=False)
+    sess = StreamingSession(model, rt)
+    audio = (0.4 * np.sin(np.arange(48000) * 0.15)).astype(np.float32)
+    done = 0
+    for s in range(0, len(audio), 16000):
+        done += sess.push_audio(audio[s : s + 16000])
+    assert done > 0
+    # final_on_push: a FINAL event per push that processed chunks, pre-finalize
+    finals = 0
+    while (e := sess.poll_event()) is not None:
+        finals += int(e.type == 1)
+    assert finals >= 1
+    sess.finalize()
+
+    # per-step records exist, schema matches host_decode's
+    assert sess.tdt_steps, "no trace records from device loop"
+    rec = sess.tdt_steps[0]
+    for k in ("time_idx", "u", "y_id", "best_tok", "duration", "advance",
+              "is_blank", "blank_dur0_clamped"):
+        assert k in rec, k
+    n_emitted = sum(1 for r in sess.tdt_steps if not r["is_blank"])
+    assert n_emitted == len(sess._tokens)
+
+    # NDJSON written + self-compares clean through the first-divergence tool
+    assert os.path.exists(trace_path)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "parity", "compare_tdt_trace.py"),
+         trace_path, trace_path], capture_output=True, text=True)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "IDENTICAL" in out.stdout
+
+    # cache_len_override forces cache_len before each step
+    rt2 = RuntimeConfig(cache_len_override=0)
+    sess2 = StreamingSession(model, rt2)
+    for s in range(0, len(audio), 16000):
+        sess2.push_audio(audio[s : s + 16000])
+    sess2.finalize()
+    # with the override pinning cache_len to 0 before every chunk, the
+    # carried attention context is discarded; state cache_len is what the
+    # last chunk produced from a forced 0 input (bounded by chunk out len)
+    assert int(np.asarray(sess2._enc_state.cache_len)[0]) <= model.cfg.valid_out_len + 3

@@ -171,3 +171,43 @@ def test_blank_penalty_and_punct_suppression(setup, rng):
         params, cfg, np.asarray(enc_j)[0], np.int32(t), ds, max_tokens=8 * t,
         punct_mask=punct, use_punct_mask=True)
     assert int(n2) == 0
+
+
+def test_device_trace_matches_host_trace(setup, rng):
+    """debug_tdt_steps device trace == host_decode trace, record for record
+    (VERDICT r1 #5: first-divergence tooling for the production loop)."""
+    cfg, params, _ = setup
+    feats = (0.6 * rng.standard_normal((1, 150, cfg.feat_in))).astype(np.float32)
+    enc_j, enc_len = offline_encode(params, cfg, feats, np.array([150], np.int32))
+    t = int(np.asarray(enc_len)[0])
+    enc = np.asarray(enc_j)[0, :t]
+
+    def j_joint(enc_t, g):
+        return np.asarray(joint_single_step(params["joint"], enc_t[None], g[None]))[0]
+
+    def j_pred(tok, st):
+        h, c = st
+        g, h2, c2 = predictor_step(params["predictor"], np.array([tok], np.int32), h, c)
+        return np.asarray(g)[0], (h2, c2)
+
+    ds0 = prime_decode_state(params, cfg, init_decode_state(cfg, 1), [])
+    host_trace = []
+    host_toks, _, _, _ = _host_decode_with(
+        cfg, j_joint, j_pred, enc, (ds0.h, ds0.c), np.asarray(ds0.g)[0],
+        cfg.blank_id, host_trace)
+
+    tokens, n, _, (buf, n_steps) = tdt_greedy_decode_chunk(
+        params, cfg, np.asarray(enc_j)[0], np.int32(t), ds0,
+        max_tokens=cfg.max_symbols_per_timestep * enc.shape[0], trace=True)
+    from trt_asr_tpu.debug.tdt_trace import records_from_buffer
+
+    dev_trace = records_from_buffer(np.asarray(buf), int(n_steps))
+    assert [int(x) for x in np.asarray(tokens)[: int(n)]] == host_toks
+    assert len(dev_trace) == len(host_trace), (len(dev_trace), len(host_trace))
+    keys = ("time_idx", "u", "y_id", "best_tok", "duration", "advance",
+            "is_blank", "blank_dur0_clamped")
+    for i, (d, h) in enumerate(zip(dev_trace, host_trace)):
+        got = {k: d[k] for k in keys}
+        want = {k: h[k] for k in keys}
+        assert got == want, f"first divergence at step {i}: {got} vs {want}"
+    assert any(not r["is_blank"] for r in dev_trace)

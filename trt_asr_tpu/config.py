@@ -180,6 +180,7 @@ class RuntimeConfig:
     stage_markers: bool = False              # PARAKEET_DEBUG_STAGE_MARKERS
     debug_emit_tokens: bool = False          # PARAKEET_DEBUG_EMIT_TOKENS
     debug_tdt_steps: bool = False            # PARAKEET_DEBUG_TDT_STEPS
+    tdt_trace_path: str = ""                 # NDJSON output for debug_tdt_steps
     snapshot_dir: str = ""                   # PARAKEET_TDT_SNAPSHOT_DIR
     tap_dir: str = ""                        # AUDIO_TAP_DIR
     tap_enabled: bool = False                # AUDIO_TAP_ENABLE
@@ -206,6 +207,7 @@ class RuntimeConfig:
             stage_markers=_env_bool("TRT_ASR_STAGE_MARKERS", "PARAKEET_DEBUG_STAGE_MARKERS", d.stage_markers),
             debug_emit_tokens=_env_bool("TRT_ASR_DEBUG_EMIT_TOKENS", "PARAKEET_DEBUG_EMIT_TOKENS", d.debug_emit_tokens),
             debug_tdt_steps=_env_bool("TRT_ASR_DEBUG_TDT_STEPS", "PARAKEET_DEBUG_TDT_STEPS", d.debug_tdt_steps),
+            tdt_trace_path=_env_str("TRT_ASR_TDT_TRACE_PATH", None, d.tdt_trace_path),
             snapshot_dir=_env_str("TRT_ASR_SNAPSHOT_DIR", "PARAKEET_TDT_SNAPSHOT_DIR", d.snapshot_dir),
             tap_dir=_env_str("TRT_ASR_TAP_DIR", "AUDIO_TAP_DIR", d.tap_dir),
             tap_enabled=_env_bool("TRT_ASR_TAP_ENABLE", "AUDIO_TAP_ENABLE", d.tap_enabled),

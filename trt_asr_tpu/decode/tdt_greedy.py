@@ -74,7 +74,8 @@ def prime_decode_state(params: Dict[str, Any], cfg: ModelConfig, state: DecodeSt
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_tokens", "max_symbols", "use_punct_mask",
-                     "blank_penalty", "use_pallas_joint", "pallas_interpret"),
+                     "blank_penalty", "use_pallas_joint", "pallas_interpret",
+                     "trace"),
 )
 def tdt_greedy_decode_chunk(
     params: Dict[str, Any],
@@ -91,6 +92,7 @@ def tdt_greedy_decode_chunk(
     use_punct_mask: bool = False,
     use_pallas_joint: bool = False,
     pallas_interpret=None,
+    trace: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, DecodeState]:
     """Decode one chunk on device.
 
@@ -98,6 +100,13 @@ def tdt_greedy_decode_chunk(
     use_pallas_joint fuses the per-step joint work (pred proj + relu + out
     proj + dual argmax) into one Pallas kernel (~3x fewer per-iteration ops
     — ops/pallas/joint_step_kernel.py).
+
+    trace=True additionally returns a bounded per-step record buffer
+    ``(records [T*max_symbols, 7] int32, n_steps)`` with columns
+    (time_idx, u, y_id, best_tok, duration, advance, is_blank) — the
+    production-loop analog of the reference's PARAKEET_DEBUG_TDT_STEPS
+    NDJSON (cpp/src/parakeet_trt.cpp:667-687,3429-3449), consumable by
+    tools/parity/compare_tdt_trace.py via debug/tdt_trace.py.
     """
     max_symbols = max_symbols or cfg.max_symbols_per_timestep
     blank = cfg.blank_id
@@ -117,7 +126,7 @@ def tdt_greedy_decode_chunk(
         return carry[0] < t_enc
 
     def body(carry):
-        time_idx, u_count, dstate, tokens, n = carry
+        time_idx, u_count, dstate, tokens, n, aux = carry
         e_t = lax.dynamic_slice_in_dim(enc_proj, time_idx, 1, axis=0)  # [1, J]
 
         if use_pallas_joint:
@@ -143,6 +152,15 @@ def tdt_greedy_decode_chunk(
         is_blank = best_tok == blank
         advance = jnp.where(is_blank & (duration == 0), 1, duration)
 
+        if trace:
+            records, step_i = aux
+            row = jnp.stack([time_idx, u_count, dstate.y_id[0], best_tok,
+                             duration.astype(jnp.int32), advance.astype(jnp.int32),
+                             is_blank.astype(jnp.int32)])
+            records = lax.dynamic_update_slice_in_dim(
+                records, row[None], jnp.minimum(step_i, records.shape[0] - 1), axis=0)
+            aux = (records, step_i + 1)
+
         # forced advance after max_symbols emissions without progress
         hit_cap = u_count >= (max_symbols - 1)
         advance = jnp.where((advance == 0) & hit_cap, 1, advance)
@@ -161,12 +179,19 @@ def tdt_greedy_decode_chunk(
 
         u_count = jnp.where(advance > 0, 0, u_count + 1)
         time_idx = time_idx + advance
-        return (time_idx, u_count, new_dstate, tokens, n)
+        return (time_idx, u_count, new_dstate, tokens, n, aux)
 
     tokens0 = jnp.full((max_tokens,), -1, jnp.int32)
+    if trace:
+        aux0 = (jnp.full((enc.shape[0] * max_symbols, 7), -1, jnp.int32),
+                jnp.zeros((), jnp.int32))
+    else:
+        aux0 = ()
     init = (state.time_carry[0].astype(jnp.int32), jnp.zeros((), jnp.int32),
-            state, tokens0, jnp.zeros((), jnp.int32))
-    time_final, _, final_state, tokens, n = lax.while_loop(cond, body, init)
+            state, tokens0, jnp.zeros((), jnp.int32), aux0)
+    time_final, _, final_state, tokens, n, aux = lax.while_loop(cond, body, init)
     carry = jnp.maximum(time_final - t_enc, 0).astype(jnp.int32)
     final_state = final_state._replace(time_carry=jnp.full_like(state.time_carry, carry))
+    if trace:
+        return tokens, n, final_state, aux
     return tokens, n, final_state

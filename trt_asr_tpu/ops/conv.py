@@ -32,6 +32,14 @@ def depthwise_conv1d(x: jnp.ndarray, w: jnp.ndarray, bias=None) -> jnp.ndarray:
 def conv2d(x: jnp.ndarray, w: jnp.ndarray, bias=None, stride: Tuple[int, int] = (1, 1),
            padding="SAME", groups: int = 1) -> jnp.ndarray:
     """x [B, H, W, Cin], w [kh, kw, Cin/groups, Cout]."""
+    if groups > 1 and w.shape[2] == 1 and w.shape[3] == groups:
+        # Fully-depthwise case: explicit tap-sum instead of
+        # feature_group_count. XLA's SPMD partitioner double-counts the
+        # grouped-conv weight gradient when an unrelated mesh axis (tp)
+        # exists (grad norm scales by the tp size — caught by
+        # tests/test_sharded_inference.py); tap-sum is elementwise
+        # multiply-accumulate, which partitions correctly and fuses.
+        return _depthwise_conv2d_taps(x, w, bias, stride, padding)
     out = lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=stride, padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -39,6 +47,41 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, bias=None, stride: Tuple[int, int] = 
         preferred_element_type=jnp.float32,
         precision=lax.Precision.HIGHEST if x.dtype == jnp.float32 else None,
     ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def _depthwise_conv2d_taps(x: jnp.ndarray, w: jnp.ndarray, bias,
+                           stride: Tuple[int, int], padding) -> jnp.ndarray:
+    """Depthwise conv2d as sum over kernel taps of strided slices.
+
+    x [B, H, W, C], w [kh, kw, 1, C]; explicit padding [(ph0,ph1),(pw0,pw1)]
+    or 'SAME'. Accumulates in f32.
+    """
+    kh, kw, _, c = w.shape
+    sh, sw = stride
+    b, h_in, w_in, _ = x.shape
+    if padding == "SAME":
+        out_h = -(-h_in // sh)
+        out_w = -(-w_in // sw)
+        pad_h = max((out_h - 1) * sh + kh - h_in, 0)
+        pad_w = max((out_w - 1) * sw + kw - w_in, 0)
+        padding = [(pad_h // 2, pad_h - pad_h // 2), (pad_w // 2, pad_w - pad_w // 2)]
+    (ph0, ph1), (pw0, pw1) = padding
+    xp = jnp.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
+    ho = (h_in + ph0 + ph1 - kh) // sh + 1
+    wo = (w_in + pw0 + pw1 - kw) // sw + 1
+    wf = w.astype(jnp.float32)
+    acc = jnp.zeros((b, ho, wo, c), jnp.float32)
+    for di in range(kh):
+        for dj in range(kw):
+            patch = lax.slice(
+                xp, (0, di, dj, 0),
+                (b, di + (ho - 1) * sh + 1, dj + (wo - 1) * sw + 1, c),
+                (1, sh, sw, 1))
+            acc = acc + patch.astype(jnp.float32) * wf[di, dj, 0]
+    out = acc.astype(x.dtype)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out

@@ -105,6 +105,7 @@ class StreamingSession:
         self._dec_state = prime_decode_state(
             self.model.params, cfg, init_decode_state(cfg, 1), self.model.prompt_ids)
         self._tokens: List[int] = []
+        self.tdt_steps: List[dict] = []   # debug_tdt_steps per-step records
         self._last_partial_t = 0.0
         self._last_partial_len = 0
         self._finalized = False
@@ -189,6 +190,14 @@ class StreamingSession:
                 self._run_chunk(spec, is_last=False)
                 done += 1
             self._maybe_partial()
+            if self.rt.final_on_push and done:
+                # reference emits a final event per push in non-streaming
+                # mode (parakeet_trt.cpp:3802-3826); the utterance stays open
+                with self._lock:
+                    self._events.append(Event(
+                        EventType.FINAL_TEXT, self._segment,
+                        self.model.tokenizer.decode(self._tokens),
+                        tokens=list(self._tokens)))
             return done
         except Exception as e:  # noqa: BLE001 — surfaced as ERROR event (C-ABI parity)
             self._error(f"push_features failed: {e!r}")
@@ -202,6 +211,11 @@ class StreamingSession:
         if spec is not None:
             self._run_chunk(spec, is_last=True)
         self._finalized = True
+        if self.rt.debug_tdt_steps and self.rt.tdt_trace_path:
+            from trt_asr_tpu.debug.tdt_trace import write_ndjson
+
+            write_ndjson(self.rt.tdt_trace_path, self.tdt_steps,
+                         blank_id=self.cfg.blank_id, emitted=len(self._tokens))
         if self._taps is not None:
             self._taps.close()
         with self._lock:
@@ -249,6 +263,13 @@ class StreamingSession:
         cache_drop = 0 if is_last else cfg.cache_drop_size
         if rt.disable_cache:
             self._enc_state = init_encoder_state(cfg, 1)
+        if rt.cache_len_override >= 0:
+            # fault injection: force cache_len_in (reference
+            # PARAKEET_CACHE_LEN_OVERRIDE, parakeet_trt.cpp:2175-2214),
+            # clamped to capacity
+            forced = min(rt.cache_len_override, cfg.att_cache_size)
+            self._enc_state = self._enc_state._replace(
+                cache_len=jnp.full_like(self._enc_state.cache_len, forced))
 
         # pos_proj is shape-specific: only pass it when this chunk's
         # post-drop step count matches the steady profile
@@ -259,7 +280,7 @@ class StreamingSession:
         pos_proj = self._pos_proj if tq_chunk * 2 - 1 + cfg.att_cache_size == self._pos_proj.shape[1] else None
 
         t0 = time.perf_counter()
-        toks, n, self._enc_state, self._dec_state = _session_step(
+        out = _session_step(
             self.model.params, cfg, x[None], np.int32(valid),
             self._enc_state, self._dec_state,
             drop_extra=spec.drop_extra, cache_drop=cache_drop,
@@ -267,7 +288,14 @@ class StreamingSession:
             emitted_so_far=np.int32(len(self._tokens)),
             punct_mask=jnp.asarray(self.model.punct_mask) if rt.suppress_leading_punct else None,
             use_punct_mask=rt.suppress_leading_punct, pos_proj=pos_proj,
-            use_pallas_joint=rt.use_pallas_joint)
+            use_pallas_joint=rt.use_pallas_joint, trace=rt.debug_tdt_steps)
+        if rt.debug_tdt_steps:
+            toks, n, self._enc_state, self._dec_state, (rec_buf, n_steps) = out
+            from trt_asr_tpu.debug.tdt_trace import records_from_buffer
+
+            self.tdt_steps.extend(records_from_buffer(rec_buf, int(n_steps)))
+        else:
+            toks, n, self._enc_state, self._dec_state = out
         n = int(n)
         new = [int(t) for t in np.asarray(toks)[:n]]
         ms = (time.perf_counter() - t0) * 1e3
@@ -302,22 +330,29 @@ class StreamingSession:
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "drop_extra", "cache_drop", "blank_penalty",
-                     "use_punct_mask", "use_pallas_joint"),
+                     "use_punct_mask", "use_pallas_joint", "trace"),
     donate_argnames=("enc_state", "dec_state"),
 )
 def _session_step(params, cfg: ModelConfig, feats, valid, enc_state: EncoderState,
                   dec_state: DecodeState, *, drop_extra: int, cache_drop: int,
                   blank_penalty: float, emitted_so_far, punct_mask, use_punct_mask: bool,
-                  pos_proj=None, use_pallas_joint: bool = False):
-    """One fused device program: streaming encoder step + TDT decode loop."""
+                  pos_proj=None, use_pallas_joint: bool = False, trace: bool = False):
+    """One fused device program: streaming encoder step + TDT decode loop.
+
+    trace=True (RuntimeConfig.debug_tdt_steps) additionally returns the
+    bounded per-step decode record buffer (see debug/tdt_trace.py)."""
     enc, out_len, enc_state = encode(
         params, cfg, feats, valid[None] if valid.ndim == 0 else valid,
         enc_state, drop_extra=drop_extra, cache_drop=cache_drop, pos_proj=pos_proj)
     tq = enc.shape[1]
-    toks, n, dec_state = tdt_greedy_decode_chunk(
+    out = tdt_greedy_decode_chunk(
         params, cfg, enc[0], out_len[0].astype(jnp.int32), dec_state,
         max_tokens=cfg.max_symbols_per_timestep * tq,
         blank_penalty=blank_penalty, emitted_so_far=emitted_so_far,
         punct_mask=punct_mask, use_punct_mask=use_punct_mask,
-        use_pallas_joint=use_pallas_joint)
+        use_pallas_joint=use_pallas_joint, trace=trace)
+    if trace:
+        toks, n, dec_state, aux = out
+        return toks, n, enc_state, dec_state, aux
+    toks, n, dec_state = out
     return toks, n, enc_state, dec_state
