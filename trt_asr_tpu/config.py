@@ -53,6 +53,12 @@ class ModelConfig:
     chunk_size_frames: Tuple[int, int] = (41, 48)
     shift_size_frames: Tuple[int, int] = (17, 24)
     pre_encode_cache_size: Tuple[int, int] = (0, 9)
+    # Real-export chunk-0 semantics: the NeMo export applies
+    # drop_extra_pre_encoded on EVERY chunk including the first (reference
+    # DECISION_LOG.md:40-41; cache_len_out=1 on chunk 0 under cache3).
+    # False (default) = our tiling semantics: chunk 0 drops nothing, valid
+    # outputs tile the stream contiguously. See streaming/schedule.py.
+    nemo_compat_chunk0: bool = False
     # decode
     max_symbols_per_timestep: int = 8
 

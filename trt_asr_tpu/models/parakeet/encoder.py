@@ -215,6 +215,8 @@ def encode(
     *,
     drop_extra: int = 0,           # static: pre-encoded steps to drop (0 | drop_extra_pre_encoded)
     cache_drop: int = 0,           # static: trailing lookahead steps kept out of caches
+    valid_cap: Optional[int] = None,  # static: emission cap (streaming.valid_out_len);
+                                      # None = emit up to Tq - cache_drop (legacy coupling)
     compute_dtype=jnp.float32,
     pos_proj: Optional[jnp.ndarray] = None,  # precomputed [L, R, D] (see precompute_pos_proj)
     use_pallas_ffn: bool = False,
@@ -222,8 +224,13 @@ def encode(
     """Returns (enc_out [B, Tq, D] in compute dtype, out_lengths [B], new_state).
 
     enc_out always has the full static Tq step axis; out_lengths gives the
-    valid count (= min(sub_len - drop_extra, Tq - cache_drop)). Callers mask
-    or slice. state=None selects pure offline behavior (no caches).
+    valid count (= min(sub_len - drop_extra, valid_cap or Tq - cache_drop)).
+    Callers mask or slice. state=None selects pure offline behavior.
+
+    Emission vs caching are independent (NeMo semantics): the first
+    valid_cap post-drop steps are emitted while only the first
+    (Tq - cache_drop) enter the caches. They coincide for steady cache3
+    chunks (both 3) but differ for a nemo_compat chunk 0 (emit 3, cache 1).
     """
     enc_p = params["encoder"]
     b = feats.shape[0]
@@ -311,7 +318,7 @@ def encode(
     out_len = jnp.minimum(sub_len, tq)
     new_state = None
     if streaming:
-        out_len = jnp.minimum(out_len, cache_keep)
+        out_len = jnp.minimum(out_len, valid_cap if valid_cap is not None else cache_keep)
         new_cache_len = jnp.minimum(cache_len + appended, c_size).astype(jnp.int32)
         new_cursor = ((cursor + appended) % max(c_size, 1)).astype(jnp.int32)
         new_state = EncoderState(new_att, new_time, new_kv, new_cache_len, new_cursor)

@@ -1,29 +1,89 @@
-"""Chunk schedule for cache-aware streaming.
+"""Chunk schedule for cache-aware streaming — regime-generalized.
 
-Implements the two-regime schedule from the reference contract
-(streaming.chunk_size [41,48] / shift [17,24] / pre_encode_cache [0,9];
-schedule builder semantics per the reference golden generator
-tools/verify_nemo/streaming_encoder_cache.py `_build_schedule`):
+A *regime* is the tuple (chunk_sizes, shift_sizes, pre_encode, drop_extra,
+cache_drop, valid_out_len) driving the cache-aware chunk schedule. Two
+regimes matter in practice (reference contract streaming.* and the
+NeMo-default metadata the reference audited):
 
-- chunk 0: feature frames [0, 41), no pre-encode context, shift 17
-- chunk k>=1 at start s: frames [s-9, s+48) (57 frames), shift 24,
-  drop_extra_pre_encoded=2 encoder steps after subsampling
+- **cache3** (the contract's production regime): chunk [41,48],
+  shift [17,24], pre_encode [0,9], cache_drop 3, valid 3. Chunk 0 covers
+  frames [0,41); chunk k>=1 at start s covers [s-9, s+48) (57 frames).
+- **NeMo-default** (the regime of the reference's only true-NeMo evidence,
+  /root/reference/artifacts/diagnostics/streaming_cache_200.jsonl): chunk
+  [592,584], shift [8,8], pre_encode [0,9], cache_drop 72, valid 1.
 
-Each chunk yields valid_out_len=3 new encoder steps; the trailing
-cache_drop_size=3 steps are lookahead recomputed by the next chunk. The
-valid outputs tile the stream contiguously (chunk 0 covers encoder steps
-0..2 == frames [0,24), chunk 1 steps 3..5 == frames [24,48), ...).
+Schedule formulas are reference-exact (tools/verify_nemo/
+streaming_encoder_cache.py `_build_schedule`, :544-572): chunk k uses
+regime index (0 if k==0 else 1); slice_start = max(0, start - pre_encode);
+slice_end = start + chunk_size; start += shift_size.
 
-Static shapes: every chunk is one of two program shapes (41 or 57 frames) —
-the TPU-compiled analog of the reference's fixed TRT shape profiles.
+**Chunk-0 drop_extra semantics.** The real NeMo export applies
+``drop_extra_pre_encoded`` on EVERY streaming chunk including the first
+(evidence: reference DECISION_LOG.md:40-41 measures chunk 0's usable
+length as 73-2=71 under the default regime, and cache_len_out=1 on chunk 0
+under cache3 = ceil(41/8) - drop 2 - cache_drop 3). This costs the first
+``drop_extra`` encoder steps of audio and makes chunk 0/1 valid outputs
+overlap by (drop_extra - pre_encode/sub) steps. We support both:
+
+- ``nemo_compat_chunk0=True``: bit-faithful to the real export — required
+  when comparing against real-NeMo goldens or serving real exported caches.
+- default (False): chunk 0 drops nothing, so valid outputs tile the stream
+  contiguously (chunk 0 = encoder steps for frames [0,24), chunk 1 =
+  [24,48), ...) — a deliberate, documented improvement over the export
+  (no 160 ms warmup loss, no double-decoded steps).
+
+Static shapes: every chunk is one of two program shapes — the TPU-compiled
+analog of the reference's fixed TRT shape profiles.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import Dict, Iterator, List, Optional, Tuple
 
 from trt_asr_tpu.config import ModelConfig
+
+
+@dataclass(frozen=True)
+class StreamingRegime:
+    """Parameters of a cache-aware streaming schedule (see module docstring)."""
+
+    chunk_sizes: Tuple[int, int]      # feature frames, [first, steady]
+    shift_sizes: Tuple[int, int]
+    pre_encode: Tuple[int, int]
+    drop_extra: int                   # pre-encoded steps dropped per chunk
+    cache_drop: int                   # trailing lookahead steps kept out of caches
+    valid_out_len: int                # emitted encoder steps per chunk
+    capacity: int                     # attention-cache capacity (encoder steps)
+    subsampling: int = 8
+    nemo_chunk0_drop: bool = False    # apply drop_extra on chunk 0 (real-export behavior)
+
+    @classmethod
+    def from_config(cls, cfg: ModelConfig) -> "StreamingRegime":
+        return cls(
+            chunk_sizes=tuple(cfg.chunk_size_frames),
+            shift_sizes=tuple(cfg.shift_size_frames),
+            pre_encode=tuple(cfg.pre_encode_cache_size),
+            drop_extra=cfg.drop_extra_pre_encoded,
+            cache_drop=cfg.cache_drop_size,
+            valid_out_len=cfg.valid_out_len,
+            capacity=cfg.att_cache_size,
+            subsampling=cfg.subsampling_factor,
+            nemo_chunk0_drop=cfg.nemo_compat_chunk0,
+        )
+
+    def chunk0_drop(self) -> int:
+        return self.drop_extra if self.nemo_chunk0_drop else 0
+
+    def sub_len(self, frames: int) -> int:
+        """Post-subsampling length: ceil(frames / subsampling) for the
+        stride-2 kernel-3 pad-1 conv stack (oracle-verified)."""
+        n = frames
+        f = self.subsampling
+        while f > 1:
+            n = (n - 1) // 2 + 1
+            f //= 2
+        return n
 
 
 @dataclass(frozen=True)
@@ -32,30 +92,87 @@ class ChunkSpec:
     start: int          # first NEW feature frame covered by this chunk
     slice_start: int    # input slice [slice_start, slice_end)
     slice_end: int
-    frames: int         # static program shape (41 or 57)
+    frames: int         # static program shape
     valid_frames: int   # actual frames available (== frames except last chunk)
     drop_extra: int     # pre-encoded steps to drop
     is_last: bool
 
 
-def build_schedule(total_frames: int, cfg: ModelConfig) -> List[ChunkSpec]:
+def _spec_at(regime: StreamingRegime, idx: int, start: int) -> ChunkSpec:
+    """Reference-exact chunk geometry (streaming_encoder_cache.py:544-572)."""
+    r = 0 if idx == 0 else 1
+    chunk, pre = regime.chunk_sizes[r], regime.pre_encode[r]
+    drop = regime.chunk0_drop() if idx == 0 else regime.drop_extra
+    s0 = max(0, start - pre)
+    s1 = start + chunk
+    return ChunkSpec(idx, start, s0, s1, s1 - s0, s1 - s0, drop, False)
+
+
+def build_schedule_n(num_chunks: int, regime: StreamingRegime) -> List[ChunkSpec]:
+    """First num_chunks chunks of an unbounded stream (reference
+    `_build_schedule` equivalent; used to validate against the NeMo
+    schedule metadata)."""
+    chunks, start = [], 0
+    for idx in range(num_chunks):
+        chunks.append(_spec_at(regime, idx, start))
+        start += regime.shift_sizes[0 if idx == 0 else 1]
+    return chunks
+
+
+def predict_bookkeeping(regime: StreamingRegime, specs: List[ChunkSpec],
+                        keep_all_last: bool = False) -> List[Dict[str, int]]:
+    """Pure-python schedule oracle: per-chunk encoder bookkeeping implied by
+    NeMo cache-aware semantics, validated against all 200 records of the
+    reference's true-NeMo metadata (tests/test_schedule_regimes.py).
+
+    Per chunk: post_drop = sub(input_len) - drop_extra; the first
+    min(post_drop, valid_out_len) steps are emitted; the first
+    max(post_drop - cache_drop, 0) steps enter the caches;
+    cache_len_out = min(cache_len_in + kept, capacity)."""
+    out: List[Dict[str, int]] = []
+    cache_len = 0
+    for spec in specs:
+        input_len = spec.slice_end - spec.slice_start
+        post_drop = max(regime.sub_len(input_len) - spec.drop_extra, 0)
+        if spec.is_last and keep_all_last:
+            kept, enc_len = post_drop, post_drop
+        else:
+            kept = max(post_drop - regime.cache_drop, 0)
+            enc_len = min(post_drop, regime.valid_out_len)
+        new_len = min(cache_len + kept, regime.capacity)
+        out.append({
+            "chunk_idx": spec.idx,
+            "input_len": input_len,
+            "post_drop": post_drop,
+            "kept": kept,
+            "enc_len": enc_len,
+            "cache_len_in": cache_len,
+            "cache_len_out": new_len,
+        })
+        cache_len = new_len
+    return out
+
+
+def build_schedule(total_frames: int, cfg_or_regime,
+                   regime: Optional[StreamingRegime] = None) -> List[ChunkSpec]:
     """Offline helper: chunk a known-length utterance."""
+    if regime is None:
+        regime = (cfg_or_regime if isinstance(cfg_or_regime, StreamingRegime)
+                  else StreamingRegime.from_config(cfg_or_regime))
     chunks: List[ChunkSpec] = []
-    first_chunk, steady_chunk = cfg.chunk_size_frames
-    first_shift, steady_shift = cfg.shift_size_frames
-    pre = cfg.pre_encode_cache_size[1]
     start, idx = 0, 0
     while start < total_frames:
-        if idx == 0:
-            s0, s1 = 0, first_chunk
-            frames, drop_extra, shift = first_chunk, 0, first_shift
-        else:
-            s0, s1 = start - pre, start + steady_chunk
-            frames, drop_extra, shift = steady_chunk + pre, cfg.drop_extra_pre_encoded, steady_shift
+        r = 0 if idx == 0 else 1
+        chunk, pre = regime.chunk_sizes[r], regime.pre_encode[r]
+        drop = regime.chunk0_drop() if idx == 0 else regime.drop_extra
+        s0 = 0 if idx == 0 else start - pre
+        s1 = start + chunk
+        frames = chunk + (0 if idx == 0 else pre)
         is_last = s1 >= total_frames
         valid = min(s1, total_frames) - s0
-        chunks.append(ChunkSpec(idx, start, s0, min(s1, total_frames), frames, valid, drop_extra, is_last))
-        start += shift
+        chunks.append(ChunkSpec(idx, start, s0, min(s1, total_frames), frames,
+                                valid, drop, is_last))
+        start += regime.shift_sizes[r]
         idx += 1
         if is_last:
             break
@@ -90,10 +207,19 @@ class ChunkScheduler:
     steps and the conv stack zero-pads edges anyway, the valid outputs are
     numerically identical to the dedicated 41-frame program (verified in
     tests), while halving the number of compiled programs and enabling
-    lockstep multi-stream batching."""
+    lockstep multi-stream batching. Unified mode implies the default
+    (tiling) chunk-0 semantics and is rejected under nemo_compat_chunk0."""
 
-    def __init__(self, cfg: ModelConfig, unified: bool = False):
+    def __init__(self, cfg: ModelConfig, unified: bool = False,
+                 regime: Optional[StreamingRegime] = None):
         self.cfg = cfg
+        self.regime = regime or StreamingRegime.from_config(cfg)
+        if unified and self.regime.nemo_chunk0_drop:
+            raise ValueError(
+                "unified single-program scheduling reproduces the tiling "
+                "chunk-0 semantics; it cannot express nemo_compat_chunk0 "
+                "(the real export's chunk-0 drop) — use the two-program "
+                "schedule instead")
         self.unified = unified
         self.reset()
 
@@ -104,10 +230,10 @@ class ChunkScheduler:
 
     def next_ready(self, frames_available: int) -> Optional[ChunkSpec]:
         """If enough absolute frames are available, return the next chunk."""
-        cfg = self.cfg
-        first_chunk, steady_chunk = cfg.chunk_size_frames
-        first_shift, steady_shift = cfg.shift_size_frames
-        pre = cfg.pre_encode_cache_size[1]
+        rg = self.regime
+        first_chunk, steady_chunk = rg.chunk_sizes
+        first_shift, steady_shift = rg.shift_sizes
+        pre = rg.pre_encode[1]
         if self._idx == 0:
             if frames_available < first_chunk:
                 return None
@@ -115,9 +241,10 @@ class ChunkScheduler:
                 frames = steady_chunk + pre
                 lead = frames - first_chunk
                 spec = ChunkSpec(0, 0, -lead, first_chunk, frames, frames,
-                                 cfg.drop_extra_pre_encoded, False)
+                                 rg.drop_extra, False)
             else:
-                spec = ChunkSpec(0, 0, 0, first_chunk, first_chunk, first_chunk, 0, False)
+                spec = ChunkSpec(0, 0, 0, first_chunk, first_chunk,
+                                 first_chunk, rg.chunk0_drop(), False)
             self._idx, self._start = 1, first_shift
             return spec
         s0 = self._start - pre
@@ -125,21 +252,22 @@ class ChunkScheduler:
         if frames_available < s1:
             return None
         spec = ChunkSpec(self._idx, self._start, s0, s1, steady_chunk + pre,
-                         steady_chunk + pre, cfg.drop_extra_pre_encoded, False)
+                         steady_chunk + pre, rg.drop_extra, False)
         self._idx += 1
         self._start += steady_shift
         return spec
 
     def flush(self, frames_available: int) -> Optional[ChunkSpec]:
         """End-of-utterance: produce the final (possibly short) chunk."""
-        cfg = self.cfg
-        pre = cfg.pre_encode_cache_size[1]
-        first_chunk, steady_chunk = cfg.chunk_size_frames
+        rg = self.regime
+        pre = rg.pre_encode[1]
+        first_chunk, steady_chunk = rg.chunk_sizes
         if self._idx == 0:
             if frames_available <= 0:
                 return None
             spec = ChunkSpec(0, 0, 0, frames_available, first_chunk,
-                             min(frames_available, first_chunk), 0, True)
+                             min(frames_available, first_chunk),
+                             rg.chunk0_drop(), True)
             self._idx = 1
             return spec
         s0 = self._start - pre
@@ -147,6 +275,6 @@ class ChunkScheduler:
             return None
         spec = ChunkSpec(self._idx, self._start, s0, frames_available,
                          steady_chunk + pre, frames_available - s0,
-                         cfg.drop_extra_pre_encoded, True)
+                         rg.drop_extra, True)
         self._idx += 1
         return spec

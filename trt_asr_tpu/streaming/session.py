@@ -284,6 +284,7 @@ class StreamingSession:
             self.model.params, cfg, x[None], np.int32(valid),
             self._enc_state, self._dec_state,
             drop_extra=spec.drop_extra, cache_drop=cache_drop,
+            valid_cap=None if is_last else cfg.valid_out_len,
             blank_penalty=rt.blank_penalty,
             emitted_so_far=np.int32(len(self._tokens)),
             punct_mask=jnp.asarray(self.model.punct_mask) if rt.suppress_leading_punct else None,
@@ -329,12 +330,13 @@ class StreamingSession:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "drop_extra", "cache_drop", "blank_penalty",
+    static_argnames=("cfg", "drop_extra", "cache_drop", "valid_cap", "blank_penalty",
                      "use_punct_mask", "use_pallas_joint", "trace"),
     donate_argnames=("enc_state", "dec_state"),
 )
 def _session_step(params, cfg: ModelConfig, feats, valid, enc_state: EncoderState,
                   dec_state: DecodeState, *, drop_extra: int, cache_drop: int,
+                  valid_cap=None,
                   blank_penalty: float, emitted_so_far, punct_mask, use_punct_mask: bool,
                   pos_proj=None, use_pallas_joint: bool = False, trace: bool = False):
     """One fused device program: streaming encoder step + TDT decode loop.
@@ -343,7 +345,8 @@ def _session_step(params, cfg: ModelConfig, feats, valid, enc_state: EncoderStat
     bounded per-step decode record buffer (see debug/tdt_trace.py)."""
     enc, out_len, enc_state = encode(
         params, cfg, feats, valid[None] if valid.ndim == 0 else valid,
-        enc_state, drop_extra=drop_extra, cache_drop=cache_drop, pos_proj=pos_proj)
+        enc_state, drop_extra=drop_extra, cache_drop=cache_drop,
+        valid_cap=valid_cap, pos_proj=pos_proj)
     tq = enc.shape[1]
     out = tdt_greedy_decode_chunk(
         params, cfg, enc[0], out_len[0].astype(jnp.int32), dec_state,
