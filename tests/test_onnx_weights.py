@@ -48,7 +48,7 @@ def test_params_onnx_roundtrip(tmp_path, rng):
     params = init_params(cfg, seed=11)
     out = str(tmp_path / "export")
     paths = export_params_to_onnx(params, cfg, out, external_threshold=4096)
-    assert set(paths) == {"encoder", "predictor", "joint"}
+    assert set(paths) == {"encoder", "encoder_streaming", "predictor", "joint"}
     assert os.path.exists(os.path.join(out, "model_meta.json"))
 
     loaded = load_params_from_onnx(cfg, out)
@@ -81,3 +81,106 @@ def test_missing_initializer_strict(tmp_path):
         load_params_from_onnx(cfg, out)
     loaded = load_params_from_onnx(cfg, out, strict=False)
     assert loaded is not None
+
+
+def _reference_style_fixture(cfg, params, out, streaming=True):
+    """Build an ONNX export dir mimicking the REAL reference export exactly
+    (tools/export_onnx/export.py:614-820): wrapper-prefixed initializer
+    names ('predictor.prediction.*' from PredictorWrapper.predictor,
+    'joint.*' from JointWrapper.joint, unprefixed offline encoder /
+    'encoder.*' streaming), reference IO signatures, and the reference
+    model_meta.json schema (:970-997)."""
+    import json
+
+    from trt_asr_tpu.io.onnx_weights import (
+        STREAMING_ENCODER_INPUTS,
+        STREAMING_ENCODER_OUTPUTS,
+        _get_path,
+        encoder_name_map,
+        joint_name_map,
+        predictor_name_map,
+    )
+
+    os.makedirs(out, exist_ok=True)
+    enc_map = encoder_name_map(cfg)
+    # offline encoder: exported unwrapped -> no prefix
+    inits = {n.split(".", 1)[1]: f(_get_path(params, p)).astype(np.float32)
+             for p, n, f, _ in enc_map}
+    write_onnx(os.path.join(out, "encoder.onnx"), "main_graph", inits,
+               ["audio_signal", "length"], ["encoder_output", "encoded_lengths"])
+    if streaming:
+        inits = {n: f(_get_path(params, p)).astype(np.float32)
+                 for p, n, f, _ in enc_map}
+        write_onnx(os.path.join(out, "encoder_streaming.onnx"), "main_graph",
+                   inits, STREAMING_ENCODER_INPUTS, STREAMING_ENCODER_OUTPUTS)
+    # predictor: PredictorWrapper attribute prefix 'predictor.'
+    inits = {"predictor." + n: f(_get_path(params, p)).astype(np.float32)
+             for p, n, f, _ in predictor_name_map(cfg)}
+    write_onnx(os.path.join(out, "predictor.onnx"), "main_graph", inits,
+               ["y", "h", "c"], ["g", "h_out", "c_out"])
+    inits = {n: f(_get_path(params, p)).astype(np.float32)
+             for p, n, f, _ in joint_name_map(cfg)}
+    write_onnx(os.path.join(out, "joint.onnx"), "main_graph", inits,
+               ["encoder_output", "predictor_output"], ["joint_output"])
+    meta = {
+        "model_name": "parakeet-tdt-0.6b-v3",
+        "sample_rate": 16000,
+        "labels": [],
+        "blank_id": cfg.blank_id,
+        "tokenizer_vocab_size": cfg.vocab_size,
+        "joint_vocab_size": cfg.joint_vocab_size,
+        "duration_values": list(cfg.duration_values),
+        "torch_version": "2.9.1+cu128",
+        "tensor_layout_contract": {},
+        "features": {"type": "log-mel", "n_fft": 512, "n_mels": cfg.feat_in,
+                     "hop_length": 160},
+    }
+    with open(os.path.join(out, "model_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+@pytest.mark.parametrize("streaming", [True, False])
+def test_reference_export_fixture_loads_strict(tmp_path, streaming):
+    """A drop-in real Parakeet export (reference naming, wrapper prefixes,
+    reference meta schema) loads strictly with ZERO overrides — both with
+    the streaming encoder component present and offline-only."""
+    import jax
+
+    cfg = ModelConfig.tiny()
+    params = init_params(cfg, seed=5)
+    out = str(tmp_path / "ref_export")
+    _reference_style_fixture(cfg, params, out, streaming=streaming)
+
+    loaded = load_params_from_onnx(cfg, out)  # strict, no override map
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_read_model_meta_both_schemas(tmp_path):
+    from trt_asr_tpu.io.onnx_weights import read_model_meta
+
+    cfg = ModelConfig.tiny()
+    params = init_params(cfg, seed=0)
+    ours = str(tmp_path / "ours")
+    export_params_to_onnx(params, cfg, ours, external_threshold=None)
+    m = read_model_meta(ours)
+    assert m["vocab_size"] == cfg.vocab_size and m["blank_id"] == cfg.blank_id
+    assert m["joint_vocab_size"] == cfg.joint_vocab_size
+    assert m["n_mels"] == cfg.feat_in
+
+    ref = str(tmp_path / "ref")
+    _reference_style_fixture(cfg, params, ref)
+    m = read_model_meta(ref)
+    assert m["vocab_size"] == cfg.vocab_size
+    assert m["duration_values"] == list(cfg.duration_values)
+
+    # cross-field arithmetic is enforced (contract-style validation)
+    import json
+
+    bad = dict(json.load(open(os.path.join(ref, "model_meta.json"))))
+    bad["joint_vocab_size"] = bad["joint_vocab_size"] + 1
+    baddir = str(tmp_path / "bad")
+    os.makedirs(baddir)
+    json.dump(bad, open(os.path.join(baddir, "model_meta.json"), "w"))
+    with pytest.raises(ValueError, match="joint_vocab_size"):
+        read_model_meta(baddir)

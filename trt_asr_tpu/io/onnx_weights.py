@@ -173,18 +173,35 @@ def _set_path(params: Dict[str, Any], path: str, value: np.ndarray) -> None:
         node[last] = value
 
 
+# IO signatures of the reference export (tools/export_onnx/export.py:614-820):
+# encoder.onnx is the OFFLINE component (2-in/2-out); encoder_streaming.onnx
+# carries the 5-in/5-out cache IO. Initializer prefixes come from the export
+# wrappers' attribute names (StreamingEncoderWrapper.encoder,
+# PredictorWrapper.predictor, JointWrapper.joint); the offline encoder is
+# exported unwrapped (no prefix).
+STREAMING_ENCODER_INPUTS = ["audio_signal", "length", "cache_last_channel",
+                            "cache_last_time", "cache_last_channel_len"]
+STREAMING_ENCODER_OUTPUTS = ["encoder_output", "encoded_lengths",
+                             "cache_last_channel_out", "cache_last_time_out",
+                             "cache_last_channel_len_out"]
+
+
 def export_params_to_onnx(params: Dict[str, Any], cfg: ModelConfig, out_dir: str,
                           external_threshold: Optional[int] = 1 << 20) -> Dict[str, str]:
-    """Write encoder.onnx / predictor.onnx / joint.onnx weight components
-    (torch layouts, NeMo state-dict names) + model_meta.json."""
+    """Write the reference export's component layout: encoder.onnx (offline,
+    unprefixed names) + encoder_streaming.onnx (5-in/5-out cache IO,
+    'encoder.'-prefixed names) + predictor.onnx + joint.onnx (torch layouts,
+    NeMo state-dict names) + model_meta.json (reference schema,
+    export.py:970-997)."""
     os.makedirs(out_dir, exist_ok=True)
     paths = {}
+    enc_map = encoder_name_map(cfg)
     comps = {
-        "encoder": (encoder_name_map(cfg),
-                    ["audio_signal", "length", "cache_last_channel",
-                     "cache_last_time", "cache_last_channel_len"],
-                    ["encoder_output", "encoded_lengths", "cache_last_channel_out",
-                     "cache_last_time_out", "cache_last_channel_len_out"]),
+        "encoder": ([(p, n.split(".", 1)[1], f, b) for p, n, f, b in enc_map],
+                    ["audio_signal", "length"],
+                    ["encoder_output", "encoded_lengths"]),
+        "encoder_streaming": (enc_map, STREAMING_ENCODER_INPUTS,
+                              STREAMING_ENCODER_OUTPUTS),
         "predictor": (predictor_name_map(cfg), ["y", "h", "c"], ["g", "h_out", "c_out"]),
         "joint": (joint_name_map(cfg), ["encoder_output", "predictor_output"],
                   ["joint_output"]),
@@ -197,8 +214,24 @@ def export_params_to_onnx(params: Dict[str, Any], cfg: ModelConfig, out_dir: str
         write_onnx(p, comp, inits, ins, outs, external_threshold=external_threshold)
         paths[comp] = p
     meta = {
-        "format": "trt-asr-tpu/onnx-weights/v1",
-        "components": {k: os.path.basename(v) for k, v in paths.items()},
+        # reference model_meta.json schema (export.py:970-997)
+        "model_name": "parakeet-tdt-0.6b-v3",
+        "sample_rate": 16000,
+        "blank_id": cfg.blank_id,
+        "tokenizer_vocab_size": cfg.vocab_size,
+        "joint_vocab_size": cfg.joint_vocab_size,
+        "duration_values": list(cfg.duration_values),
+        "tensor_layout_contract": {
+            "encoder_input": "audio_signal: [B, n_mels, T]",
+            "encoder_output": f"encoder_output: [B, D_enc(={cfg.d_model}), T_enc]",
+            "predictor_input": "y: [B, U], h/c: [L, B, H]",
+            "predictor_output": f"g: [B, H(={cfg.pred_hidden}), U] (transposed from NeMo [B,U,H])",
+            "joint_input": f"encoder_output: [B, {cfg.d_model}, T], predictor_output: [B, {cfg.pred_hidden}, U]",
+            "joint_output": f"joint_output: [B, T, U, V_joint(={cfg.joint_vocab_size})]",
+        },
+        "features": {"type": "log-mel", "n_fft": 512, "n_mels": cfg.feat_in,
+                     "hop_length": 160},
+        # extra (ours): structural config for exact ModelConfig reconstruction
         "config": {"num_layers": cfg.num_layers, "d_model": cfg.d_model,
                    "n_heads": cfg.n_heads, "vocab_size": cfg.vocab_size,
                    "pred_hidden": cfg.pred_hidden, "feat_in": cfg.feat_in},
@@ -206,6 +239,37 @@ def export_params_to_onnx(params: Dict[str, Any], cfg: ModelConfig, out_dir: str
     with open(os.path.join(out_dir, "model_meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
     return paths
+
+
+def read_model_meta(onnx_dir: str) -> Dict[str, Any]:
+    """Read model_meta.json in either the reference export schema
+    (export.py:970-997: model_name/blank_id/tokenizer_vocab_size/
+    joint_vocab_size/duration_values/features) or this repo's legacy v1
+    schema, normalized to one dict. Cross-checks against the contract-style
+    arithmetic (joint = tokenizer + 1 blank + duration bins)."""
+    with open(os.path.join(onnx_dir, "model_meta.json")) as f:
+        raw = json.load(f)
+    if raw.get("format") == "trt-asr-tpu/onnx-weights/v1":   # legacy v1
+        c = raw["config"]
+        return {"vocab_size": c["vocab_size"], "blank_id": c["vocab_size"],
+                "joint_vocab_size": None, "duration_values": None,
+                "n_mels": c["feat_in"], "config": c, "raw": raw}
+    meta = {
+        "vocab_size": raw.get("tokenizer_vocab_size"),
+        "blank_id": raw.get("blank_id"),
+        "joint_vocab_size": raw.get("joint_vocab_size"),
+        "duration_values": raw.get("duration_values"),
+        "n_mels": (raw.get("features") or {}).get("n_mels"),
+        "config": raw.get("config"),
+        "raw": raw,
+    }
+    jv, v, dv = meta["joint_vocab_size"], meta["vocab_size"], meta["duration_values"]
+    if jv is not None and v is not None and dv is not None:
+        if jv != v + 1 + len(dv):
+            raise ValueError(
+                f"model_meta inconsistent: joint_vocab_size {jv} != "
+                f"tokenizer {v} + 1 blank + {len(dv)} duration bins")
+    return meta
 
 
 def load_params_from_onnx(cfg: ModelConfig, onnx_dir: str,
@@ -222,23 +286,43 @@ def load_params_from_onnx(cfg: ModelConfig, onnx_dir: str,
         with open(name_map_override) as f:
             override = json.load(f)
 
+    # The streaming encoder export carries the same weights as the offline
+    # one; prefer it when present (real export dirs ship both — its
+    # 'encoder.'-prefixed names match our canonical map directly).
+    enc_file = "encoder_streaming.onnx" if os.path.exists(
+        os.path.join(onnx_dir, "encoder_streaming.onnx")) else "encoder.onnx"
+
     missing: List[str] = []
-    for comp, name_map in (("encoder", encoder_name_map(cfg)),
-                           ("predictor", predictor_name_map(cfg)),
-                           ("joint", joint_name_map(cfg))):
-        model = read_onnx(os.path.join(onnx_dir, f"{comp}.onnx"))
+    for comp_file, name_map in ((enc_file, encoder_name_map(cfg)),
+                                ("predictor.onnx", predictor_name_map(cfg)),
+                                ("joint.onnx", joint_name_map(cfg))):
+        model = read_onnx(os.path.join(onnx_dir, comp_file))
         inits = model.initializers
+        # wrapper-prefix tolerance: the export wrappers prepend their
+        # attribute name (e.g. 'predictor.prediction.embed.weight' from
+        # PredictorWrapper.predictor); resolve by unique dotted suffix.
+        by_suffix: Dict[str, List[str]] = {}
+        for k in inits:
+            parts = k.split(".")
+            for i in range(len(parts)):
+                by_suffix.setdefault(".".join(parts[i:]), []).append(k)
         for path, onnx_name, _fwd, bwd in name_map:
             name = override.get(path, onnx_name)
             t = inits.get(name)
             if t is None:
-                # tolerate common prefixes from graph exporters
+                # tolerate exporter prefixes both ways: our name with its
+                # first segment stripped, an 'onnx::' mangling, or any
+                # initializer whose dotted suffix matches uniquely
                 for cand in (name, name.split(".", 1)[-1], "onnx::" + name):
                     if cand in inits:
                         t = inits[cand]
                         break
+                    hits = by_suffix.get(cand, [])
+                    if len(hits) == 1:
+                        t = inits[hits[0]]
+                        break
             if t is None or t.array is None:
-                missing.append(f"{comp}:{name}")
+                missing.append(f"{comp_file}:{name}")
                 continue
             _set_path(params, path, bwd(t.array).astype(np.float32))
     if missing and strict:
