@@ -106,3 +106,130 @@ def test_short_utterance_flush(model):
         if e.type == 1:
             finals.append(e)
     assert len(finals) == 1
+
+
+def _drain(q_poll, sid=None):
+    evs = []
+    while (e := (q_poll(sid) if sid is not None else q_poll())) is not None:
+        evs.append(e)
+    return evs
+
+
+def test_event_protocol_parity_with_session(model):
+    """VERDICT r1 #8: batched event protocol == single-stream session
+    protocol — real segment ids, partial pacing, strictly-growing partial
+    prefixes, one final, ERROR on push-after-finalize."""
+    rt = RuntimeConfig(suppress_leading_punct=False, partial_min_interval_ms=0)
+    audio = _audio(40000, 4)
+
+    # single-stream reference protocol
+    sess = StreamingSession(model, rt)
+    sess._sched = ChunkScheduler(model.cfg, unified=True)
+    for s in range(0, len(audio), 8000):
+        sess.push_audio(audio[s : s + 8000])
+    sess.finalize()
+    sev = _drain(lambda _ : sess.poll_event(), 0)
+    sess.push_features(np.zeros((5, model.cfg.feat_in), np.float32))  # misuse
+    serr = _drain(lambda _: sess.poll_event(), 0)
+
+    eng = BatchStreamingEngine(model, batch_size=2, runtime=rt)
+    sid = eng.open_stream()
+    for s in range(0, len(audio), 8000):
+        eng.push_audio(sid, audio[s : s + 8000])
+        while eng.step():
+            pass
+    eng.finalize_stream(sid)
+    eng.run_until_drained()
+    eev = _drain(eng.poll_event, sid)
+    eng.push_features(sid, np.zeros((5, model.cfg.feat_in), np.float32))
+    eerr = _drain(eng.poll_event, sid)
+
+    # same terminal protocol: exactly one FINAL with identical tokens
+    sfin = [e for e in sev if e.type == 1]
+    efin = [e for e in eev if e.type == 1]
+    assert len(sfin) == 1 and len(efin) == 1
+    assert efin[0].tokens == sfin[0].tokens
+    # real segment ids (session starts at 1; engine slot generation 1)
+    assert {e.segment_id for e in sev} == {1}
+    assert {e.segment_id for e in eev} == {1}
+    # partials: non-empty, strictly growing prefixes of the final
+    eparts = [e.tokens for e in eev if e.type == 0]
+    assert eparts, "pacing=0 with emitted tokens must produce partials"
+    for i, p in enumerate(eparts):
+        assert p == efin[0].tokens[: len(p)]
+        if i:
+            assert len(p) > len(eparts[i - 1])
+    # ERROR parity on push-after-finalize
+    assert [e.type for e in serr] == [2] and [e.type for e in eerr] == [2]
+    assert "finalize" in eerr[0].error_message
+
+    # pacing: with an effectively-infinite interval neither emits partials
+    rt2 = RuntimeConfig(suppress_leading_punct=False,
+                        partial_min_interval_ms=10**9)
+    eng2 = BatchStreamingEngine(model, batch_size=2, runtime=rt2)
+    sid2 = eng2.open_stream()
+    eng2.push_audio(sid2, audio)
+    eng2.finalize_stream(sid2)
+    eng2.run_until_drained()
+    types = [e.type for e in _drain(eng2.poll_event, sid2)]
+    assert types == [1], types
+
+    # slot reuse bumps the segment id (utterance generation)
+    eng2.close_stream(sid2)
+    sid3 = eng2.open_stream()
+    eng2.push_audio(sid3, audio[:16000])
+    eng2.finalize_stream(sid3)
+    eng2.run_until_drained()
+    evs = _drain(eng2.poll_event, sid3)
+    assert evs and all(e.segment_id == 2 for e in evs)
+
+
+def test_mid_flight_attach_under_load(model):
+    """A stream attached while the batch is mid-utterance matches its
+    single-stream reference token-exactly, and doesn't disturb the running
+    stream."""
+    rt = RuntimeConfig(suppress_leading_punct=False)
+    eng = BatchStreamingEngine(model, batch_size=4, runtime=rt)
+    a0, a1 = _audio(48000, 11), _audio(32000, 12)
+
+    s0 = eng.open_stream()
+    eng.push_audio(s0, a0[:24000])
+    steps = 0
+    while eng.step():
+        steps += 1
+    assert steps > 0, "stream 0 must be mid-utterance before attach"
+
+    s1 = eng.open_stream()   # attach under load
+    eng.push_audio(s1, a1)
+    eng.push_audio(s0, a0[24000:])
+    eng.finalize_stream(s1)
+    eng.run_until_drained()
+    eng.finalize_stream(s0)
+    eng.run_until_drained()
+
+    for sid, a in ((s0, a0), (s1, a1)):
+        want = _single_stream_tokens(model, a)
+        got = [e for e in _drain(eng.poll_event, sid) if e.type == 1][0].tokens
+        assert got == want, f"stream {sid}"
+
+
+def test_flush_inside_lockstep_batch(model):
+    """A finalizing stream's keep-all flush runs INSIDE the lockstep batched
+    program while another stream continues steady chunks (no single-row
+    escape; VERDICT r1 weak #5)."""
+    rt = RuntimeConfig(suppress_leading_punct=False)
+    eng = BatchStreamingEngine(model, batch_size=2, runtime=rt)
+    s0, s1 = eng.open_stream(), eng.open_stream()
+    a0, a1 = _audio(48000, 21), _audio(20000, 22)
+    eng.push_audio(s0, a0)
+    eng.push_audio(s1, a1)
+    eng.finalize_stream(s1)    # s1 flushes while s0 still has steady chunks
+    n_before = len(eng.step_latencies_ms)
+    eng.run_until_drained()
+    eng.finalize_stream(s0)
+    eng.run_until_drained()
+    assert len(eng.step_latencies_ms) > n_before
+    for sid, a in ((s0, a0), (s1, a1)):
+        want = _single_stream_tokens(model, a)
+        got = [e for e in _drain(eng.poll_event, sid) if e.type == 1][0].tokens
+        assert got == want, f"stream {sid}"

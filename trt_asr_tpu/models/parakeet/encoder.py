@@ -217,6 +217,11 @@ def encode(
     cache_drop: int = 0,           # static: trailing lookahead steps kept out of caches
     valid_cap: Optional[int] = None,  # static: emission cap (streaming.valid_out_len);
                                       # None = emit up to Tq - cache_drop (legacy coupling)
+    cache_drop_vec: Optional[jnp.ndarray] = None,  # [B] traced per-row cache_drop —
+                                      # lets a lockstep batch mix steady chunks
+                                      # (drop 3) and final flush chunks (drop 0)
+                                      # in ONE program (overrides `cache_drop`)
+    valid_cap_vec: Optional[jnp.ndarray] = None,   # [B] traced per-row emission cap
     compute_dtype=jnp.float32,
     pos_proj: Optional[jnp.ndarray] = None,  # precomputed [L, R, D] (see precompute_pos_proj)
     use_pallas_ffn: bool = False,
@@ -256,8 +261,16 @@ def encode(
         att_cache0 = kv_cache0 = None  # offline: no zero-size arrays in the scan
         time_cache0 = jnp.zeros((cfg.num_layers, b, cfg.conv_context_size, d), compute_dtype)
 
-    cache_keep = max(tq - cache_drop, 0)
-    appended = jnp.minimum(sub_len, cache_keep).astype(jnp.int32)
+    if cache_drop_vec is not None:
+        # per-row dynamic keep: slice the whole block statically, bound the
+        # per-row write count by `appended` (the ring scatter masks by it)
+        cache_keep = tq
+        keep_vec = jnp.maximum(tq - cache_drop_vec.astype(jnp.int32), 0)
+        appended = jnp.minimum(sub_len, keep_vec).astype(jnp.int32)
+    else:
+        keep_vec = None
+        cache_keep = max(tq - cache_drop, 0)
+        appended = jnp.minimum(sub_len, cache_keep).astype(jnp.int32)
 
     if pos_proj is None:
         # one einsum for all layers (input-independent; sessions may pass a
@@ -318,7 +331,11 @@ def encode(
     out_len = jnp.minimum(sub_len, tq)
     new_state = None
     if streaming:
-        out_len = jnp.minimum(out_len, valid_cap if valid_cap is not None else cache_keep)
+        if keep_vec is not None:
+            cap = valid_cap_vec if valid_cap_vec is not None else keep_vec
+        else:
+            cap = valid_cap if valid_cap is not None else cache_keep
+        out_len = jnp.minimum(out_len, cap)
         new_cache_len = jnp.minimum(cache_len + appended, c_size).astype(jnp.int32)
         new_cursor = ((cursor + appended) % max(c_size, 1)).astype(jnp.int32)
         new_state = EncoderState(new_att, new_time, new_kv, new_cache_len, new_cursor)

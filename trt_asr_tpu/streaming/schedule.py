@@ -265,9 +265,20 @@ class ChunkScheduler:
         if self._idx == 0:
             if frames_available <= 0:
                 return None
-            spec = ChunkSpec(0, 0, 0, frames_available, first_chunk,
-                             min(frames_available, first_chunk),
-                             rg.chunk0_drop(), True)
+            if self.unified:
+                # keep the single program shape for sub-first-chunk
+                # utterances too: lead zeros + available frames (the lead
+                # subsamples onto exactly the drop_extra steps, as for a
+                # full unified first chunk)
+                frames = steady_chunk + pre
+                lead = frames - first_chunk
+                avail = min(frames_available, first_chunk)
+                spec = ChunkSpec(0, 0, -lead, avail, frames, lead + avail,
+                                 rg.drop_extra, True)
+            else:
+                spec = ChunkSpec(0, 0, 0, frames_available, first_chunk,
+                                 min(frames_available, first_chunk),
+                                 rg.chunk0_drop(), True)
             self._idx = 1
             return spec
         s0 = self._start - pre
