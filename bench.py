@@ -101,12 +101,13 @@ def main() -> int:
     def make_step(b):
         valid = jnp.full((b,), frames, jnp.int32)
         emitted = jnp.zeros((b,), jnp.int32)
+        cache_drop = jnp.full((b,), cfg.cache_drop_size, jnp.int32)
+        valid_cap = jnp.full((b,), cfg.valid_out_len, jnp.int32)
 
         def step(f, es, ds):
             toks, n, es, ds = _batch_step(
-                params, cfg, f, valid, es, ds, emitted,
-                drop_extra=cfg.drop_extra_pre_encoded,
-                cache_drop=cfg.cache_drop_size, max_tokens=max_tokens,
+                params, cfg, f, valid, es, ds, emitted, cache_drop, valid_cap,
+                drop_extra=cfg.drop_extra_pre_encoded, max_tokens=max_tokens,
                 use_pallas_joint=not args.no_pallas)
             return toks, n, es, ds
 

@@ -61,7 +61,9 @@ def _run(model, params, feats, valid, enc, dec, n_chunks=3, seed=0):
             rng.standard_normal(feats.shape).astype(np.float32))
         toks, n, enc, dec = _batch_step(
             params, cfg, jnp.asarray(x), jnp.asarray(valid), enc, dec, emitted,
-            drop_extra=cfg.drop_extra_pre_encoded, cache_drop=cfg.cache_drop_size,
+            jnp.full((B,), cfg.cache_drop_size, jnp.int32),
+            jnp.full((B,), cfg.valid_out_len, jnp.int32),
+            drop_extra=cfg.drop_extra_pre_encoded,
             max_tokens=max_tokens)
         emitted = emitted + n
         outs.append((np.asarray(toks), np.asarray(n)))

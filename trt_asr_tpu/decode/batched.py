@@ -60,6 +60,7 @@ def tdt_greedy_decode_batch(
         emitted_so_far = jnp.zeros((b,), jnp.int32)
 
     enc_proj = joint_project_enc(params["joint"], enc)            # [B, T, J]
+    tq = enc_proj.shape[1]
     bi = jnp.arange(b)
     if use_pallas_joint:
         from trt_asr_tpu.ops.pallas.joint_step_kernel import (
@@ -67,35 +68,54 @@ def tdt_greedy_decode_batch(
 
         padded_w = pad_joint_weights(params["joint"])
 
+    def compute_vecs(g, n):
+        """Blank-run batching (see tdt_greedy.py module docstring): the
+        argmax token/duration of EVERY (row, step) under each row's current
+        g in one fused matmul. One recompute costs the same HBM traffic as
+        one per-step iteration (both read the 10 MB out-projection once),
+        so recomputing ALL rows whenever ANY row's g changed is exact
+        (idempotent for unchanged rows) and strictly cheaper than stepping."""
+        if use_pallas_joint:
+            g_rows = jnp.repeat(g, tq, axis=0)                     # [B*T, P]
+            toks, dur_sel, _ = joint_step_pallas_prepadded(
+                enc_proj.reshape(b * tq, -1), g_rows, *padded_w, ths=ths,
+                ndur=cfg.num_duration_bins, blank_id=blank,
+                blank_penalty=blank_penalty, interpret=pallas_interpret)
+            toks = toks.reshape(b, tq)
+            dur_sel = dur_sel.reshape(b, tq)
+        else:
+            logits = joint_apply_projected(enc_proj, g)            # [B, T, V]
+            tok_logits = logits[..., :ths]
+            if blank_penalty:
+                tok_logits = tok_logits.at[..., blank].add(-blank_penalty)
+            dur_logits = logits[..., ths : ths + cfg.num_duration_bins]
+            toks = jnp.argmax(tok_logits, axis=-1).astype(jnp.int32)
+            dur_sel = jnp.argmax(dur_logits, axis=-1)
+        if use_punct_mask and punct_mask is not None:
+            first = ((emitted_so_far + n) == 0)[:, None]
+            toks = jnp.where(first & punct_mask[toks], blank, toks)
+        return toks, dur_values[dur_sel].astype(jnp.int32)
+
+    def joint_apply_projected(e_proj, g):
+        from trt_asr_tpu.models.parakeet.joint import _proj
+
+        h = jnp.maximum(e_proj + _proj(params["joint"]["pred"], g)[:, None, :], 0)
+        return _proj(params["joint"]["out"], h)
+
     def cond(carry):
         time_idx = carry[0]
         return jnp.any(time_idx < t_enc)
 
     def body(carry):
-        time_idx, u_count, dstate, tokens, n = carry
+        time_idx, u_count, dstate, tokens, n, any_stale, tok_vec, dur_vec = carry
+        tok_vec, dur_vec = lax.cond(
+            any_stale, lambda _: compute_vecs(dstate.g, n),
+            lambda _: (tok_vec, dur_vec), None)
         active = time_idx < t_enc
 
-        t_c = jnp.clip(time_idx, 0, enc_proj.shape[1] - 1)
-        e_t = jnp.take_along_axis(enc_proj, t_c[:, None, None], axis=1)[:, 0]  # [B, J]
-
-        if use_pallas_joint:
-            best_tok, dur_sel, _ = joint_step_pallas_prepadded(
-                e_t, dstate.g, *padded_w, ths=ths, ndur=cfg.num_duration_bins,
-                blank_id=blank, blank_penalty=blank_penalty,
-                interpret=pallas_interpret)
-        else:
-            logits = joint_from_projected(params["joint"], e_t, dstate.g)     # [B, V]
-            tok_logits = logits[:, :ths]
-            if blank_penalty:
-                tok_logits = tok_logits.at[:, blank].add(-blank_penalty)
-            dur_logits = logits[:, ths : ths + cfg.num_duration_bins]
-            best_tok = jnp.argmax(tok_logits, axis=-1).astype(jnp.int32)
-            dur_sel = jnp.argmax(dur_logits, axis=-1)
-
-        if use_punct_mask and punct_mask is not None:
-            suppress = ((emitted_so_far + n) == 0) & punct_mask[best_tok]
-            best_tok = jnp.where(suppress, blank, best_tok)
-        duration = dur_values[dur_sel]
+        t_c = jnp.clip(time_idx, 0, tq - 1)
+        best_tok = tok_vec[bi, t_c]
+        duration = dur_vec[bi, t_c]
         is_blank = best_tok == blank
         advance = jnp.where(is_blank & (duration == 0), 1, duration)
         hit_cap = u_count >= (max_symbols - 1)
@@ -119,12 +139,15 @@ def tdt_greedy_decode_batch(
 
         u_count = jnp.where(advance > 0, 0, u_count + 1)
         time_idx = time_idx + jnp.where(active, advance, 0)
-        return (time_idx, u_count, new_dstate, tokens, n)
+        return (time_idx, u_count, new_dstate, tokens, n, jnp.any(emit),
+                tok_vec, dur_vec)
 
     tokens0 = jnp.full((b, max_tokens), -1, jnp.int32)
     init = (state.time_carry.astype(jnp.int32), jnp.zeros((b,), jnp.int32),
-            state, tokens0, jnp.zeros((b,), jnp.int32))
-    time_final, _, final_state, tokens, n = lax.while_loop(cond, body, init)
+            state, tokens0, jnp.zeros((b,), jnp.int32), jnp.asarray(True),
+            jnp.zeros((b, tq), jnp.int32), jnp.zeros((b, tq), jnp.int32))
+    time_final, _, final_state, tokens, n, _, _, _ = lax.while_loop(
+        cond, body, init)
     carry = jnp.maximum(time_final - t_enc, 0).astype(jnp.int32)
     final_state = final_state._replace(time_carry=carry)
     return tokens, n, final_state

@@ -14,6 +14,16 @@ Semantics identical to host_decode.py (the parity test for this kernel).
 Termination: every iteration either advances time or increments the
 per-timestep symbol count; at max_symbols the advance is forced
 (reference :3665-3676), so the loop is bounded by t_enc * max_symbols.
+
+Blank-run batching (the key TPU decode optimization): ``g`` — the cached
+predictor output — changes ONLY on token emission, so the joint logits of
+EVERY time step of the chunk are computed in one batched [Tq, V] matmul
+per g-value, and the argmax token/duration vectors are carried through the
+loop until the next emission marks them stale. Decode-loop matmul count
+drops from O(#steps) to O(#emits + 1) per chunk; the per-step work between
+emissions is two vector lookups and scalar control flow. Decisions are
+bit-identical to the per-step formulation (the walk only consumes rows it
+would have computed with the same g).
 """
 
 from __future__ import annotations
@@ -116,39 +126,47 @@ def tdt_greedy_decode_chunk(
         emitted_so_far = jnp.zeros((), jnp.int32)
 
     enc_proj = joint_project_enc(params["joint"], enc[None])[0]   # [T, J]
+    tq = enc_proj.shape[0]
     if use_pallas_joint:
         from trt_asr_tpu.ops.pallas.joint_step_kernel import (
             joint_step_pallas_prepadded, pad_joint_weights)
 
         padded_w = pad_joint_weights(params["joint"])   # once, outside the loop
 
+    def compute_vecs(g, n):
+        """Token/duration argmax for EVERY chunk step under the current g
+        (one batched matmul — see module docstring, blank-run batching)."""
+        if use_pallas_joint:
+            g_rows = jnp.broadcast_to(g, (tq, g.shape[-1]))
+            toks, dur_sel, _ = joint_step_pallas_prepadded(
+                enc_proj, g_rows, *padded_w, ths=ths,
+                ndur=cfg.num_duration_bins, blank_id=blank,
+                blank_penalty=blank_penalty, interpret=pallas_interpret)
+        else:
+            logits = joint_from_projected(params["joint"], enc_proj, g)  # [T, V]
+            tok_logits = logits[:, :ths]
+            if blank_penalty:
+                tok_logits = tok_logits.at[:, blank].add(-blank_penalty)
+            dur_logits = lax.dynamic_slice_in_dim(logits, ths,
+                                                  cfg.num_duration_bins, axis=1)
+            toks = jnp.argmax(tok_logits, axis=1).astype(jnp.int32)
+            dur_sel = jnp.argmax(dur_logits, axis=1)
+        if use_punct_mask and punct_mask is not None:
+            first = (emitted_so_far + n) == 0
+            toks = jnp.where(first & punct_mask[toks], blank, toks)
+        return toks, dur_values[dur_sel].astype(jnp.int32)
+
     def cond(carry):
         return carry[0] < t_enc
 
     def body(carry):
-        time_idx, u_count, dstate, tokens, n, aux = carry
-        e_t = lax.dynamic_slice_in_dim(enc_proj, time_idx, 1, axis=0)  # [1, J]
+        time_idx, u_count, dstate, tokens, n, stale, tok_vec, dur_vec, aux = carry
+        tok_vec, dur_vec = lax.cond(
+            stale, lambda _: compute_vecs(dstate.g[0:1], n),
+            lambda _: (tok_vec, dur_vec), None)
 
-        if use_pallas_joint:
-            toks_b, durs_b, _ = joint_step_pallas_prepadded(
-                e_t, dstate.g, *padded_w, ths=ths, ndur=cfg.num_duration_bins,
-                blank_id=blank, blank_penalty=blank_penalty,
-                interpret=pallas_interpret)
-            best_tok = toks_b[0]
-            dur_sel = durs_b[0]
-        else:
-            logits = joint_from_projected(params["joint"], e_t, dstate.g)[0]
-            tok_logits = logits[:ths]
-            if blank_penalty:
-                tok_logits = tok_logits.at[blank].add(-blank_penalty)
-            dur_logits = lax.dynamic_slice_in_dim(logits, ths, cfg.num_duration_bins)
-            best_tok = jnp.argmax(tok_logits).astype(jnp.int32)
-            dur_sel = jnp.argmax(dur_logits)
-
-        if use_punct_mask and punct_mask is not None:
-            suppress = (emitted_so_far + n == 0) & punct_mask[best_tok]
-            best_tok = jnp.where(suppress, blank, best_tok)
-        duration = dur_values[dur_sel]
+        best_tok = tok_vec[time_idx]
+        duration = dur_vec[time_idx]
         is_blank = best_tok == blank
         advance = jnp.where(is_blank & (duration == 0), 1, duration)
 
@@ -179,7 +197,9 @@ def tdt_greedy_decode_chunk(
 
         u_count = jnp.where(advance > 0, 0, u_count + 1)
         time_idx = time_idx + advance
-        return (time_idx, u_count, new_dstate, tokens, n, aux)
+        # g changed on emit -> the cached per-step argmax vectors are stale
+        return (time_idx, u_count, new_dstate, tokens, n, emit,
+                tok_vec, dur_vec, aux)
 
     tokens0 = jnp.full((max_tokens,), -1, jnp.int32)
     if trace:
@@ -188,8 +208,10 @@ def tdt_greedy_decode_chunk(
     else:
         aux0 = ()
     init = (state.time_carry[0].astype(jnp.int32), jnp.zeros((), jnp.int32),
-            state, tokens0, jnp.zeros((), jnp.int32), aux0)
-    time_final, _, final_state, tokens, n, aux = lax.while_loop(cond, body, init)
+            state, tokens0, jnp.zeros((), jnp.int32), jnp.asarray(True),
+            jnp.zeros((tq,), jnp.int32), jnp.zeros((tq,), jnp.int32), aux0)
+    time_final, _, final_state, tokens, n, _, _, _, aux = lax.while_loop(
+        cond, body, init)
     carry = jnp.maximum(time_final - t_enc, 0).astype(jnp.int32)
     final_state = final_state._replace(time_carry=jnp.full_like(state.time_carry, carry))
     if trace:
