@@ -7,6 +7,7 @@ import os
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -94,3 +95,67 @@ def test_tdt_trace_comparison(goldens, tmp_path):
     out = _run([os.path.join(REPO, "tools/parity/compare_tdt_trace.py"), gtrace, bad])
     assert out.returncode == 1
     assert "FIRST DIVERGENCE" in out.stdout
+
+
+class TestCacheDiagnostics:
+    """The three forensic checks that localized the reference's
+    cache_last_time drift (diagnose_cache_time_mismatch.py,
+    ort_cache_sensitivity.py) — see tools/parity/cache_diagnostics.py."""
+
+    def test_per_axis_detects_padding_side(self):
+        from tools.parity.cache_diagnostics import masked_error, per_axis_error
+
+        rng = np.random.default_rng(0)
+        ref = rng.standard_normal((1, 2, 16, 4)).astype(np.float32)
+        ref[..., 3] = 0.0                      # padding slot
+        got = ref.copy()
+        got[..., 3] += 0.5                     # junk only in the padding slot
+        r = per_axis_error(got, ref, axis=3, verbose=False)
+        assert r["interpretation"] == "padding_side_mismatch" and r["worst"] == 3
+        m = masked_error(got, ref, threshold=1e-3, verbose=False)
+        assert m["interpretation"] == "padding_junk"
+
+        got2 = ref + 0.01 * rng.standard_normal(ref.shape).astype(np.float32)
+        r2 = per_axis_error(got2, ref, axis=3, verbose=False)
+        assert r2["interpretation"] in ("uniform_error", "mixed")
+        m2 = masked_error(got2, ref, verbose=False)
+        assert m2["interpretation"] == "real_error"
+
+    def test_cache_sensitivity_classifies(self):
+        """After warm chunks both caches must be strongly sensitive (they
+        feed attention/conv); perturbing proves the wiring is live — the
+        reference used this to show its cache_time mismatch was blocking."""
+        import jax.numpy as jnp
+
+        from tools.parity.cache_diagnostics import cache_sensitivity
+        from trt_asr_tpu.config import ModelConfig
+        from trt_asr_tpu.models.parakeet import (
+            encode, init_encoder_state, init_params)
+        from trt_asr_tpu.streaming import build_schedule
+        from trt_asr_tpu.streaming.schedule import extract_chunk
+
+        cfg = ModelConfig.tiny()
+        params = init_params(cfg, seed=1)
+        rng = np.random.default_rng(1)
+        feats = (0.5 * rng.standard_normal((180, cfg.feat_in))).astype(np.float32)
+        sched = build_schedule(180, cfg)
+        state = init_encoder_state(cfg, 1)
+        for spec in sched[:4]:
+            x = extract_chunk(feats, spec)
+            _, _, state = encode(params, cfg, jnp.asarray(x[None]),
+                                 np.asarray([spec.valid_frames], np.int32),
+                                 state, drop_extra=spec.drop_extra,
+                                 cache_drop=cfg.cache_drop_size)
+        spec = sched[4]
+        x = extract_chunk(feats, spec)[None]
+        for which in ("time", "channel"):
+            r = cache_sensitivity(params, cfg, x, spec.valid_frames, state,
+                                  which=which, drop_extra=spec.drop_extra,
+                                  cache_drop=cfg.cache_drop_size, verbose=False)
+            assert r["interpretation"] == "strongly_sensitive", r
+        # zeroing cache_len invalidates the history -> also a live input
+        r = cache_sensitivity(params, cfg, x, spec.valid_frames, state,
+                              which="len", drop_extra=spec.drop_extra,
+                              cache_drop=cfg.cache_drop_size,
+                              noise_scales=(), verbose=False)
+        assert r["max_effect"] > 1e-3
