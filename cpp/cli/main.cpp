@@ -72,6 +72,42 @@ bool load_wav_16k_mono(const std::string& path, std::vector<float>& out) {
     return false;
 }
 
+// Minimal sidecar scanner: extract "key": <int> / "key": "str" from the tap
+// JSON sidecar (debug/taps.py schema; reference rust/cli/src/main.rs:226-262).
+bool sidecar_int(const std::string& raw, const char* key, long* out) {
+    const std::string pat = std::string("\"") + key + "\"";
+    size_t p = raw.find(pat);
+    if (p == std::string::npos) return false;
+    p = raw.find(':', p);
+    if (p == std::string::npos) return false;
+    *out = std::strtol(raw.c_str() + p + 1, nullptr, 10);
+    return true;
+}
+
+bool sidecar_str(const std::string& raw, const char* key, std::string* out) {
+    const std::string pat = std::string("\"") + key + "\"";
+    size_t p = raw.find(pat);
+    if (p == std::string::npos) return false;
+    p = raw.find(':', p);
+    size_t q0 = raw.find('"', p + 1);
+    if (q0 == std::string::npos) return false;
+    size_t q1 = raw.find('"', q0 + 1);
+    if (q1 == std::string::npos) return false;
+    *out = raw.substr(q0 + 1, q1 - q0 - 1);
+    return true;
+}
+
+void dump_features_file(const std::string& path, const float* feats,
+                        size_t frames, int n_mels) {
+    std::ofstream f(path, std::ios::binary);
+    f.write(reinterpret_cast<const char*>(feats),
+            static_cast<std::streamsize>(frames * static_cast<size_t>(n_mels)
+                                         * sizeof(float)));
+    std::ofstream j(path + ".json");
+    j << "{\n \"kind\": \"mel_features_f32\",\n \"layout\": \"frames_major\","
+      << "\n \"bins\": " << n_mels << ",\n \"frames\": " << frames << "\n}\n";
+}
+
 void drain(ParakeetSession* s) {
     ParakeetEvent ev;
     while (parakeet_poll_event(s, &ev)) {
@@ -88,8 +124,9 @@ void drain(ParakeetSession* s) {
 }  // namespace
 
 int main(int argc, char** argv) {
-    std::string input, model_dir, feature_norm = "per_feature";
+    std::string input, model_dir, feature_norm = "per_feature", dump_features;
     double stream_sim = 0.0;
+    int n_mels = 0;  // 0 = from sidecar (replay) or 128 default
     bool raw_pcm = false, features_input = false, mock = false, no_sleep = false;
     std::string last_final;
 
@@ -101,6 +138,8 @@ int main(int argc, char** argv) {
         else if (a == "--raw-pcm") raw_pcm = true;
         else if (a == "--features-input") features_input = true;
         else if (a == "--feature-norm") feature_norm = next();
+        else if (a == "--n-mels") n_mels = std::atoi(next().c_str());
+        else if (a == "--dump-features") dump_features = next();
         else if (a == "--mock") mock = true;
         else if (a == "--no-sleep") no_sleep = true;
         else if (a[0] != '-') input = a;
@@ -113,7 +152,7 @@ int main(int argc, char** argv) {
         std::fprintf(stderr,
                      "usage: trt_asr_cli <input> --model-dir DIR [--stream-sim S] "
                      "[--raw-pcm] [--features-input] [--feature-norm none|per_feature] "
-                     "[--mock] [--no-sleep]\n");
+                     "[--n-mels N] [--dump-features PATH] [--mock] [--no-sleep]\n");
         return 2;
     }
 
@@ -129,20 +168,46 @@ int main(int argc, char** argv) {
     }
     std::fprintf(stderr, "%s\n", trt_asr_runtime_info(sess));
 
-    trt_asr::LogMelExtractor mel;
-
     if (features_input) {
+        // replay a tap dump: raw f32 + JSON sidecar (layout/bins), the
+        // deterministic-replay path (reference main.rs:209-338). --n-mels
+        // overrides the sidecar, like the reference's flag.
         std::ifstream f(input, std::ios::binary);
         std::vector<char> raw((std::istreambuf_iterator<char>(f)),
                               std::istreambuf_iterator<char>());
-        const size_t frames = raw.size() / sizeof(float) / 128;
+        std::string layout = "frames_major";
+        {
+            std::ifstream js(input + ".json");
+            if (js) {
+                std::string sc((std::istreambuf_iterator<char>(js)),
+                               std::istreambuf_iterator<char>());
+                long bins = 0;
+                if (n_mels == 0 && sidecar_int(sc, "bins", &bins) && bins > 0)
+                    n_mels = static_cast<int>(bins);
+                sidecar_str(sc, "layout", &layout);
+            }
+        }
+        if (n_mels == 0) n_mels = 128;
+        const size_t nm = static_cast<size_t>(n_mels);
+        const size_t frames = raw.size() / sizeof(float) / nm;
+        float* data = reinterpret_cast<float*>(raw.data());
+        std::vector<float> tc;
+        if (layout == "bins_major") {   // [C, T] -> [T, C]
+            tc.resize(frames * nm);
+            for (size_t t = 0; t < frames; ++t)
+                for (size_t c = 0; c < nm; ++c) tc[t * nm + c] = data[c * frames + t];
+            data = tc.data();
+        }
         for (size_t s0 = 0; s0 < frames; s0 += 256) {
             const size_t n = std::min<size_t>(256, frames - s0);
-            trt_asr_push_features_tc(
-                sess, reinterpret_cast<float*>(raw.data()) + s0 * 128, n);
+            trt_asr_push_features_tc(sess, data + s0 * nm, n);
             drain(sess);
         }
     } else {
+        if (n_mels == 0) n_mels = 128;
+        trt_asr::FeatureConfig fcfg;
+        fcfg.n_mels = n_mels;
+        trt_asr::LogMelExtractor mel(fcfg);
         std::vector<float> audio;
         if (raw_pcm) {
             std::ifstream f(input, std::ios::binary);
@@ -160,10 +225,14 @@ int main(int argc, char** argv) {
         // per_feature semantics, main.rs:398-405)
         std::vector<float> feats = mel.compute(audio.data(), audio.size());
         const int total_frames = mel.num_frames(audio.size());
+        const size_t nm = static_cast<size_t>(n_mels);
         if (feature_norm == "per_feature" && total_frames > 1) {
-            auto stats = trt_asr::compute_per_feature_stats(feats.data(), total_frames, 128);
-            trt_asr::apply_per_feature_norm(feats.data(), total_frames, 128, stats);
+            auto stats = trt_asr::compute_per_feature_stats(feats.data(), total_frames, n_mels);
+            trt_asr::apply_per_feature_norm(feats.data(), total_frames, n_mels, stats);
         }
+        if (!dump_features.empty())
+            dump_features_file(dump_features, feats.data(),
+                               static_cast<size_t>(total_frames), n_mels);
 
         if (stream_sim > 0) {
             const int frames_per_chunk =
@@ -172,7 +241,7 @@ int main(int argc, char** argv) {
             int i = 0;
             for (int s0 = 0; s0 < total_frames; s0 += frames_per_chunk, ++i) {
                 const int n = std::min(frames_per_chunk, total_frames - s0);
-                trt_asr_push_features_tc(sess, feats.data() + static_cast<size_t>(s0) * 128,
+                trt_asr_push_features_tc(sess, feats.data() + static_cast<size_t>(s0) * nm,
                                          static_cast<size_t>(n));
                 drain(sess);
                 if (!no_sleep) {
