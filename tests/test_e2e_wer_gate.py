@@ -19,11 +19,29 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_synthetic_e2e_wer_gate(tmp_path):
+    """Hardened gate (VERDICT r1 #10): 200-word vocabulary, additive noise
+    condition, multiple --stream-sim granularities, 4-variant matrix — then
+    the sensitivity proof: the SAME model must FAIL the gate under the
+    drop_time_carry fault injection (a decode-semantics bug the gate is
+    required to catch)."""
     env = {**os.environ, "PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu"}
+    tool = os.path.join(REPO, "tools", "train_synthetic_e2e.py")
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "train_synthetic_e2e.py"),
-         "--out-dir", str(tmp_path), "--steps", "300", "--train-utts", "64",
-         "--eval-utts", "8", "--gate-wer", "0.10"],
-        capture_output=True, text=True, env=env, timeout=1200)
+        [sys.executable, tool,
+         "--out-dir", str(tmp_path), "--steps", "700", "--train-utts", "400",
+         "--eval-utts", "10", "--vocab-size", "200", "--gate-wer", "0.10",
+         "--stream-sims", "0.3,0.5,1.0"],
+        capture_output=True, text=True, env=env, timeout=3600)
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-1000:]
     assert "WER GATE PASS" in out.stdout
+
+    sab = subprocess.run(
+        [sys.executable, tool,
+         "--out-dir", str(tmp_path), "--skip-train", "--vocab-size", "200",
+         "--eval-utts", "10", "--gate-wer", "0.10", "--stream-sims", "0.5",
+         "--variants", "base", "--noise-snr-db", "0",
+         "--sabotage", "drop_time_carry"],
+        capture_output=True, text=True, env=env, timeout=1200)
+    assert sab.returncode != 0 and "WER GATE FAIL" in sab.stdout, (
+        "the gate must demonstrably fail under a decode-semantics fault:\n"
+        + sab.stdout[-2000:])

@@ -19,18 +19,53 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-WORDS = ["alpha", "bravo", "charlie", "delta", "echo", "fox", "golf", "hotel",
-         "india", "julia", "kilo", "lima"]
+_CONS = ["b", "d", "f", "g", "h", "j", "k", "l", "m", "n",
+         "p", "r", "s", "t", "v", "w", "z", "ch", "sh", "th"]
+_VOWELS = ["a", "e", "i", "o", "u", "ai", "oo", "ei", "ou", "ia"]
+
+
+def make_words(n: int):
+    """n distinct pronounceable CVCV words (20x10 pairs -> up to 40000)."""
+    words = []
+    i = 0
+    while len(words) < n:
+        c1, v1 = _CONS[i % 20], _VOWELS[(i // 20) % 10]
+        c2, v2 = _CONS[(i // 200) % 20], _VOWELS[(i // 4000) % 10]
+        words.append(c1 + v1 + c2 + v2)
+        i += 1
+    return words
+
+
+_BANDS = [200.0 * (2 ** (i / 2.1)) for i in range(12)]   # 200 Hz .. ~7.5 kHz
+
+
+def _combo_3_of_12(idx: int):
+    """Unrank idx into the idx-th 3-element subset of range(12) (C(12,3)=220)."""
+    from math import comb
+
+    out, prev = [], -1
+    k = 3
+    for _ in range(3):
+        c = prev + 1
+        while comb(11 - c, k - 1) <= idx:
+            idx -= comb(11 - c, k - 1)
+            c += 1
+        out.append(c)
+        prev = c
+        k -= 1
+    return out
 
 
 def synth_word(word_idx: int, rng, sr=16000) -> np.ndarray:
-    """0.30 s tone chord unique per word + noise floor."""
+    """0.30 s acoustic signature unique per word: a DTMF-style 3-of-12
+    frequency-band code (bands log-spaced 200 Hz..7.5 kHz, each band wide
+    apart in mel space) — 220 cleanly separable classes at 32 mel bins."""
     dur = int(0.30 * sr)
     t = np.arange(dur) / sr
-    f0 = 220.0 * (2 ** (word_idx / 3.0))
-    x = (0.35 * np.sin(2 * np.pi * f0 * t)
-         + 0.18 * np.sin(2 * np.pi * f0 * 1.5 * t)
-         + 0.02 * rng.standard_normal(dur))
+    bands = _combo_3_of_12(word_idx % 220)
+    x = 0.02 * rng.standard_normal(dur)
+    for j, bi in enumerate(bands):
+        x = x + (0.30 - 0.05 * j) * np.sin(2 * np.pi * _BANDS[bi] * t)
     env = np.minimum(np.arange(dur), dur - np.arange(dur)) / (0.02 * sr)
     return (x * np.clip(env, 0, 1)).astype(np.float32)
 
@@ -44,6 +79,14 @@ def synth_utterance(word_ids, rng, sr=16000) -> np.ndarray:
     return np.concatenate(parts)
 
 
+def add_noise(audio: np.ndarray, snr_db: float, rng) -> np.ndarray:
+    """Additive white noise at the given SNR."""
+    p_sig = float(np.mean(audio ** 2)) + 1e-12
+    p_noise = p_sig / (10.0 ** (snr_db / 10.0))
+    return (audio + rng.standard_normal(audio.shape).astype(np.float32)
+            * np.sqrt(p_noise)).astype(np.float32)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out-dir", required=True)
@@ -53,6 +96,23 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu", "env"])
     ap.add_argument("--gate-wer", type=float, default=0.05)
+    ap.add_argument("--vocab-size", type=int, default=200,
+                    help="synthetic vocabulary size (VERDICT r1 #10: >=200)")
+    ap.add_argument("--noise-snr-db", type=float, default=15.0,
+                    help="also evaluate a noisy copy of the held-out set at "
+                         "this SNR (<=0 disables)")
+    ap.add_argument("--stream-sims", default="0.3,0.5,1.0",
+                    help="comma list of --stream-sim granularities; the "
+                         "transcript must be invariant to push granularity")
+    ap.add_argument("--variants", default="base,nopunct,nocache,nocache_nopunct")
+    ap.add_argument("--sabotage", default="",
+                    help="fault injection for gate-sensitivity proof (e.g. "
+                         "drop_time_carry): the gate must FAIL under it")
+    ap.add_argument("--artifact", default="",
+                    help="write the full suite-matrix JSON here")
+    ap.add_argument("--skip-train", action="store_true",
+                    help="reuse <out-dir>/model from a previous run (for "
+                         "sabotage/ablation passes)")
     args = ap.parse_args()
 
     if args.platform != "env":
@@ -75,11 +135,12 @@ def main() -> int:
 
     os.makedirs(args.out_dir, exist_ok=True)
     rng = np.random.default_rng(0)
+    words = make_words(args.vocab_size)
 
     cfg = ModelConfig.tiny(feat_in=32, num_layers=2, d_model=64, n_heads=4,
-                           subsampling_conv_channels=16, vocab_size=len(WORDS),
+                           subsampling_conv_channels=16, vocab_size=len(words),
                            pred_hidden=32, joint_hidden=32, att_cache_size=64)
-    vocab = ["▁" + w for w in WORDS]
+    vocab = ["▁" + w for w in words]
     tokenizer = Tokenizer(vocab, blank_id=cfg.blank_id)
     frontend = LogMelFrontend(FrontendSpec(n_mels=cfg.feat_in))
 
@@ -87,14 +148,23 @@ def main() -> int:
     def make_set(n, seed):
         r = np.random.default_rng(seed)
         utts = []
-        for _ in range(n):
+        for i in range(n):
             k = int(r.integers(2, 5))
-            ids = list(r.integers(0, len(WORDS), size=k))
+            # guarantee full vocabulary coverage across the training set
+            forced = (i * 3) % len(words)
+            ids = [forced] + list(r.integers(0, len(words), size=k - 1))
             utts.append((ids, synth_utterance(ids, r)))
         return utts
 
     train = make_set(args.train_utts, 1)
     evals = make_set(args.eval_utts, 2)
+
+    mdir = os.path.join(args.out_dir, "model")
+    if args.skip_train:
+        if not os.path.isdir(mdir):
+            print(f"--skip-train: no model at {mdir}")
+            return 2
+        return _evaluate(args, words, evals, mdir)
 
     max_u = max(len(ids) for ids, _ in train)
     feats_list = [np.asarray(frontend(a)) for _, a in train]
@@ -130,39 +200,75 @@ def main() -> int:
 
     # ---- save model dir ----
     model = ParakeetTDT(cfg, params, tokenizer, frontend=frontend)
-    mdir = os.path.join(args.out_dir, "model")
     model.save_model_dir(mdir)
+    return _evaluate(args, words, evals, mdir)
 
-    # ---- held-out wavs + manifest ----
+
+def _evaluate(args, words, evals, mdir) -> int:
+    # ---- held-out wavs + manifests (clean + additive-noise copy) ----
+    import json
+
     from trt_asr_tpu.eval.manifest import ManifestEntry, write_manifest
+    from trt_asr_tpu.io.wav import save_wav
 
-    entries = []
-    wav_dir = os.path.join(args.out_dir, "wavs")
-    os.makedirs(wav_dir, exist_ok=True)
-    for i, (ids, audio) in enumerate(evals):
-        p = os.path.join(wav_dir, f"utt{i}.wav")
-        save_wav(p, audio)
-        entries.append(ManifestEntry(p, " ".join(WORDS[k] for k in ids)))
-    man = os.path.join(args.out_dir, "eval.tsv")
-    write_manifest(man, entries)
+    manifests = {}
+    for tag, snr in (("clean", None), ("noisy", args.noise_snr_db)):
+        if tag == "noisy" and (snr is None or snr <= 0):
+            continue
+        entries = []
+        wav_dir = os.path.join(args.out_dir, f"wavs_{tag}")
+        os.makedirs(wav_dir, exist_ok=True)
+        nrng = np.random.default_rng(99)
+        for i, (ids, audio) in enumerate(evals):
+            a = add_noise(audio, snr, nrng) if snr else audio
+            p = os.path.join(wav_dir, f"utt{i}.wav")
+            save_wav(p, a)
+            entries.append(ManifestEntry(p, " ".join(words[k] for k in ids)))
+        man = os.path.join(args.out_dir, f"eval_{tag}.tsv")
+        write_manifest(man, entries)
+        manifests[tag] = man
 
-    # ---- run the real suite (CLI protocol) on held-out data ----
+    if args.sabotage:
+        os.environ["TRT_ASR_SABOTAGE"] = args.sabotage
+
+    # ---- the full suite matrix: condition x variant x stream granularity ----
     from trt_asr_tpu.eval.suite import SuiteConfig, run_suite
 
-    res = run_suite(SuiteConfig(
-        manifest_path=man, out_dir=os.path.join(args.out_dir, "suite"),
-        model_dir=mdir, engine="python", variants=["base"], rounds=1,
-        stream_sim=0.5, feature_norm="none"))
-    wer = res["variants"]["base"][0]["wer"]
-    print(f"HELD-OUT WER: {wer['wer']*100:.2f}% "
-          f"(S={wer['substitutions']} I={wer['insertions']} D={wer['deletions']} "
-          f"N={wer['ref_words']}; empty={wer['empty_hypotheses']})")
-    for u in res["variants"]["base"][0]["utterances"][:4]:
-        print(f"  ref: {u['reference']!r}\n  hyp: {u['transcript']!r}")
-    if wer["wer"] > args.gate_wer:
-        print(f"WER GATE FAIL ({wer['wer']:.3f} > {args.gate_wer})")
+    variants = [v.strip() for v in args.variants.split(",") if v.strip()]
+    sims = [float(s) for s in args.stream_sims.split(",") if s.strip()]
+    matrix = {}
+    for tag, man in manifests.items():
+        for sim in sims:
+            res = run_suite(SuiteConfig(
+                manifest_path=man,
+                out_dir=os.path.join(args.out_dir, f"suite_{tag}_s{sim}"),
+                model_dir=mdir, engine="python", variants=variants, rounds=1,
+                stream_sim=sim, feature_norm="none"))
+            for v in variants:
+                wer = res["variants"][v][0]["wer"]
+                matrix[f"{tag}/{v}/sim{sim}"] = wer
+                print(f"  {tag:5s} {v:16s} sim={sim:.1f}: "
+                      f"WER {wer['wer']*100:6.2f}% (S={wer['substitutions']} "
+                      f"I={wer['insertions']} D={wer['deletions']} "
+                      f"N={wer['ref_words']} empty={wer['empty_hypotheses']})")
+
+    gate = matrix[f"clean/base/sim{sims[0]}"]
+    # streaming-granularity invariance across sims (cached variants)
+    sim_wers = [matrix[f"clean/base/sim{s}"]["wer"] for s in sims]
+    if args.artifact:
+        with open(args.artifact, "w") as f:
+            json.dump({"config": vars(args), "vocab_size": len(words),
+                       "matrix": matrix}, f, indent=1)
+        print(f"wrote {args.artifact}")
+    print(f"HELD-OUT WER (clean/base): {gate['wer']*100:.2f}%; "
+          f"granularity sweep: {[f'{w*100:.2f}%' for w in sim_wers]}")
+    if gate["wer"] > args.gate_wer:
+        print(f"WER GATE FAIL ({gate['wer']:.3f} > {args.gate_wer})")
         return 1
-    print(f"WER GATE PASS ({wer['wer']*100:.2f}% <= {args.gate_wer*100:.0f}%)")
+    if max(sim_wers) - min(sim_wers) > 1e-9:
+        print("WER GATE FAIL (transcript depends on push granularity)")
+        return 1
+    print(f"WER GATE PASS ({gate['wer']*100:.2f}% <= {args.gate_wer*100:.0f}%)")
     return 0
 
 

@@ -196,6 +196,13 @@ class RuntimeConfig:
     disable_cache: bool = False              # PARAKEET_DISABLE_CACHE
     cache_len_override: int = -1             # PARAKEET_CACHE_LEN_OVERRIDE
     y0_override: int = -1                    # PARAKEET_Y0_OVERRIDE
+    sabotage: str = ""                       # fault injection for gate-sensitivity
+                                             # proofs: "drop_time_carry" (breaks
+                                             # chunked==whole decode equivalence;
+                                             # the WER gate must demonstrably fail
+                                             # under it — VERDICT r1 #10). Same
+                                             # class as the reference's
+                                             # PARAKEET_CACHE_LEN_OVERRIDE faults.
     suppress_leading_punct: bool = True      # PARAKEET_ALLOW_LEADING_PUNCT inverts
     partial_min_interval_ms: int = 100
     # events
@@ -222,6 +229,7 @@ class RuntimeConfig:
             disable_cache=_env_bool("TRT_ASR_DISABLE_CACHE", "PARAKEET_DISABLE_CACHE", d.disable_cache),
             cache_len_override=_env_int("TRT_ASR_CACHE_LEN_OVERRIDE", "PARAKEET_CACHE_LEN_OVERRIDE", d.cache_len_override),
             y0_override=_env_int("TRT_ASR_Y0_OVERRIDE", "PARAKEET_Y0_OVERRIDE", d.y0_override),
+            sabotage=_env_str("TRT_ASR_SABOTAGE", None, d.sabotage),
             suppress_leading_punct=not _env_bool("TRT_ASR_ALLOW_LEADING_PUNCT", "PARAKEET_ALLOW_LEADING_PUNCT", not d.suppress_leading_punct),
             partial_min_interval_ms=_env_int("TRT_ASR_PARTIAL_MIN_INTERVAL_MS", "PARAKEET_PARTIAL_MIN_INTERVAL_MS", d.partial_min_interval_ms),
             final_on_push=_env_bool("TRT_ASR_FINAL_ON_PUSH", None, d.final_on_push),

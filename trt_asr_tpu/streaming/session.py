@@ -297,6 +297,12 @@ class StreamingSession:
             self.tdt_steps.extend(records_from_buffer(rec_buf, int(n_steps)))
         else:
             toks, n, self._enc_state, self._dec_state = out
+        if rt.sabotage == "drop_time_carry":
+            # fault injection (gate-sensitivity proof): reproduce the
+            # reference's while-loop-reset bug — duration overshoot dropped
+            # at every push boundary (parakeet_trt.cpp:2914)
+            self._dec_state = self._dec_state._replace(
+                time_carry=jnp.zeros_like(self._dec_state.time_carry))
         n = int(n)
         new = [int(t) for t in np.asarray(toks)[:n]]
         ms = (time.perf_counter() - t0) * 1e3
