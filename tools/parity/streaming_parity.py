@@ -147,6 +147,22 @@ def main() -> int:
         if worst is None or enc_err > worst[0]:
             worst = (enc_err, rec, enc)
 
+    def _timing_summary(times):
+        if not len(times):
+            return {}
+        med = float(np.median(times))
+        steady = times[times <= 5 * med] if med > 0 else times
+        warm = times[times > 5 * med] if med > 0 else times[:0]
+        out = {"mean": float(steady.mean()),
+               "p50": float(np.percentile(steady, 50)),
+               "p95": float(np.percentile(steady, 95)),
+               "p99": float(np.percentile(steady, 99)),
+               "n_steady": int(len(steady))}
+        if len(warm):
+            out["warmup_excluded"] = {"n": int(len(warm)),
+                                      "max_ms": float(warm.max())}
+        return out
+
     n_pass = sum(r["pass"] for r in results)
     enc_errs = np.array([r["encoder_output_max_abs"] for r in results])
     times = np.array([r["timing_ms"] for r in results])
@@ -161,10 +177,11 @@ def main() -> int:
             "p95": float(np.percentile(enc_errs, 95)) if len(enc_errs) else 0.0,
             "p99": float(np.percentile(enc_errs, 99)) if len(enc_errs) else 0.0,
         },
-        "timing_ms": {
-            "mean": float(times.mean()), "p50": float(np.percentile(times, 50)),
-            "p95": float(np.percentile(times, 95)), "p99": float(np.percentile(times, 99)),
-        } if len(times) else {},
+        # steady-state timing: exclude compile/warmup chunks (a fresh program
+        # shape compiles on first use — the reference artifacts had the same
+        # pollution, p99 110s; VERDICT r1 weak #7). Warmup = chunks > 5x the
+        # median, reported separately.
+        "timing_ms": _timing_summary(times),
         "per_chunk": results,
     }
     print(f"{args.mode} parity: {n_pass}/{len(results)} PASS "

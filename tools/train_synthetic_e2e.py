@@ -101,6 +101,9 @@ def main() -> int:
     ap.add_argument("--noise-snr-db", type=float, default=15.0,
                     help="also evaluate a noisy copy of the held-out set at "
                          "this SNR (<=0 disables)")
+    ap.add_argument("--train-noise-snr-db", type=float, default=18.0,
+                    help="noise-augment HALF the training set at this SNR "
+                         "(<=0 trains clean only)")
     ap.add_argument("--stream-sims", default="0.3,0.5,1.0",
                     help="comma list of --stream-sim granularities; the "
                          "transcript must be invariant to push granularity")
@@ -158,6 +161,10 @@ def main() -> int:
 
     train = make_set(args.train_utts, 1)
     evals = make_set(args.eval_utts, 2)
+    if args.train_noise_snr_db > 0:
+        arng = np.random.default_rng(7)
+        train = [(ids, add_noise(a, args.train_noise_snr_db, arng)
+                  if i % 2 else a) for i, (ids, a) in enumerate(train)]
 
     mdir = os.path.join(args.out_dir, "model")
     if args.skip_train:
