@@ -67,12 +67,26 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--no-pallas", action="store_true",
                     help="disable the fused Pallas joint decode step")
+    ap.add_argument("--pallas-att", action="store_true",
+                    help="B=1 only: fused attention-block Pallas kernel "
+                         "(the session's TRT_ASR_PALLAS_ATT path)")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
                     help="encoder weights/compute dtype (f32 = accuracy mode)")
     ap.add_argument("--offline", type=float, default=0.0, metavar="SECONDS",
                     help="offline batch mode: RTFx for B utterances of this "
                          "duration (BASELINE.json 'batched offline' config)")
+    ap.add_argument("--blank-bias", type=float, default=6.0,
+                    help="added to the joint blank logit so the decode loop "
+                         "sees a SPEECH-LIKE blank-dominated emission profile "
+                         "(~1-3 tokens per 240ms chunk) instead of random "
+                         "weights' emit-every-step worst case; 0 disables "
+                         "(see --worst-case)")
+    ap.add_argument("--worst-case", action="store_true",
+                    help="alias for --blank-bias 0: every decode step emits "
+                         "(max_symbols cap), the decode-bound upper bound")
     args = ap.parse_args()
+    if args.worst_case:
+        args.blank_bias = 0.0
 
     import jax
     import jax.numpy as jnp
@@ -88,6 +102,14 @@ def main() -> int:
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     t0 = time.time()
     params = init_params(cfg, seed=0)
+    if args.blank_bias:
+        # random weights give blank no special mass (1 of 8193) so every
+        # step would emit — unrepresentative of ASR decode, which is
+        # blank-dominated. Bias the blank logit for a realistic emission
+        # rate; report the measured tokens/chunk alongside the timing.
+        b = np.asarray(params["joint"]["out"]["b"]).copy()
+        b[cfg.blank_id] += args.blank_bias
+        params["joint"]["out"]["b"] = b
     if args.dtype == "bf16":
         params = cast_params_for_compute(params, jnp.bfloat16)
     params = jax.device_put(params)
@@ -103,6 +125,36 @@ def main() -> int:
         emitted = jnp.zeros((b,), jnp.int32)
         cache_drop = jnp.full((b,), cfg.cache_drop_size, jnp.int32)
         valid_cap = jnp.full((b,), cfg.valid_out_len, jnp.int32)
+
+        if args.pallas_att:
+            assert b == 1, "--pallas-att is the B=1 streaming path"
+            from trt_asr_tpu.ops.conv import subsampled_length
+            from trt_asr_tpu.models.parakeet.encoder import precompute_pos_proj
+            from trt_asr_tpu.ops.pallas.att_block_kernel import _round_up
+            from trt_asr_tpu.streaming.session import _session_step
+
+            tq = int(subsampled_length(np.asarray(frames), cfg.stride_stages)) \
+                - cfg.drop_extra_pre_encoded
+            tq_pad = _round_up(tq, 8)
+            pp = precompute_pos_proj(params, cfg, tq_pad, cfg.att_cache_size)
+            r_pad = _round_up(pp.shape[1], 128)
+            ppT = jnp.zeros((cfg.num_layers, cfg.d_model, r_pad), dtype)
+            ppT = ppT.at[:, :, : pp.shape[1]].set(jnp.swapaxes(pp, 1, 2).astype(dtype))
+            ppT = jax.device_put(ppT)
+
+            def step(f, es, ds):
+                toks, n, es, ds = _session_step(
+                    params, cfg, f, valid, es, ds,
+                    drop_extra=cfg.drop_extra_pre_encoded,
+                    cache_drop=cfg.cache_drop_size, valid_cap=cfg.valid_out_len,
+                    blank_penalty=0.0, emitted_so_far=emitted[0],
+                    punct_mask=None, use_punct_mask=False,
+                    pos_proj=None, pos_projT=ppT,
+                    pad_steps=tq_pad - tq, use_pallas_att=True,
+                    use_pallas_joint=not args.no_pallas)
+                return toks, n, es, ds
+
+            return step
 
         def step(f, es, ds):
             toks, n, es, ds = _batch_step(
@@ -124,6 +176,16 @@ def main() -> int:
                 init_decode_state(cfg, b))
 
     feats = jnp.asarray(rng.standard_normal((b, frames, cfg.feat_in)).astype(np.float32))
+    # measured emission profile (tokens per chunk per stream) — the decode
+    # loop's workload depends on it; report for honesty
+    es, ds = make_state()
+    emits = []
+    for k in range(4):
+        out = step(feats * (1.0 + 0.02 * k), es, ds)
+        es, ds = out[2], out[3]
+        emits.append(float(np.asarray(out[1]).mean()))
+    print(f"emission profile: {np.mean(emits):.2f} tokens/chunk/stream "
+          f"(blank_bias {args.blank_bias})", file=sys.stderr)
     t0 = time.time()
     mean_ms = _measure(step, make_state, feats, args.iters)
     print(f"measure wall: {time.time()-t0:.1f}s (incl compile)", file=sys.stderr)

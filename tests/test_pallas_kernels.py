@@ -106,3 +106,118 @@ def test_joint_step_kernel_blank_penalty(rng):
         ths=cfg.token_head_size, ndur=5, blank_id=cfg.blank_id,
         blank_penalty=1e6, interpret=True)
     assert int(np.asarray(tok)[0]) != cfg.blank_id
+
+
+class TestAttBlockKernel:
+    """Fused attention-block kernel == the XLA attention section of
+    _conformer_layer, on a warm ring cache (interpret mode, f32)."""
+
+    def test_matches_xla_attention(self, rng):
+        import jax.numpy as jnp
+
+        from trt_asr_tpu.ops.attention import (
+            rel_pos_attention_kv, sinusoidal_pos_table)
+        from trt_asr_tpu.ops.common import layer_norm, matmul
+        from trt_asr_tpu.ops.pallas.att_block_kernel import (
+            att_block_pallas, build_rel_selection)
+
+        d, h, c, tq = 64, 4, 32, 8
+        dh = d // h
+        sub_len = 6            # rows 6,7 are padding
+        cursor, cache_len = 7, 19
+        r_pad = s_pad = 128
+
+        def rnd(*s):
+            return jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.3)
+
+        x = rnd(tq, d)
+        ln_g, ln_b = rnd(d) * 0.2 + 1.0, rnd(d) * 0.1
+        wq, wk, wv, wo = rnd(d, d), rnd(d, d), rnd(d, d), rnd(d, d)
+        bu, bv = rnd(h, dh), rnd(h, dh)
+        kv_cache = rnd(c, 2 * d)
+        pos_table = sinusoidal_pos_table(tq, c + tq, d)
+        wpos = rnd(d, d)
+        pos_proj = matmul(pos_table, wpos)                     # [R, D]
+        r_actual = pos_proj.shape[0]
+
+        # ---- XLA reference (exactly encoder._conformer_layer's math) ----
+        time_mask = (np.arange(tq) < sub_len)
+        age = ((cursor - 1 - np.arange(c)) % c) + 1
+        cache_mask = age <= cache_len
+        idx_cache = (c + tq - 1) - (age[None, :] + np.arange(tq)[:, None])
+        ii, jj = np.arange(tq)[:, None], np.arange(tq)[None, :]
+        idx_cur = (c + tq - 1) - (ii - jj)
+        rel_idx = jnp.asarray(np.concatenate([idx_cache, idx_cur], 1))[None]
+        kv_mask = jnp.asarray(np.concatenate([cache_mask, time_mask]))[None]
+
+        u = layer_norm(x, ln_g, ln_b)
+        q = matmul(u, wq).reshape(1, tq, h, dh)
+        k_full = jnp.concatenate([kv_cache[None, :, :d], matmul(u, wk)[None]], 1)
+        v_full = jnp.concatenate([kv_cache[None, :, d:], matmul(u, wv)[None]], 1)
+        y_ref = x + rel_pos_attention_kv(
+            q, k_full.reshape(1, c + tq, h, dh), v_full.reshape(1, c + tq, h, dh),
+            pos_proj.reshape(-1, h, dh), bu, bv, wo,
+            kv_mask=kv_mask, rel_idx=rel_idx)[0]
+
+        # ---- kernel path ----
+        posT = jnp.zeros((d, r_pad)).at[:, :r_actual].set(pos_proj.T)
+        g_sel, mask = build_rel_selection(
+            jnp.int32(cursor), jnp.int32(cache_len), c, tq,
+            jnp.int32(sub_len), s_pad, r_pad, dtype=jnp.float32)
+        y, u_out, kn, vn = att_block_pallas(
+            x, ln_g, ln_b, wq, wk, wv, wo, bu, bv, posT, kv_cache,
+            g_sel, mask, n_heads=h, interpret=True)
+
+        np.testing.assert_allclose(np.asarray(u_out), np.asarray(u), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(kn), np.asarray(matmul(u, wk)),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(vn), np.asarray(matmul(u, wv)),
+                                   atol=1e-5)
+        got, want = np.asarray(y)[:sub_len], np.asarray(y_ref)[:sub_len]
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+class TestPallasAttEncodeParity:
+    """encode(use_pallas_att=True, pad_steps=2) == the XLA path, closed-loop
+    over the full chunk schedule (cache growth, saturation, short final
+    chunk). Interpret mode, f32."""
+
+    def test_closed_loop_encode(self, rng):
+        from trt_asr_tpu.models.parakeet import encode, init_encoder_state
+        from trt_asr_tpu.streaming import build_schedule
+
+        cfg = ModelConfig.tiny()
+        params = init_params(cfg, seed=3)
+        total = 170  # saturates the size-32 cache; ends with a short chunk
+        feats = (0.5 * rng.standard_normal((total, cfg.feat_in))).astype(np.float32)
+        sched = build_schedule(total, cfg)
+        s_ref = init_encoder_state(cfg, 1)
+        s_pal = init_encoder_state(cfg, 1)
+        for spec in sched:
+            x = feats[spec.slice_start : spec.slice_end]
+            if x.shape[0] < spec.frames:
+                x = np.pad(x, ((0, spec.frames - x.shape[0]), (0, 0)))
+            x, valid = x[None], np.array([spec.valid_frames], np.int32)
+            cache_drop = 0 if spec.is_last else cfg.cache_drop_size
+            e_ref, l_ref, s_ref = encode(
+                params, cfg, x, valid, s_ref,
+                drop_extra=spec.drop_extra, cache_drop=cache_drop)
+            e_pal, l_pal, s_pal = encode(
+                params, cfg, x, valid, s_pal,
+                drop_extra=spec.drop_extra, cache_drop=cache_drop,
+                pad_steps=2, use_pallas_att=True)
+            lr = int(np.asarray(l_ref)[0])
+            assert lr == int(np.asarray(l_pal)[0]), f"chunk {spec.idx}"
+            np.testing.assert_allclose(
+                np.asarray(e_pal)[0, :lr], np.asarray(e_ref)[0, :lr],
+                atol=2e-4, rtol=1e-4, err_msg=f"chunk {spec.idx} enc out")
+            for a, b, name in [
+                (s_pal.att_cache, s_ref.att_cache, "att_cache"),
+                (s_pal.kv_cache, s_ref.kv_cache, "kv_cache"),
+                (s_pal.time_cache, s_ref.time_cache, "time_cache"),
+            ]:
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4,
+                    err_msg=f"chunk {spec.idx} {name}")
+            assert np.array_equal(np.asarray(s_pal.cache_len), np.asarray(s_ref.cache_len))
+            assert np.array_equal(np.asarray(s_pal.cursor), np.asarray(s_ref.cursor))

@@ -95,3 +95,17 @@ def test_model_dir_roundtrip(model, tmp_path):
     t1, i1 = model.transcribe_offline(audio)
     t2, i2 = m2.transcribe_offline(audio)
     assert i1 == i2 and t1 == t2
+
+
+def test_pallas_att_transcript_identical(model):
+    """use_pallas_att (fused attention-block kernel, interpret mode on CPU)
+    must be token-exact with the XLA path through the full session."""
+    audio = _audio(32000, seed=3)
+    sess_a = StreamingSession(model, RuntimeConfig())
+    sess_b = StreamingSession(model, RuntimeConfig(use_pallas_att=True))
+    for sess in (sess_a, sess_b):
+        for s in range(0, len(audio), 8000):
+            sess.push_audio(audio[s : s + 8000])
+        sess.finalize()
+    assert sess_b._tokens == sess_a._tokens
+    assert sess_b.text == sess_a.text

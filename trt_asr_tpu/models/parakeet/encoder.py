@@ -144,6 +144,8 @@ def _conformer_layer(
     cache_keep: int,                # Tq - cache_drop (static)
     appended: jnp.ndarray,          # [B] = min(sub_len, cache_keep), dynamic
     use_pallas_ffn: bool = False,
+    pallas_att: Optional[Tuple] = None,  # (g_sel, kv_mask_1S, posT [D, R_pad])
+                                         # -> fused attention-block kernel (B=1)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     b, tq, d = x.shape
     k = time_cache.shape[1]
@@ -163,22 +165,34 @@ def _conformer_layer(
 
     # --- rel-pos self-attention: project ONLY the Tq new positions; the
     # cached history contributes pre-projected k/v in ring order ---
-    u = layer_norm(x, lp["att_ln_g"], lp["att_ln_b"])
-    q = matmul(u, lp["att_wq"]).reshape(b, tq, n_heads, dh)
-    k_new = matmul(u, lp["att_wk"])                       # [B, Tq, D]
-    v_new = matmul(u, lp["att_wv"])
-    if c_size:
-        k_full = jnp.concatenate([kv_cache[..., :d].astype(u.dtype), k_new], axis=1)
-        v_full = jnp.concatenate([kv_cache[..., d:].astype(u.dtype), v_new], axis=1)
-    else:  # offline: no cache, no concat (zero-size arrays hurt some backends)
-        k_full, v_full = k_new, v_new
-    y = rel_pos_attention_kv(
-        q, k_full.reshape(b, c_size + tq, n_heads, dh),
-        v_full.reshape(b, c_size + tq, n_heads, dh),
-        pos_proj.reshape(-1, n_heads, dh),
-        lp["att_bias_u"], lp["att_bias_v"], lp["att_wo"],
-        kv_mask=kv_mask, rel_idx=rel_idx)
-    x = x + y
+    if pallas_att is not None:
+        from trt_asr_tpu.ops.pallas.att_block_kernel import att_block_pallas
+
+        g_sel, p_mask, posT = pallas_att
+        y1, u1, kn1, vn1 = att_block_pallas(
+            x[0], lp["att_ln_g"], lp["att_ln_b"], lp["att_wq"], lp["att_wk"],
+            lp["att_wv"], lp["att_wo"], lp["att_bias_u"], lp["att_bias_v"],
+            posT, kv_cache[0], g_sel, p_mask, n_heads=n_heads)
+        u = u1[None].astype(x.dtype)
+        k_new, v_new = kn1[None].astype(x.dtype), vn1[None].astype(x.dtype)
+        x = y1[None].astype(x.dtype)
+    else:
+        u = layer_norm(x, lp["att_ln_g"], lp["att_ln_b"])
+        q = matmul(u, lp["att_wq"]).reshape(b, tq, n_heads, dh)
+        k_new = matmul(u, lp["att_wk"])                       # [B, Tq, D]
+        v_new = matmul(u, lp["att_wv"])
+        if c_size:
+            k_full = jnp.concatenate([kv_cache[..., :d].astype(u.dtype), k_new], axis=1)
+            v_full = jnp.concatenate([kv_cache[..., d:].astype(u.dtype), v_new], axis=1)
+        else:  # offline: no cache, no concat (zero-size arrays hurt some backends)
+            k_full, v_full = k_new, v_new
+        y = rel_pos_attention_kv(
+            q, k_full.reshape(b, c_size + tq, n_heads, dh),
+            v_full.reshape(b, c_size + tq, n_heads, dh),
+            pos_proj.reshape(-1, n_heads, dh),
+            lp["att_bias_u"], lp["att_bias_v"], lp["att_wo"],
+            kv_mask=kv_mask, rel_idx=rel_idx)
+        x = x + y
     if c_size:
         new_att_cache = _ring_write(att_cache, u[:, :cache_keep], cursor, appended)
         kv_new = jnp.concatenate([k_new, v_new], axis=-1)[:, :cache_keep]
@@ -222,6 +236,12 @@ def encode(
                                       # (drop 3) and final flush chunks (drop 0)
                                       # in ONE program (overrides `cache_drop`)
     valid_cap_vec: Optional[jnp.ndarray] = None,   # [B] traced per-row emission cap
+    pad_steps: int = 0,            # static: zero rows appended after drop_extra to
+                                   # reach an MXU-aligned step count (the pad rows
+                                   # are masked everywhere; cache/emission math
+                                   # uses the REAL step count)
+    use_pallas_att: bool = False,  # fused attention-block kernel (B=1 streaming)
+    pos_projT: Optional[jnp.ndarray] = None,  # [L, D, R_pad] for the kernel path
     compute_dtype=jnp.float32,
     pos_proj: Optional[jnp.ndarray] = None,  # precomputed [L, R, D] (see precompute_pos_proj)
     use_pallas_ffn: bool = False,
@@ -244,7 +264,10 @@ def encode(
     if drop_extra:
         x = x[:, drop_extra:]
         sub_len = jnp.maximum(sub_len - drop_extra, 0)
+    if pad_steps:
+        x = jnp.pad(x, ((0, 0), (0, pad_steps), (0, 0)))
     tq = x.shape[1]
+    tq_real = tq - pad_steps
     d = cfg.d_model
 
     streaming = state is not None
@@ -264,20 +287,25 @@ def encode(
     if cache_drop_vec is not None:
         # per-row dynamic keep: slice the whole block statically, bound the
         # per-row write count by `appended` (the ring scatter masks by it)
-        cache_keep = tq
-        keep_vec = jnp.maximum(tq - cache_drop_vec.astype(jnp.int32), 0)
+        cache_keep = tq_real
+        keep_vec = jnp.maximum(tq_real - cache_drop_vec.astype(jnp.int32), 0)
         appended = jnp.minimum(sub_len, keep_vec).astype(jnp.int32)
     else:
         keep_vec = None
-        cache_keep = max(tq - cache_drop, 0)
+        cache_keep = max(tq_real - cache_drop, 0)
         appended = jnp.minimum(sub_len, cache_keep).astype(jnp.int32)
 
     if pos_proj is None:
-        # one einsum for all layers (input-independent; sessions may pass a
-        # precomputed table — see precompute_pos_proj)
-        pos_table = sinusoidal_pos_table(tq, c_size + tq, d, dtype=compute_dtype)
-        pos_proj = einsum("rd,lde->lre", pos_table,
-                          enc_p["layers"]["att_wpos"].astype(compute_dtype))
+        if use_pallas_att and pos_projT is not None:
+            # kernel path with a precomputed transposed table: the untransposed
+            # pos_proj is dead (scan input DCE'd) — a dummy avoids the einsum
+            pos_proj = jnp.zeros((cfg.num_layers, 1, d), compute_dtype)
+        else:
+            # one einsum for all layers (input-independent; sessions may pass a
+            # precomputed table — see precompute_pos_proj)
+            pos_table = sinusoidal_pos_table(tq, c_size + tq, d, dtype=compute_dtype)
+            pos_proj = einsum("rd,lde->lre", pos_table,
+                              enc_p["layers"]["att_wpos"].astype(compute_dtype))
 
     time_mask = jnp.arange(tq)[None, :] < sub_len[:, None]               # [B, Tq]
     # ring-slot ages and relative-position indices (shared by all layers):
@@ -304,17 +332,52 @@ def encode(
 
     x = jnp.where(time_mask[:, :, None], x, 0)
 
+    pallas_shared = None
+    if use_pallas_att:
+        # fused attention-block kernel: B=1 streaming only. The positional
+        # selection tensor + mask are built ONCE per chunk and shared by all
+        # layers; per-layer pos projections enter the scan transposed/padded.
+        assert streaming and b == 1, "use_pallas_att requires B=1 streaming"
+        from trt_asr_tpu.ops.pallas.att_block_kernel import (
+            _round_up, build_rel_selection)
+
+        s_pad = _round_up(c_size + tq, 128)
+        if pos_projT is None:
+            r_actual = pos_proj.shape[1]
+            r_pad = _round_up(r_actual, 128)
+            pos_projT = jnp.zeros((cfg.num_layers, d, r_pad), compute_dtype)
+            pos_projT = pos_projT.at[:, :, :r_actual].set(
+                jnp.swapaxes(pos_proj, 1, 2).astype(compute_dtype))
+        else:
+            r_pad = pos_projT.shape[2]
+        # g_sel is {0,1} — exact in any dtype; use the weights' dtype so the
+        # in-kernel selection matmul runs at MXU bf16 rate and VMEM stays
+        # within budget at full size (bf16 [8,384,384] = 2.4 MB vs 4.7 f32)
+        g_sel, p_mask = build_rel_selection(
+            cursor[0], cache_len[0], c_size, tq,
+            jnp.minimum(sub_len, tq)[0], s_pad, r_pad,
+            dtype=enc_p["layers"]["att_wq"].dtype)
+        pallas_shared = (g_sel, p_mask)
+
     if streaming:
         def body(carry, layer_in):
-            lp, ac, tc, kvc, pp = layer_in
+            if pallas_shared is not None:
+                lp, ac, tc, kvc, pp, ppT = layer_in
+                pa = (pallas_shared[0], pallas_shared[1], ppT)
+            else:
+                lp, ac, tc, kvc, pp = layer_in
+                pa = None
             y, new_ac, new_tc, new_kvc = _conformer_layer(
                 lp, carry, ac, tc, kvc, pp, kv_mask, rel_idx, time_mask, cursor,
-                cfg.n_heads, cache_keep, appended, use_pallas_ffn=use_pallas_ffn)
+                cfg.n_heads, cache_keep, appended, use_pallas_ffn=use_pallas_ffn,
+                pallas_att=pa)
             return y, (new_ac, new_tc, new_kvc)
 
-        x, (new_att, new_time, new_kv) = lax.scan(
-            body, x, (_layer_params_slice(enc_p["layers"]), att_cache0,
-                      time_cache0, kv_cache0, pos_proj))
+        xs = (_layer_params_slice(enc_p["layers"]), att_cache0,
+              time_cache0, kv_cache0, pos_proj)
+        if pallas_shared is not None:
+            xs = xs + (pos_projT,)
+        x, (new_att, new_time, new_kv) = lax.scan(body, x, xs)
     else:
         def body_off(carry, layer_in):
             lp, tc, pp = layer_in

@@ -91,6 +91,24 @@ class StreamingSession:
             - self.cfg.drop_extra_pre_encoded  # 57 frames -> 8 steps - 2 = 6
         self._pos_proj = precompute_pos_proj(model.params, self.cfg, tq,
                                              self.cfg.att_cache_size)
+        self._tq_steady = tq
+        self._pos_projT = None
+        self._pad_steps = 0
+        if self.rt.use_pallas_att:
+            # fused attention-block kernel path: steps padded to the MXU
+            # sublane multiple; positional table precomputed transposed and
+            # lane-padded for the in-kernel q_v @ posT matmul
+            from trt_asr_tpu.ops.pallas.att_block_kernel import _round_up
+
+            tq_pad = _round_up(tq, 8)
+            self._pad_steps = tq_pad - tq
+            pp = precompute_pos_proj(model.params, self.cfg, tq_pad,
+                                     self.cfg.att_cache_size)
+            r_pad = _round_up(pp.shape[1], 128)
+            ppT = jnp.zeros((self.cfg.num_layers, self.cfg.d_model, r_pad),
+                            pp.dtype)
+            self._pos_projT = ppT.at[:, :, : pp.shape[1]].set(
+                jnp.swapaxes(pp, 1, 2))
         self.reset_utterance()
 
     # -- lifecycle ------------------------------------------------------
@@ -278,6 +296,9 @@ class StreamingSession:
             tq_chunk = (tq_chunk - 1) // 2 + 1
         tq_chunk -= spec.drop_extra
         pos_proj = self._pos_proj if tq_chunk * 2 - 1 + cfg.att_cache_size == self._pos_proj.shape[1] else None
+        # fused attention kernel only for the steady chunk shape (off-profile
+        # chunks fall back to the XLA path — exactness proven equal)
+        pal_att = self._pos_projT is not None and tq_chunk == self._tq_steady
 
         t0 = time.perf_counter()
         out = _session_step(
@@ -288,7 +309,11 @@ class StreamingSession:
             blank_penalty=rt.blank_penalty,
             emitted_so_far=np.int32(len(self._tokens)),
             punct_mask=jnp.asarray(self.model.punct_mask) if rt.suppress_leading_punct else None,
-            use_punct_mask=rt.suppress_leading_punct, pos_proj=pos_proj,
+            use_punct_mask=rt.suppress_leading_punct,
+            pos_proj=None if pal_att else pos_proj,
+            pos_projT=self._pos_projT if pal_att else None,
+            pad_steps=self._pad_steps if pal_att else 0,
+            use_pallas_att=pal_att,
             use_pallas_joint=rt.use_pallas_joint, trace=rt.debug_tdt_steps)
         if rt.debug_tdt_steps:
             toks, n, self._enc_state, self._dec_state, (rec_buf, n_steps) = out
@@ -337,14 +362,17 @@ class StreamingSession:
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "drop_extra", "cache_drop", "valid_cap", "blank_penalty",
-                     "use_punct_mask", "use_pallas_joint", "trace"),
+                     "use_punct_mask", "use_pallas_joint", "trace", "pad_steps",
+                     "use_pallas_att"),
     donate_argnames=("enc_state", "dec_state"),
 )
 def _session_step(params, cfg: ModelConfig, feats, valid, enc_state: EncoderState,
                   dec_state: DecodeState, *, drop_extra: int, cache_drop: int,
                   valid_cap=None,
                   blank_penalty: float, emitted_so_far, punct_mask, use_punct_mask: bool,
-                  pos_proj=None, use_pallas_joint: bool = False, trace: bool = False):
+                  pos_proj=None, pos_projT=None, pad_steps: int = 0,
+                  use_pallas_att: bool = False,
+                  use_pallas_joint: bool = False, trace: bool = False):
     """One fused device program: streaming encoder step + TDT decode loop.
 
     trace=True (RuntimeConfig.debug_tdt_steps) additionally returns the
@@ -352,7 +380,8 @@ def _session_step(params, cfg: ModelConfig, feats, valid, enc_state: EncoderStat
     enc, out_len, enc_state = encode(
         params, cfg, feats, valid[None] if valid.ndim == 0 else valid,
         enc_state, drop_extra=drop_extra, cache_drop=cache_drop,
-        valid_cap=valid_cap, pos_proj=pos_proj)
+        valid_cap=valid_cap, pos_proj=pos_proj, pos_projT=pos_projT,
+        pad_steps=pad_steps, use_pallas_att=use_pallas_att)
     tq = enc.shape[1]
     out = tdt_greedy_decode_chunk(
         params, cfg, enc[0], out_len[0].astype(jnp.int32), dec_state,
