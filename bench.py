@@ -70,6 +70,9 @@ def main() -> int:
     ap.add_argument("--pallas-att", action="store_true",
                     help="B=1 only: fused attention-block Pallas kernel "
                          "(the session's TRT_ASR_PALLAS_ATT path)")
+    ap.add_argument("--quant", default="none",
+                    choices=["none", "joint", "encoder", "all"],
+                    help="int8 weight-only quantization scope (TRT_ASR_QUANT)")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
                     help="encoder weights/compute dtype (f32 = accuracy mode)")
     ap.add_argument("--offline", type=float, default=0.0, metavar="SECONDS",
@@ -112,6 +115,12 @@ def main() -> int:
         params["joint"]["out"]["b"] = b
     if args.dtype == "bf16":
         params = cast_params_for_compute(params, jnp.bfloat16)
+    if args.quant != "none":
+        from trt_asr_tpu.models.parakeet.quant import quantize_params
+
+        assert not (args.pallas_att and args.quant in ("encoder", "all")), \
+            "--pallas-att kernel does not take int8 weights yet; use --quant joint"
+        params = quantize_params(params, args.quant)
     params = jax.device_put(params)
     print(f"params init+put: {time.time()-t0:.1f}s ({args.dtype})", file=sys.stderr)
 

@@ -182,6 +182,8 @@ class RuntimeConfig:
     use_pallas_joint: bool = False           # fused Pallas joint decode step
     use_pallas_att: bool = False             # fused attention-block kernel
                                              # (B=1 streaming hot path)
+    quant: str = "none"                      # int8 weight-only quantization
+                                             # scope: none|joint|encoder|all
     # debug / instrumentation
     nan_guard: bool = False                  # PARAKEET_NAN_GUARD_ALWAYS
     nan_guard_halt: bool = False             # PARAKEET_NAN_GUARD_HALT
@@ -218,6 +220,7 @@ class RuntimeConfig:
             decode_dtype=_env_str("TRT_ASR_DECODE_DTYPE", None, d.decode_dtype),
             use_pallas_joint=_env_bool("TRT_ASR_PALLAS_JOINT", None, d.use_pallas_joint),
             use_pallas_att=_env_bool("TRT_ASR_PALLAS_ATT", None, d.use_pallas_att),
+            quant=_env_str("TRT_ASR_QUANT", None, d.quant),
             nan_guard=_env_bool("TRT_ASR_NAN_GUARD", "PARAKEET_NAN_GUARD_ALWAYS", d.nan_guard),
             nan_guard_halt=_env_bool("TRT_ASR_NAN_GUARD_HALT", "PARAKEET_NAN_GUARD_HALT", d.nan_guard_halt),
             stage_markers=_env_bool("TRT_ASR_STAGE_MARKERS", "PARAKEET_DEBUG_STAGE_MARKERS", d.stage_markers),

@@ -340,6 +340,12 @@ def encode(
         assert streaming and b == 1, "use_pallas_att requires B=1 streaming"
         from trt_asr_tpu.ops.pallas.att_block_kernel import (
             _round_up, build_rel_selection)
+        from trt_asr_tpu.ops.quant import QuantTensor
+
+        if isinstance(enc_p["layers"]["att_wq"], QuantTensor):
+            raise NotImplementedError(
+                "use_pallas_att with an int8-quantized encoder: the fused "
+                "kernel does not take QuantTensor weights yet")
 
         s_pad = _round_up(c_size + tq, 128)
         if pos_projT is None:
@@ -460,9 +466,14 @@ def state_from_contract(d: Dict[str, jnp.ndarray], params=None) -> EncoderState:
     att = jnp.where(valid, att, 0)
     time = jnp.transpose(d["cache_last_time"], (1, 0, 3, 2))
     if params is not None:
+        from trt_asr_tpu.ops.quant import QuantTensor, dequantize
+
         layers = params["encoder"]["layers"]
-        wk = layers["att_wk"].astype(att.dtype)
-        wv = layers["att_wv"].astype(att.dtype)
+        wk, wv = layers["att_wk"], layers["att_wv"]
+        if isinstance(wk, QuantTensor):
+            wk, wv = dequantize(wk), dequantize(wv)
+        wk = wk.astype(att.dtype)
+        wv = wv.astype(att.dtype)
         kv = jnp.concatenate([einsum("lbcd,lde->lbce", att, wk),
                               einsum("lbcd,lde->lbce", att, wv)], axis=-1)
     else:

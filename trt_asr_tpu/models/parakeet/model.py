@@ -57,6 +57,12 @@ class ParakeetTDT:
         self.frontend = frontend or LogMelFrontend(FrontendSpec(n_mels=cfg.feat_in))
         self.runtime = runtime or RuntimeConfig.from_env()
         self._punct_mask = None
+        if self.runtime.quant != "none":
+            # int8 weight-only quantization (the TRT builder-precision
+            # analog); every matmul site dispatches on the leaf type
+            from trt_asr_tpu.models.parakeet.quant import quantize_params
+
+            self.params = quantize_params(self.params, self.runtime.quant)
 
     # -- assets -------------------------------------------------------------
 

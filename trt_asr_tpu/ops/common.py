@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from trt_asr_tpu.ops.quant import QuantTensor, q8_matmul
+
 # f32 matmul pass count on the MXU: HIGHEST = 6-pass (full f32-equivalent),
 # HIGH = 3-pass (~1e-5 class), DEFAULT = 1-pass bf16 (the TF32-analog trap).
 # Env knob TRT_ASR_F32_PRECISION in {highest, high, default}; read once.
@@ -26,8 +28,11 @@ _F32_PRECISION = {
 }[os.environ.get("TRT_ASR_F32_PRECISION", "highest").lower()]
 
 
-def matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """a @ b with f32 accumulation and dtype-aware precision."""
+def matmul(a: jnp.ndarray, b) -> jnp.ndarray:
+    """a @ b with f32 accumulation and dtype-aware precision. ``b`` may be a
+    QuantTensor (int8 weight-only quantization, ops/quant.py)."""
+    if isinstance(b, QuantTensor):
+        return q8_matmul(a, b)
     prec = _F32_PRECISION if a.dtype == jnp.float32 else None
     out = jnp.matmul(a, b, precision=prec, preferred_element_type=jnp.float32)
     return out.astype(a.dtype) if a.dtype == jnp.bfloat16 else out

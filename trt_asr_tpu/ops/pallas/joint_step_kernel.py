@@ -59,10 +59,16 @@ def pad_joint_weights(joint_params, dtype=None):
     """Pre-pad the joint weights to lane multiples ONCE (outside the decode
     loop) so per-iteration kernel calls don't re-pad the 10 MB output
     projection. Returns (wp, bp, wo, bo) padded."""
+    from trt_asr_tpu.ops.quant import QuantTensor, dequantize
+
     pred_w = joint_params["pred"]["w"]
     pred_b = joint_params["pred"]["b"]
     out_w = joint_params["out"]["w"]
     out_b = joint_params["out"]["b"]
+    if isinstance(pred_w, QuantTensor):   # int8 joint: materialize compute-
+        pred_w = dequantize(pred_w)       # dtype weights once per chunk
+    if isinstance(out_w, QuantTensor):    # program (TODO: int8-native kernel)
+        out_w = dequantize(out_w)
     dtype = dtype or out_w.dtype
     p, j = pred_w.shape
     v = out_w.shape[1]
