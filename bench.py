@@ -118,8 +118,6 @@ def main() -> int:
     if args.quant != "none":
         from trt_asr_tpu.models.parakeet.quant import quantize_params
 
-        assert not (args.pallas_att and args.quant in ("encoder", "all")), \
-            "--pallas-att kernel does not take int8 weights yet; use --quant joint"
         params = quantize_params(params, args.quant)
     params = jax.device_put(params)
     print(f"params init+put: {time.time()-t0:.1f}s ({args.dtype})", file=sys.stderr)

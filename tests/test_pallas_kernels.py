@@ -221,3 +221,37 @@ class TestPallasAttEncodeParity:
                     err_msg=f"chunk {spec.idx} {name}")
             assert np.array_equal(np.asarray(s_pal.cache_len), np.asarray(s_ref.cache_len))
             assert np.array_equal(np.asarray(s_pal.cursor), np.asarray(s_ref.cursor))
+
+    def test_closed_loop_encode_int8(self, rng):
+        """Kernel with int8 QuantTensor weights == the XLA q8_matmul path
+        (both cast activations to bf16 at the MXU; scores/softmax dtype
+        differs, so the bound is bf16-class)."""
+        from trt_asr_tpu.models.parakeet import encode, init_encoder_state
+        from trt_asr_tpu.models.parakeet.quant import quantize_params
+        from trt_asr_tpu.streaming import build_schedule
+
+        cfg = ModelConfig.tiny()
+        params = quantize_params(init_params(cfg, seed=3), "encoder")
+        total = 113
+        feats = (0.5 * rng.standard_normal((total, cfg.feat_in))).astype(np.float32)
+        sched = build_schedule(total, cfg)
+        s_ref = init_encoder_state(cfg, 1)
+        s_pal = init_encoder_state(cfg, 1)
+        for spec in sched:
+            x = feats[spec.slice_start : spec.slice_end]
+            if x.shape[0] < spec.frames:
+                x = np.pad(x, ((0, spec.frames - x.shape[0]), (0, 0)))
+            x, valid = x[None], np.array([spec.valid_frames], np.int32)
+            cache_drop = 0 if spec.is_last else cfg.cache_drop_size
+            e_ref, l_ref, s_ref = encode(
+                params, cfg, x, valid, s_ref,
+                drop_extra=spec.drop_extra, cache_drop=cache_drop)
+            e_pal, l_pal, s_pal = encode(
+                params, cfg, x, valid, s_pal,
+                drop_extra=spec.drop_extra, cache_drop=cache_drop,
+                pad_steps=2, use_pallas_att=True)
+            lr = int(np.asarray(l_ref)[0])
+            assert lr == int(np.asarray(l_pal)[0])
+            np.testing.assert_allclose(
+                np.asarray(e_pal)[0, :lr], np.asarray(e_ref)[0, :lr],
+                atol=5e-2, rtol=1e-2, err_msg=f"chunk {spec.idx}")

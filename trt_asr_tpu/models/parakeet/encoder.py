@@ -342,11 +342,6 @@ def encode(
             _round_up, build_rel_selection)
         from trt_asr_tpu.ops.quant import QuantTensor
 
-        if isinstance(enc_p["layers"]["att_wq"], QuantTensor):
-            raise NotImplementedError(
-                "use_pallas_att with an int8-quantized encoder: the fused "
-                "kernel does not take QuantTensor weights yet")
-
         s_pad = _round_up(c_size + tq, 128)
         if pos_projT is None:
             r_actual = pos_proj.shape[1]
@@ -356,13 +351,15 @@ def encode(
                 jnp.swapaxes(pos_proj, 1, 2).astype(compute_dtype))
         else:
             r_pad = pos_projT.shape[2]
-        # g_sel is {0,1} — exact in any dtype; use the weights' dtype so the
-        # in-kernel selection matmul runs at MXU bf16 rate and VMEM stays
+        # g_sel is {0,1} — exact in any dtype; use the kernel's MXU dtype so
+        # the in-kernel selection matmul runs at bf16 rate and VMEM stays
         # within budget at full size (bf16 [8,384,384] = 2.4 MB vs 4.7 f32)
+        wq_leaf = enc_p["layers"]["att_wq"]
+        g_dtype = (jnp.bfloat16 if isinstance(wq_leaf, QuantTensor)
+                   else wq_leaf.dtype)
         g_sel, p_mask = build_rel_selection(
             cursor[0], cache_len[0], c_size, tq,
-            jnp.minimum(sub_len, tq)[0], s_pad, r_pad,
-            dtype=enc_p["layers"]["att_wq"].dtype)
+            jnp.minimum(sub_len, tq)[0], s_pad, r_pad, dtype=g_dtype)
         pallas_shared = (g_sel, p_mask)
 
     if streaming:

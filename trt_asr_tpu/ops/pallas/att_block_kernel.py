@@ -40,7 +40,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _att_block_kernel(x_ref, ln_g_ref, ln_b_ref, wq_ref, wk_ref, wv_ref,
-                      wo_ref, bu_ref, bv_ref, posT_ref, kvc_ref, gsel_ref,
+                      wo_ref, sq_ref, sk_ref, sv_ref, so_ref, bu_ref, bv_ref,
+                      posT_ref, kvc_ref, gsel_ref,
                       mask_ref, y_ref, u_ref, kn_ref, vn_ref, *,
                       n_heads: int, dh: int, c_size: int, tq_pad: int,
                       s_pad: int, wdtype):
@@ -52,9 +53,15 @@ def _att_block_kernel(x_ref, ln_g_ref, ln_b_ref, wq_ref, wk_ref, wv_ref,
     u_ref[:] = u
     uc = u.astype(wdtype)
 
-    q = jnp.dot(uc, wq_ref[:], preferred_element_type=f32)      # [Tq, D]
-    k_new = jnp.dot(uc, wk_ref[:], preferred_element_type=f32)
-    v_new = jnp.dot(uc, wv_ref[:], preferred_element_type=f32)
+    # int8 weights enter as stored and are converted at the MXU operand
+    # (exact: |q| <= 127); the dequant scale rides the f32 accumulator —
+    # identical math to ops/quant.q8_matmul. Float weights pass scale 1.
+    q = jnp.dot(uc, wq_ref[:].astype(wdtype),
+                preferred_element_type=f32) * sq_ref[:]          # [Tq, D]
+    k_new = jnp.dot(uc, wk_ref[:].astype(wdtype),
+                    preferred_element_type=f32) * sk_ref[:]
+    v_new = jnp.dot(uc, wv_ref[:].astype(wdtype),
+                    preferred_element_type=f32) * sv_ref[:]
     kn_ref[:] = k_new
     vn_ref[:] = v_new
 
@@ -88,7 +95,8 @@ def _att_block_kernel(x_ref, ln_g_ref, ln_b_ref, wq_ref, wk_ref, wv_ref,
         ctx_cols.append(jnp.dot(p.astype(wdtype), vh,
                                 preferred_element_type=f32))     # [Tq, dh]
     ctx = jnp.concatenate(ctx_cols, axis=-1)                     # [Tq, D]
-    y = jnp.dot(ctx.astype(wdtype), wo_ref[:], preferred_element_type=f32)
+    y = jnp.dot(ctx.astype(wdtype), wo_ref[:].astype(wdtype),
+                preferred_element_type=f32) * so_ref[:]
     y_ref[:] = x + y
 
 
@@ -117,11 +125,20 @@ def build_rel_selection(cursor: jnp.ndarray, cache_len: jnp.ndarray,
     return g_sel, mask[None].astype(jnp.float32)
 
 
+def _weight_parts(w, d: int):
+    """(stored_array, scale_row) for a float weight or a QuantTensor."""
+    from trt_asr_tpu.ops.quant import QuantTensor
+
+    if isinstance(w, QuantTensor):
+        return w.q, w.s
+    return w, jnp.ones((1, w.shape[-1]), jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("n_heads", "interpret"))
 def att_block_pallas(
     x: jnp.ndarray,          # [Tq_pad, D] f32 (post-FFN1 residual stream)
     ln_g: jnp.ndarray, ln_b: jnp.ndarray,           # [D]
-    wq: jnp.ndarray, wk: jnp.ndarray, wv: jnp.ndarray, wo: jnp.ndarray,
+    wq, wk, wv, wo,          # [D, D] float, or QuantTensor (int8 + scale)
     bias_u: jnp.ndarray, bias_v: jnp.ndarray,       # [H, dh]
     posT: jnp.ndarray,       # [D, R_pad] pos_proj transposed (zero-padded)
     kv_cache: jnp.ndarray,   # [C, 2D] ring-ordered projected k ++ v
@@ -132,15 +149,21 @@ def att_block_pallas(
     interpret=None,
 ):
     """Returns (y [Tq_pad, D] f32 = x + attention, u (LN'd x), k_new, v_new).
-    Weights' dtype selects the MXU input dtype (bf16 for the production
-    path; f32 under interpret-mode exactness tests)."""
+    Float weights' dtype selects the MXU input dtype (bf16 production, f32
+    interpret-mode exactness tests); int8 QuantTensor weights always compute
+    bf16 with the dequant scale on the f32 accumulator (VMEM- and
+    HBM-halved vs bf16)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     tq_pad, d = x.shape
     dh = d // n_heads
     c_size = kv_cache.shape[0]
     s_pad = g_sel.shape[2]
-    wdtype = wq.dtype
+    wq, sq = _weight_parts(wq, d)
+    wk, sk = _weight_parts(wk, d)
+    wv, sv = _weight_parts(wv, d)
+    wo, so = _weight_parts(wo, d)
+    wdtype = jnp.bfloat16 if wq.dtype == jnp.int8 else wq.dtype
     kern = functools.partial(
         _att_block_kernel, n_heads=n_heads, dh=dh, c_size=c_size,
         tq_pad=tq_pad, s_pad=s_pad, wdtype=wdtype)
@@ -150,10 +173,11 @@ def att_block_pallas(
                    jax.ShapeDtypeStruct((tq_pad, d), jnp.float32),
                    jax.ShapeDtypeStruct((tq_pad, d), jnp.float32),
                    jax.ShapeDtypeStruct((tq_pad, d), jnp.float32)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 17,
         out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 4),
         interpret=interpret,
     )(x, ln_g.astype(jnp.float32)[None], ln_b.astype(jnp.float32)[None],
-      wq, wk, wv, wo, bias_u.astype(jnp.float32), bias_v.astype(jnp.float32),
+      wq, wk, wv, wo, sq, sk, sv, so,
+      bias_u.astype(jnp.float32), bias_v.astype(jnp.float32),
       posT, kv_cache, g_sel, kv_mask)
     return y, u, kn, vn
