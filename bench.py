@@ -254,6 +254,14 @@ def _bench_offline(params, cfg, args) -> int:
     toks, n = run(params, feats0)
     _ = np.asarray(toks)
     print(f"compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
+    flops = None
+    try:  # XLA's own FLOP count for the compiled program (MFU denominator)
+        cost = run.lower(params, feats0).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0)) or None
+    except Exception as e:  # noqa: BLE001 — cost analysis is best-effort
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
     best = 1e9
     for salt in (0.02, 0.07, 0.13):
         f = feats0 * (1 + salt)
@@ -263,8 +271,13 @@ def _bench_offline(params, cfg, args) -> int:
         best = min(best, time.perf_counter() - t0)
     audio_sec = b * args.offline
     rtfx = audio_sec / best
+    mfu_txt = ""
+    if flops:
+        # v5e peak: 197 TFLOP/s bf16 (docs/DEBUGGING.md sanity anchor)
+        mfu = flops / best / 197e12
+        mfu_txt = f"; {flops/1e9:.0f} GFLOP -> MFU {mfu*100:.1f}% of bf16 peak"
     print(f"offline B={b} x {args.offline:.0f}s ({args.dtype}): {best*1e3:.1f} ms "
-          f"-> RTFx {rtfx:.0f}", file=sys.stderr)
+          f"-> RTFx {rtfx:.0f}{mfu_txt}", file=sys.stderr)
     print(json.dumps({
         "metric": f"offline_rtfx_b{b}_{args.dtype}",
         "value": round(rtfx, 1),

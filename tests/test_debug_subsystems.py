@@ -147,3 +147,26 @@ def test_session_tdt_trace_and_toggles(tmp_path):
     # carried attention context is discarded; state cache_len is what the
     # last chunk produced from a forced 0 input (bounded by chunk out len)
     assert int(np.asarray(sess2._enc_state.cache_len)[0]) <= model.cfg.valid_out_len + 3
+
+
+def test_profiler_capture(tmp_path):
+    """TRT_ASR_PROFILE_DIR: the session records an XPlane/trace capture of
+    the first N chunk steps (SURVEY §5 tracing — the reference's
+    Nsight-profiling analog)."""
+    import numpy as np
+
+    from trt_asr_tpu.config import ModelConfig, RuntimeConfig
+    from trt_asr_tpu.models.parakeet.model import ParakeetTDT
+    from trt_asr_tpu.streaming.session import StreamingSession
+
+    model = ParakeetTDT.random(ModelConfig.tiny(), seed=2)
+    rt = RuntimeConfig(profile_dir=str(tmp_path / "prof"), profile_chunks=2)
+    sess = StreamingSession(model, rt)
+    rng = np.random.default_rng(0)
+    sess.push_audio((0.1 * rng.standard_normal(32000)).astype(np.float32))
+    sess.finalize()
+    import glob
+
+    files = glob.glob(str(tmp_path / "prof" / "**" / "*"), recursive=True)
+    assert any(("xplane" in f or "trace" in f) and not os.path.isdir(f)
+               for f in files), files

@@ -255,3 +255,32 @@ class TestPallasAttEncodeParity:
             np.testing.assert_allclose(
                 np.asarray(e_pal)[0, :lr], np.asarray(e_ref)[0, :lr],
                 atol=5e-2, rtol=1e-2, err_msg=f"chunk {spec.idx}")
+
+
+def test_joint_step_kernel_int8(rng):
+    """Fused joint kernel with int8 QuantTensor weights == the XLA
+    q8_matmul path (both: bf16 activations at the MXU, scale on the f32
+    accumulator)."""
+    from trt_asr_tpu.models.parakeet.quant import quantize_params
+    from trt_asr_tpu.ops.pallas.joint_step_kernel import joint_step_pallas
+
+    cfg = ModelConfig.tiny()
+    params = quantize_params(init_params(cfg, seed=6), "joint")
+    jp = params["joint"]
+    b = 4
+    enc_t = rng.standard_normal((b, cfg.d_model)).astype(np.float32)
+    g = rng.standard_normal((b, cfg.pred_hidden)).astype(np.float32)
+
+    import jax.numpy as jnp
+
+    e_proj = np.asarray(joint_project_enc(jp, enc_t[:, None, :]))[:, 0]
+    want_logits = np.asarray(joint_from_projected(jp, jnp.asarray(e_proj), jnp.asarray(g)))
+    want_tok = want_logits[:, : cfg.token_head_size].argmax(1)
+
+    tok, dur, logits = joint_step_pallas(
+        jnp.asarray(e_proj), jnp.asarray(g), jp["pred"]["w"],
+        jnp.asarray(jp["pred"]["b"]), jp["out"]["w"], jnp.asarray(jp["out"]["b"]),
+        ths=cfg.token_head_size, ndur=5, blank_id=cfg.blank_id, interpret=True)
+    np.testing.assert_allclose(np.asarray(logits), want_logits,
+                               atol=5e-2, rtol=1e-2)
+    assert (np.asarray(tok) == want_tok).all()

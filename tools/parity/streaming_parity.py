@@ -38,6 +38,10 @@ def main() -> int:
     ap.add_argument("--max-chunks", type=int, default=0)
     ap.add_argument("--summary", default="")
     ap.add_argument("--fail-dump", default="", help="NPZ path for worst-chunk tensors")
+    ap.add_argument("--quant", default="none",
+                    choices=["none", "joint", "encoder", "all"],
+                    help="int8 weight-only quantization scope (precision-"
+                         "ladder accuracy measurement)")
     args = ap.parse_args()
 
     if args.platform != "env":
@@ -74,6 +78,10 @@ def main() -> int:
     compute_dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     if args.dtype == "bf16":
         params = cast_params_for_compute(params, jnp.bfloat16)
+    if args.quant != "none":
+        from trt_asr_tpu.models.parakeet.quant import quantize_params
+
+        params = quantize_params(params, args.quant)
 
     import functools
 
@@ -168,6 +176,7 @@ def main() -> int:
     times = np.array([r["timing_ms"] for r in results])
     summary = {
         "goldens": args.goldens, "mode": args.mode, "dtype": args.dtype,
+        "quant": args.quant,
         "platform": args.platform, "atol": atol, "cache_atol": cache_atol,
         "num_chunks": len(results), "num_pass": int(n_pass),
         "pass_rate": n_pass / max(len(results), 1),

@@ -1,0 +1,207 @@
+"""One-process B=1 latency sweep over precision/kernel configs (real TPU).
+
+Uploads the full-size params ONCE, derives bf16/int8 variants on device
+(quantize_tensor runs as a jitted program — no re-upload), calibrates the
+blank bias to a requested emission profile, then measures each config with
+the fenced varied-input methodology (bench._measure, docs/DEBUGGING.md).
+
+Usage: python tools/perf_sweep.py [--iters 50] [--emit-target 1.5]
+Writes artifacts/perf/b1_sweep.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _measure  # fenced, varied-input, best-of-3
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--emit-target", type=float, default=1.5,
+                    help="calibrate blank bias for ~this many tokens/chunk")
+    ap.add_argument("--configs",
+                    default="xla,bpallas,bpallas_q8,xla_q8enc,xla_q8all",
+                    help="comma list: xla xla_q8enc xla_q8all (batched decode, "
+                         "XLA encoder) | bpallas bpallas_q8 (batched decode, "
+                         "fused att kernel) | spallas spallas_q8 (single-"
+                         "stream decode, fused att kernel)")
+    ap.add_argument("--out", default="artifacts/perf/b1_sweep.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from trt_asr_tpu.config import ModelConfig
+    from trt_asr_tpu.decode import init_decode_state
+    from trt_asr_tpu.models.parakeet import init_encoder_state, init_params
+    from trt_asr_tpu.models.parakeet.encoder import precompute_pos_proj
+    from trt_asr_tpu.models.parakeet.params import cast_params_for_compute
+    from trt_asr_tpu.models.parakeet.quant import quantize_params
+    from trt_asr_tpu.ops.conv import subsampled_length
+    from trt_asr_tpu.ops.pallas.att_block_kernel import _round_up
+    from trt_asr_tpu.streaming.batch_engine import _batch_step
+    from trt_asr_tpu.streaming.session import _session_step
+
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    cfg = ModelConfig()
+    t0 = time.time()
+    params_np = init_params(cfg, seed=0)
+    print(f"init: {time.time()-t0:.0f}s", file=sys.stderr)
+
+    frames = cfg.chunk_size_frames[1] + cfg.pre_encode_cache_size[1]
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((1, frames, cfg.feat_in)).astype(np.float32))
+    valid = jnp.full((1,), frames, jnp.int32)
+    emitted = jnp.zeros((1,), jnp.int32)
+    cache_drop = jnp.full((1,), cfg.cache_drop_size, jnp.int32)
+    valid_cap = jnp.full((1,), cfg.valid_out_len, jnp.int32)
+    max_tokens = cfg.max_symbols_per_timestep * (frames // cfg.subsampling_factor + 1)
+
+    t0 = time.time()
+    params = jax.device_put(cast_params_for_compute(params_np, jnp.bfloat16))
+    print(f"upload: {time.time()-t0:.0f}s", file=sys.stderr)
+
+    def make_state():
+        return (init_encoder_state(cfg, 1, dtype=jnp.bfloat16),
+                init_decode_state(cfg, 1))
+
+    tq = int(subsampled_length(np.asarray(frames), cfg.stride_stages)) \
+        - cfg.drop_extra_pre_encoded
+    tq_pad = _round_up(tq, 8)
+
+    def make_ppT(p):
+        pp = precompute_pos_proj(p, cfg, tq_pad, cfg.att_cache_size)
+        r_pad = _round_up(pp.shape[1], 128)
+        ppT = jnp.zeros((cfg.num_layers, cfg.d_model, r_pad), jnp.bfloat16)
+        return ppT.at[:, :, : pp.shape[1]].set(
+            jnp.swapaxes(pp, 1, 2).astype(jnp.bfloat16))
+
+    def xla_step_fn(p, pallas: bool = False):
+        kw = {}
+        if pallas:
+            kw = dict(pos_projT=make_ppT(p), pad_steps=tq_pad - tq,
+                      use_pallas_att=True)
+
+        def step(f, es, ds):
+            toks, n, es, ds = _batch_step(
+                p, cfg, f, valid, es, ds, emitted, cache_drop, valid_cap,
+                drop_extra=cfg.drop_extra_pre_encoded, max_tokens=max_tokens,
+                use_pallas_joint=True, **kw)
+            return toks, n, es, ds
+        return step
+
+    def emission(step):
+        es, ds = make_state()
+        ems = []
+        for k in range(4):
+            out = step(feats * (1.0 + 0.02 * k), es, ds)
+            es, ds = out[2], out[3]
+            ems.append(float(np.asarray(out[1]).mean()))
+        return float(np.mean(ems))
+
+    # ---- blank-bias calibration on the bf16 XLA config ----
+    b0 = np.asarray(params_np["joint"]["out"]["b"]).copy()
+    bias, chosen = 0.0, None
+    em = 0.0
+    for bias in (2.0, 1.5, 2.5, 1.0, 0.5, 3.0):
+        bb = b0.copy()
+        bb[cfg.blank_id] += bias
+        params["joint"]["out"]["b"] = jax.device_put(jnp.asarray(bb, jnp.bfloat16))
+        em = emission(xla_step_fn(params))
+        print(f"bias {bias}: {em:.2f} tokens/chunk", file=sys.stderr)
+        if 0.5 <= em <= 3.0:
+            chosen = (bias, em)
+            break
+    if chosen is None:
+        chosen = (bias, em)
+    print(f"calibrated blank bias {chosen[0]} -> {chosen[1]:.2f} tok/chunk",
+          file=sys.stderr)
+
+    # device-side derived variants (no re-upload)
+    q_enc = quantize_params(params, "encoder")
+    q_all = quantize_params(params, "all")
+
+    def session_step_fn(p):
+        ppT = make_ppT(p)
+
+        def step(f, es, ds):
+            toks, n, es, ds = _session_step(
+                p, cfg, f, valid, es, ds,
+                drop_extra=cfg.drop_extra_pre_encoded,
+                cache_drop=cfg.cache_drop_size, valid_cap=cfg.valid_out_len,
+                blank_penalty=0.0, emitted_so_far=emitted[0],
+                punct_mask=None, use_punct_mask=False,
+                pos_proj=None, pos_projT=ppT, pad_steps=tq_pad - tq,
+                use_pallas_att=True, use_pallas_joint=True)
+            return toks, n, es, ds
+        return step
+
+    steps = {
+        "xla": lambda: xla_step_fn(params),
+        "bpallas": lambda: xla_step_fn(params, pallas=True),
+        "bpallas_q8": lambda: xla_step_fn(q_all, pallas=True),
+        "spallas": lambda: session_step_fn(params),
+        "spallas_q8": lambda: session_step_fn(q_all),
+        "xla_q8enc": lambda: xla_step_fn(q_enc),
+        "xla_q8all": lambda: xla_step_fn(q_all),
+    }
+    results = {"blank_bias": chosen[0], "emission_tok_per_chunk": chosen[1],
+               "iters": args.iters, "device": str(jax.devices()[0]),
+               "method": "interleaved 3 rounds, min per config (controls "
+                         "tunnel speed drift between minutes)",
+               "configs": {}}
+
+    def measure_once(step, salt: float) -> float:
+        states = make_state()
+        f = feats * (1.0 + salt)
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(args.iters):
+            f = f * 1.0001 + 0.001
+            out = step(f, *states)
+            states = out[2:]
+        _ = np.asarray(out[0])   # host fetch = the only reliable fence
+        _ = np.asarray(jax.tree.leaves(states[0])[0][..., -1:, :])
+        return (time.perf_counter() - t0) * 1e3 / args.iters
+
+    names = args.configs.split(",")
+    built = {}
+    for name in names:   # compile/warm everything first
+        s = steps[name]()
+        out = s(feats, *make_state())
+        _ = np.asarray(out[0])
+        built[name] = {"step": s, "ms": []}
+    # interleave rounds so machine-speed drift hits all configs equally
+    for r in range(3):
+        for name in names:
+            ms = measure_once(built[name]["step"], 0.03 * (r + 1))
+            built[name]["ms"].append(ms)
+            print(f"round {r} {name}: {ms:.3f} ms/chunk", file=sys.stderr)
+    for name in names:
+        em = emission(built[name]["step"])
+        msl = built[name]["ms"]
+        results["configs"][name] = {
+            "ms_per_chunk": round(min(msl), 3),
+            "rounds_ms": [round(m, 3) for m in msl],
+            "emission": round(em, 2)}
+        print(f"{name}: {min(msl):.3f} ms/chunk (emission {em:.2f})",
+              file=sys.stderr)
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results["configs"]))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

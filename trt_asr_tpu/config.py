@@ -195,6 +195,8 @@ class RuntimeConfig:
     tap_dir: str = ""                        # AUDIO_TAP_DIR
     tap_enabled: bool = False                # AUDIO_TAP_ENABLE
     slow_step_ms: float = 250.0              # PARAKEET_SLOW_ENQUEUE_MS analog
+    profile_dir: str = ""                    # XPlane capture dir (debug/profiler.py)
+    profile_chunks: int = 20                 # chunks captured per profile run
     # decode behavior
     blank_penalty: float = 0.0               # PARAKEET_BLANK_PENALTY
     disable_cache: bool = False              # PARAKEET_DISABLE_CACHE
@@ -231,6 +233,8 @@ class RuntimeConfig:
             tap_dir=_env_str("TRT_ASR_TAP_DIR", "AUDIO_TAP_DIR", d.tap_dir),
             tap_enabled=_env_bool("TRT_ASR_TAP_ENABLE", "AUDIO_TAP_ENABLE", d.tap_enabled),
             slow_step_ms=_env_float("TRT_ASR_SLOW_STEP_MS", "PARAKEET_SLOW_ENQUEUE_MS", d.slow_step_ms),
+            profile_dir=_env_str("TRT_ASR_PROFILE_DIR", None, d.profile_dir),
+            profile_chunks=_env_int("TRT_ASR_PROFILE_CHUNKS", None, d.profile_chunks),
             blank_penalty=_env_float("TRT_ASR_BLANK_PENALTY", "PARAKEET_BLANK_PENALTY", d.blank_penalty),
             disable_cache=_env_bool("TRT_ASR_DISABLE_CACHE", "PARAKEET_DISABLE_CACHE", d.disable_cache),
             cache_len_override=_env_int("TRT_ASR_CACHE_LEN_OVERRIDE", "PARAKEET_CACHE_LEN_OVERRIDE", d.cache_len_override),

@@ -35,12 +35,19 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _joint_step_kernel(e_ref, g_ref, wp_ref, bp_ref, wo_ref, bo_ref,
+                       sp_ref, so_ref,
                        tok_ref, dur_ref, logit_ref, *, ths: int, ndur: int,
-                       blank_id: int, blank_penalty: float):
+                       blank_id: int, blank_penalty: float, wdtype):
+    # int8 weights convert at the MXU operand (exact, |q|<=127); the dequant
+    # scale rides the f32 accumulator (ops/quant.py). Floats pass scale 1.
     g = g_ref[:]                                                   # [B, P]
-    h = e_ref[:] + jnp.dot(g, wp_ref[:], preferred_element_type=jnp.float32) + bp_ref[:]
-    h = jnp.maximum(h, 0.0).astype(wo_ref.dtype)
-    logits = jnp.dot(h, wo_ref[:], preferred_element_type=jnp.float32) + bo_ref[:]
+    h = (e_ref[:]
+         + jnp.dot(g, wp_ref[:].astype(wdtype),
+                   preferred_element_type=jnp.float32) * sp_ref[:]
+         + bp_ref[:])
+    h = jnp.maximum(h, 0.0).astype(wdtype)
+    logits = jnp.dot(h, wo_ref[:].astype(wdtype),
+                     preferred_element_type=jnp.float32) * so_ref[:] + bo_ref[:]
     b, v_pad = logits.shape
 
     col = jax.lax.broadcasted_iota(jnp.int32, (b, v_pad), 1)
@@ -58,29 +65,43 @@ def _joint_step_kernel(e_ref, g_ref, wp_ref, bp_ref, wo_ref, bo_ref,
 def pad_joint_weights(joint_params, dtype=None):
     """Pre-pad the joint weights to lane multiples ONCE (outside the decode
     loop) so per-iteration kernel calls don't re-pad the 10 MB output
-    projection. Returns (wp, bp, wo, bo) padded."""
-    from trt_asr_tpu.ops.quant import QuantTensor, dequantize
+    projection. int8 QuantTensor weights stay int8 (the kernel consumes
+    them natively — half the VMEM of bf16, a quarter of f32). Returns
+    (wp, bp, wo, bo, sp, so) padded; sp/so are dequant scale rows (ones
+    for float weights)."""
+    from trt_asr_tpu.ops.quant import QuantTensor
 
-    pred_w = joint_params["pred"]["w"]
+    def parts(w):
+        if isinstance(w, QuantTensor):
+            return w.q, w.s[0]
+        return w, jnp.ones((w.shape[1],), jnp.float32)
+
+    pred_w, pred_s = parts(joint_params["pred"]["w"])
+    out_w, out_s = parts(joint_params["out"]["w"])
     pred_b = joint_params["pred"]["b"]
-    out_w = joint_params["out"]["w"]
     out_b = joint_params["out"]["b"]
-    if isinstance(pred_w, QuantTensor):   # int8 joint: materialize compute-
-        pred_w = dequantize(pred_w)       # dtype weights once per chunk
-    if isinstance(out_w, QuantTensor):    # program (TODO: int8-native kernel)
-        out_w = dequantize(out_w)
-    dtype = dtype or out_w.dtype
+    if dtype is None:
+        dtype = jnp.bfloat16 if out_w.dtype == jnp.int8 else out_w.dtype
     p, j = pred_w.shape
     v = out_w.shape[1]
     p_pad, j_pad, v_pad = _round_up(p, 128), _round_up(j, 128), _round_up(v, 128)
-    wp = jnp.pad(pred_w.astype(dtype), ((0, p_pad - p), (0, j_pad - j)))
+
+    def cast_w(w):
+        return w if w.dtype == jnp.int8 else w.astype(dtype)
+
+    wp = jnp.pad(cast_w(pred_w), ((0, p_pad - p), (0, j_pad - j)))
     bp = jnp.pad(pred_b.astype(jnp.float32), (0, j_pad - j))[None]
-    wo = jnp.pad(out_w.astype(dtype), ((0, j_pad - j), (0, v_pad - v)))
+    wo = jnp.pad(cast_w(out_w), ((0, j_pad - j), (0, v_pad - v)))
     bo = jnp.pad(out_b.astype(jnp.float32), (0, v_pad - v))[None]
-    return wp, bp, wo, bo
+    sp = jnp.pad(pred_s.astype(jnp.float32), (0, j_pad - j),
+                 constant_values=1.0)[None]
+    so = jnp.pad(out_s.astype(jnp.float32), (0, v_pad - v),
+                 constant_values=1.0)[None]
+    return wp, bp, wo, bo, sp, so
 
 
-def joint_step_pallas_prepadded(enc_proj_t, g, wp, bp, wo, bo, *, ths: int,
+def joint_step_pallas_prepadded(enc_proj_t, g, wp, bp, wo, bo, sp=None,
+                                so=None, *, ths: int,
                                 ndur: int, blank_id: int,
                                 blank_penalty: float = 0.0,
                                 interpret=None):
@@ -92,23 +113,29 @@ def joint_step_pallas_prepadded(enc_proj_t, g, wp, bp, wo, bo, *, ths: int,
     b, j = enc_proj_t.shape
     p = g.shape[1]
     b_pad = _round_up(b, 8)
+    wdtype = jnp.bfloat16 if wp.dtype == jnp.int8 else wp.dtype
+    if sp is None:
+        sp = jnp.ones((1, wp.shape[1]), jnp.float32)
+    if so is None:
+        so = jnp.ones((1, wo.shape[1]), jnp.float32)
     e = jnp.pad(enc_proj_t.astype(jnp.float32),
                 ((0, b_pad - b), (0, wp.shape[1] - j)))
-    gp = jnp.pad(g.astype(wo.dtype), ((0, b_pad - b), (0, wp.shape[0] - p)))
+    gp = jnp.pad(g.astype(wdtype), ((0, b_pad - b), (0, wp.shape[0] - p)))
     tok, dur, logits = pl.pallas_call(
         functools.partial(_joint_step_kernel, ths=ths, ndur=ndur,
-                          blank_id=blank_id, blank_penalty=float(blank_penalty)),
+                          blank_id=blank_id, blank_penalty=float(blank_penalty),
+                          wdtype=wdtype),
         out_shape=(
             jax.ShapeDtypeStruct((1, b_pad), jnp.int32),
             jax.ShapeDtypeStruct((1, b_pad), jnp.int32),
             jax.ShapeDtypeStruct((b_pad, wo.shape[1]), jnp.float32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         interpret=interpret,
-    )(e, gp, wp, bp, wo, bo)
+    )(e, gp, wp, bp, wo, bo, sp, so)
     return tok[0, :b], dur[0, :b], logits[:b]
 
 
@@ -129,33 +156,12 @@ def joint_step_pallas(
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (best_tok [B] int32, best_dur_idx [B] int32, logits [B, V])."""
-    b, j = enc_proj_t.shape
-    p = g.shape[1]
-    v = out_w.shape[1]
-    b_pad = _round_up(b, 8)
-    j_pad = _round_up(j, 128)
-    p_pad = _round_up(p, 128)
-    v_pad = _round_up(v, 128)
+    from trt_asr_tpu.ops.quant import QuantTensor
 
-    e = jnp.pad(enc_proj_t.astype(jnp.float32), ((0, b_pad - b), (0, j_pad - j)))
-    gp = jnp.pad(g.astype(out_w.dtype), ((0, b_pad - b), (0, p_pad - p)))
-    wp = jnp.pad(pred_w.astype(out_w.dtype), ((0, p_pad - p), (0, j_pad - j)))
-    bp = jnp.pad(pred_b.astype(jnp.float32), (0, j_pad - j))[None]
-    wo = jnp.pad(out_w, ((0, j_pad - j), (0, v_pad - v)))
-    bo = jnp.pad(out_b.astype(jnp.float32), (0, v_pad - v))[None]
-
-    tok, dur, logits = pl.pallas_call(
-        functools.partial(_joint_step_kernel, ths=ths, ndur=ndur,
-                          blank_id=blank_id, blank_penalty=float(blank_penalty)),
-        out_shape=(
-            jax.ShapeDtypeStruct((1, b_pad), jnp.int32),
-            jax.ShapeDtypeStruct((1, b_pad), jnp.int32),
-            jax.ShapeDtypeStruct((b_pad, v_pad), jnp.float32),
-        ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
-        interpret=interpret,
-    )(e, gp, wp, bp, wo, bo)
-    return tok[0, :b], dur[0, :b], logits[:b, :v]
+    v = (out_w.q if isinstance(out_w, QuantTensor) else out_w).shape[1]
+    padded = pad_joint_weights(
+        {"pred": {"w": pred_w, "b": pred_b}, "out": {"w": out_w, "b": out_b}})
+    tok, dur, logits = joint_step_pallas_prepadded(
+        enc_proj_t, g, *padded, ths=ths, ndur=ndur, blank_id=blank_id,
+        blank_penalty=blank_penalty, interpret=interpret)
+    return tok, dur, logits[:, :v]

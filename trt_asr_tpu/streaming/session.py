@@ -81,6 +81,9 @@ class StreamingSession:
         self._segment = 0
         self._chunk_latencies_ms: List[float] = []
         self._taps = maybe_tap_run(self.rt)
+        from trt_asr_tpu.debug.profiler import maybe_profiler
+
+        self._profiler = maybe_profiler(self.rt)
         # positional projections are input-independent for the (fixed)
         # streaming chunk shape — computed once per session, not per chunk
         from trt_asr_tpu.models.parakeet.encoder import precompute_pos_proj
@@ -236,6 +239,8 @@ class StreamingSession:
                          blank_id=self.cfg.blank_id, emitted=len(self._tokens))
         if self._taps is not None:
             self._taps.close()
+        if self._profiler is not None:
+            self._profiler.stop()   # flush a short capture on finalize
         with self._lock:
             self._events.append(Event(EventType.FINAL_TEXT, self._segment,
                                       self.model.tokenizer.decode(self._tokens),
@@ -271,6 +276,8 @@ class StreamingSession:
         cfg = self.cfg
         rt = self.rt
         stage_marker(rt, f"chunk {spec.idx} enter [{self._debug_ctx}]")
+        if self._profiler is not None:
+            self._profiler.chunk_start()
         from trt_asr_tpu.streaming.schedule import extract_chunk
 
         x = extract_chunk(self._feat_buf, spec)
@@ -341,6 +348,8 @@ class StreamingSession:
             stage_marker(rt, f"chunk {spec.idx} emitted {new}", force=True)
         maybe_snapshot_chunk(rt, spec.idx, enc_state=self._enc_state,
                              dec_state=self._dec_state, tokens=new)
+        if self._profiler is not None:
+            self._profiler.chunk_end()
         stage_marker(rt, f"chunk {spec.idx} exit ({ms:.1f} ms, {n} tokens)")
 
     def _maybe_partial(self) -> None:
