@@ -109,3 +109,15 @@ def test_pallas_att_transcript_identical(model):
         sess.finalize()
     assert sess_b._tokens == sess_a._tokens
     assert sess_b.text == sess_a.text
+
+
+def test_batched_decode_transcript_identical(model):
+    """Session default (blank-run batched decode) == per-step loop decode."""
+    audio = _audio(32000, seed=9)
+    sess_a = StreamingSession(model, RuntimeConfig(batched_decode=False))
+    sess_b = StreamingSession(model, RuntimeConfig(batched_decode=True))
+    for sess in (sess_a, sess_b):
+        for s in range(0, len(audio), 6400):
+            sess.push_audio(audio[s : s + 6400])
+        sess.finalize()
+    assert sess_b._tokens == sess_a._tokens

@@ -12,6 +12,7 @@ Writes artifacts/perf/b1_sweep.json.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -36,6 +37,10 @@ def main() -> int:
                          "fused att kernel) | spallas spallas_q8 (single-"
                          "stream decode, fused att kernel)")
     ap.add_argument("--out", default="artifacts/perf/b1_sweep.json")
+    ap.add_argument("--offline", type=float, default=0.0, metavar="SECONDS",
+                    help="offline mode instead: RTFx + MFU sweep over "
+                         "--batches utterances of this duration")
+    ap.add_argument("--batches", default="8,16,32,64")
     args = ap.parse_args()
 
     import jax
@@ -70,6 +75,9 @@ def main() -> int:
     t0 = time.time()
     params = jax.device_put(cast_params_for_compute(params_np, jnp.bfloat16))
     print(f"upload: {time.time()-t0:.0f}s", file=sys.stderr)
+
+    if args.offline:
+        return _offline_sweep(args, cfg, params)
 
     def make_state():
         return (init_encoder_state(cfg, 1, dtype=jnp.bfloat16),
@@ -205,3 +213,67 @@ def main() -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def _offline_sweep(args, cfg, params) -> int:
+    """One-upload offline RTFx + MFU sweep over batch sizes (VERDICT r1 #9:
+    report MFU; target >=25% bf16 MFU offline)."""
+    import jax
+    import jax.numpy as jnp
+
+    from trt_asr_tpu.decode import init_decode_state
+    from trt_asr_tpu.decode.batched import tdt_greedy_decode_batch
+    from trt_asr_tpu.models.parakeet import offline_encode
+
+    frames = int(args.offline * 100)
+    rng = np.random.default_rng(0)
+    results = {"utterance_s": args.offline, "device": str(jax.devices()[0]),
+               "dtype": "bf16", "configs": {}}
+
+    @functools.partial(jax.jit, static_argnames=("b",))
+    def run(p, f, b):
+        lens = jnp.full((b,), frames, jnp.int32)
+        enc, t_enc = offline_encode(p, cfg, f, lens, compute_dtype=jnp.bfloat16)
+        ds = init_decode_state(cfg, b)
+        toks, n, _ = tdt_greedy_decode_batch(
+            p, cfg, enc.astype(jnp.float32), t_enc.astype(jnp.int32), ds,
+            max_tokens=cfg.max_symbols_per_timestep * enc.shape[1],
+            use_pallas_joint=True)
+        return toks, n
+
+    for b in [int(x) for x in args.batches.split(",")]:
+        feats0 = jnp.asarray(
+            rng.standard_normal((b, frames, cfg.feat_in)).astype(np.float32))
+        t0 = time.time()
+        toks, _ = run(params, feats0, b)
+        _ = np.asarray(toks)
+        print(f"B={b} compile+first: {time.time()-t0:.0f}s", file=sys.stderr)
+        flops = None
+        try:
+            cost = run.lower(params, feats0, b).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0)) or None
+        except Exception as e:  # noqa: BLE001
+            print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+        best = 1e9
+        for salt in (0.02, 0.07, 0.13):
+            f = feats0 * (1 + salt)
+            t0 = time.perf_counter()
+            toks, _ = run(params, f, b)
+            _ = np.asarray(toks)
+            best = min(best, time.perf_counter() - t0)
+        rtfx = b * args.offline / best
+        mfu = flops / best / 197e12 if flops else None
+        print(f"B={b}: {best*1e3:.1f} ms -> RTFx {rtfx:.0f}"
+              + (f", MFU {mfu*100:.1f}%" if mfu else ""), file=sys.stderr)
+        results["configs"][f"b{b}"] = {
+            "wall_ms": round(best * 1e3, 1), "rtfx": round(rtfx, 1),
+            "gflop": round(flops / 1e9, 1) if flops else None,
+            "mfu_pct_bf16_peak": round(mfu * 100, 1) if mfu else None}
+    out = args.out.replace("b1_sweep", "offline_sweep")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results["configs"]))
+    return 0

@@ -184,6 +184,10 @@ class RuntimeConfig:
                                              # (B=1 streaming hot path)
     quant: str = "none"                      # int8 weight-only quantization
                                              # scope: none|joint|encoder|all
+    batched_decode: bool = True              # blank-run batched decode in the
+                                             # session (token-exact with the
+                                             # per-step loop; ~20% faster B=1;
+                                             # debug_tdt_steps forces the loop)
     # debug / instrumentation
     nan_guard: bool = False                  # PARAKEET_NAN_GUARD_ALWAYS
     nan_guard_halt: bool = False             # PARAKEET_NAN_GUARD_HALT
@@ -223,6 +227,7 @@ class RuntimeConfig:
             use_pallas_joint=_env_bool("TRT_ASR_PALLAS_JOINT", None, d.use_pallas_joint),
             use_pallas_att=_env_bool("TRT_ASR_PALLAS_ATT", None, d.use_pallas_att),
             quant=_env_str("TRT_ASR_QUANT", None, d.quant),
+            batched_decode=_env_bool("TRT_ASR_BATCHED_DECODE", None, d.batched_decode),
             nan_guard=_env_bool("TRT_ASR_NAN_GUARD", "PARAKEET_NAN_GUARD_ALWAYS", d.nan_guard),
             nan_guard_halt=_env_bool("TRT_ASR_NAN_GUARD_HALT", "PARAKEET_NAN_GUARD_HALT", d.nan_guard_halt),
             stage_markers=_env_bool("TRT_ASR_STAGE_MARKERS", "PARAKEET_DEBUG_STAGE_MARKERS", d.stage_markers),

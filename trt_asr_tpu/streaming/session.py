@@ -321,7 +321,8 @@ class StreamingSession:
             pos_projT=self._pos_projT if pal_att else None,
             pad_steps=self._pad_steps if pal_att else 0,
             use_pallas_att=pal_att,
-            use_pallas_joint=rt.use_pallas_joint, trace=rt.debug_tdt_steps)
+            use_pallas_joint=rt.use_pallas_joint, trace=rt.debug_tdt_steps,
+            use_batched_decode=rt.batched_decode)
         if rt.debug_tdt_steps:
             toks, n, self._enc_state, self._dec_state, (rec_buf, n_steps) = out
             from trt_asr_tpu.debug.tdt_trace import records_from_buffer
@@ -372,7 +373,7 @@ class StreamingSession:
     jax.jit,
     static_argnames=("cfg", "drop_extra", "cache_drop", "valid_cap", "blank_penalty",
                      "use_punct_mask", "use_pallas_joint", "trace", "pad_steps",
-                     "use_pallas_att"),
+                     "use_pallas_att", "use_batched_decode"),
     donate_argnames=("enc_state", "dec_state"),
 )
 def _session_step(params, cfg: ModelConfig, feats, valid, enc_state: EncoderState,
@@ -381,7 +382,8 @@ def _session_step(params, cfg: ModelConfig, feats, valid, enc_state: EncoderStat
                   blank_penalty: float, emitted_so_far, punct_mask, use_punct_mask: bool,
                   pos_proj=None, pos_projT=None, pad_steps: int = 0,
                   use_pallas_att: bool = False,
-                  use_pallas_joint: bool = False, trace: bool = False):
+                  use_pallas_joint: bool = False, trace: bool = False,
+                  use_batched_decode: bool = False):
     """One fused device program: streaming encoder step + TDT decode loop.
 
     trace=True (RuntimeConfig.debug_tdt_steps) additionally returns the
@@ -392,6 +394,21 @@ def _session_step(params, cfg: ModelConfig, feats, valid, enc_state: EncoderStat
         valid_cap=valid_cap, pos_proj=pos_proj, pos_projT=pos_projT,
         pad_steps=pad_steps, use_pallas_att=use_pallas_att)
     tq = enc.shape[1]
+    if use_batched_decode and not trace:
+        # blank-run batched decode at B=1: joint matmuls run O(emits), not
+        # O(steps) — measured ~20% faster than the per-step loop
+        # (artifacts/perf/b1_sweep.json bpallas vs spallas). Token-exact
+        # with the loop (tests/test_batched_decode.py).
+        from trt_asr_tpu.decode.batched import tdt_greedy_decode_batch
+
+        toks_b, n_b, dec_state = tdt_greedy_decode_batch(
+            params, cfg, enc, out_len.astype(jnp.int32), dec_state,
+            max_tokens=cfg.max_symbols_per_timestep * tq,
+            blank_penalty=blank_penalty,
+            emitted_so_far=jnp.asarray(emitted_so_far).reshape(1),
+            punct_mask=punct_mask, use_punct_mask=use_punct_mask,
+            use_pallas_joint=use_pallas_joint)
+        return toks_b[0], n_b[0], enc_state, dec_state
     out = tdt_greedy_decode_chunk(
         params, cfg, enc[0], out_len[0].astype(jnp.int32), dec_state,
         max_tokens=cfg.max_symbols_per_timestep * tq,
