@@ -284,3 +284,78 @@ def test_joint_step_kernel_int8(rng):
     np.testing.assert_allclose(np.asarray(logits), want_logits,
                                atol=5e-2, rtol=1e-2)
     assert (np.asarray(tok) == want_tok).all()
+
+
+class TestConvBlockKernel:
+    def test_matches_xla_conv_module(self, rng):
+        """Fused conv-module kernel == the XLA conv section of
+        _conformer_layer (interpret mode, f32)."""
+        import jax.numpy as jnp
+
+        from trt_asr_tpu.ops.common import (batch_norm_inference, glu,
+                                            layer_norm, matmul, silu)
+        from trt_asr_tpu.ops.conv import depthwise_conv1d
+        from trt_asr_tpu.ops.pallas.conv_block_kernel import conv_block_pallas
+
+        d, kk, tq, valid = 64, 9, 8, 6
+        half = (kk - 1) // 2
+
+        def rnd(*s):
+            return jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.3)
+
+        x = rnd(tq, d)
+        ln_g, ln_b = rnd(d) * 0.2 + 1.0, rnd(d) * 0.1
+        pw1, pw2, dw = rnd(d, 2 * d), rnd(d, d), rnd(kk, d)
+        bn_g = rnd(d) * 0.1 + 1.0
+        bn_b, bn_m = rnd(d) * 0.1, rnd(d) * 0.1
+        bn_v = jnp.abs(rnd(d)) * 0.5 + 0.8
+        tc = rnd(half, d)
+        tmask = (np.arange(tq) < valid)
+
+        c_ref = glu(matmul(layer_norm(x, ln_g, ln_b), pw1), axis=-1)
+        c_ref = jnp.where(jnp.asarray(tmask)[:, None], c_ref, 0)
+        ext = jnp.concatenate([tc, c_ref, jnp.zeros((half, d))], axis=0)
+        cv = depthwise_conv1d(ext[None], dw)[0]
+        cv = batch_norm_inference(cv, bn_g, bn_b, bn_m, bn_v)
+        y_ref = x + matmul(silu(cv), pw2)
+
+        y, c = conv_block_pallas(
+            x, ln_g, ln_b, pw1, dw, bn_g, bn_b, bn_m, bn_v, pw2, tc,
+            jnp.asarray(tmask.astype(np.float32))[:, None], interpret=True)
+        np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-5)
+
+    def test_closed_loop_all_kernels_int8(self, rng):
+        """encode() with ALL fused kernels (attention + conv + FFN) on int8
+        weights == the XLA q8 path, closed loop (bf16-class tolerance: both
+        paths run bf16 MXU math with different fusion orders)."""
+        from trt_asr_tpu.models.parakeet import encode, init_encoder_state
+        from trt_asr_tpu.models.parakeet.quant import quantize_params
+        from trt_asr_tpu.streaming import build_schedule
+
+        cfg = ModelConfig.tiny()
+        params = quantize_params(init_params(cfg, seed=3), "encoder")
+        total = 113
+        feats = (0.5 * rng.standard_normal((total, cfg.feat_in))).astype(np.float32)
+        sched = build_schedule(total, cfg)
+        s_ref = init_encoder_state(cfg, 1)
+        s_pal = init_encoder_state(cfg, 1)
+        for spec in sched:
+            x = feats[spec.slice_start : spec.slice_end]
+            if x.shape[0] < spec.frames:
+                x = np.pad(x, ((0, spec.frames - x.shape[0]), (0, 0)))
+            x, valid = x[None], np.array([spec.valid_frames], np.int32)
+            cache_drop = 0 if spec.is_last else cfg.cache_drop_size
+            e_ref, l_ref, s_ref = encode(
+                params, cfg, x, valid, s_ref,
+                drop_extra=spec.drop_extra, cache_drop=cache_drop)
+            e_pal, l_pal, s_pal = encode(
+                params, cfg, x, valid, s_pal,
+                drop_extra=spec.drop_extra, cache_drop=cache_drop,
+                pad_steps=2, use_pallas_att=True, use_pallas_conv=True,
+                use_pallas_ffn=True)
+            lr = int(np.asarray(l_ref)[0])
+            assert lr == int(np.asarray(l_pal)[0])
+            np.testing.assert_allclose(
+                np.asarray(e_pal)[0, :lr], np.asarray(e_ref)[0, :lr],
+                atol=5e-2, rtol=1e-2, err_msg=f"chunk {spec.idx}")

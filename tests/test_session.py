@@ -121,3 +121,17 @@ def test_batched_decode_transcript_identical(model):
             sess.push_audio(audio[s : s + 6400])
         sess.finalize()
     assert sess_b._tokens == sess_a._tokens
+
+
+def test_all_pallas_kernels_transcript_identical(model):
+    """att + conv + FFN fused kernels (interpret mode on CPU) must be
+    token-exact with the XLA path through the full session."""
+    audio = _audio(24000, seed=4)
+    sess_a = StreamingSession(model, RuntimeConfig())
+    sess_b = StreamingSession(model, RuntimeConfig(
+        use_pallas_att=True, use_pallas_conv=True, use_pallas_ffn=True))
+    for sess in (sess_a, sess_b):
+        for s in range(0, len(audio), 8000):
+            sess.push_audio(audio[s : s + 8000])
+        sess.finalize()
+    assert sess_b._tokens == sess_a._tokens

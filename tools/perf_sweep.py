@@ -94,11 +94,13 @@ def main() -> int:
         return ppT.at[:, :, : pp.shape[1]].set(
             jnp.swapaxes(pp, 1, 2).astype(jnp.bfloat16))
 
-    def xla_step_fn(p, pallas: bool = False):
+    def xla_step_fn(p, pallas: bool = False, all_kernels: bool = False):
         kw = {}
         if pallas:
             kw = dict(pos_projT=make_ppT(p), pad_steps=tq_pad - tq,
                       use_pallas_att=True)
+        if all_kernels:
+            kw.update(use_pallas_conv=True, use_pallas_ffn=True)
 
         def step(f, es, ds):
             toks, n, es, ds = _batch_step(
@@ -139,6 +141,32 @@ def main() -> int:
     q_enc = quantize_params(params, "encoder")
     q_all = quantize_params(params, "all")
 
+    _f32_cache = {}
+
+    def f32_step_fn():
+        """Accuracy-mode config: f32 params at the TRT_ASR_F32_PRECISION
+        pass count (set the ENV — the precision global is read at trace and
+        is NOT part of the jit cache key, so exactly one f32 config per
+        process). B=1 is overhead-bound, so the 3-pass HIGH matmuls may
+        cost little over bf16 — the r1 '1.2x baseline' figure predates the
+        batched decode and fused-kernel overhead cuts."""
+        if "p" not in _f32_cache:
+            bb = np.asarray(params_np["joint"]["out"]["b"]).copy()
+            bb[cfg.blank_id] += chosen[0]
+            params_np["joint"]["out"]["b"] = bb
+            t0 = time.time()
+            _f32_cache["p"] = jax.device_put(params_np)
+            print(f"f32 upload: {time.time()-t0:.0f}s", file=sys.stderr)
+        p = _f32_cache["p"]
+
+        def step(f, es, ds):
+            toks, n, es, ds = _batch_step(
+                p, cfg, f, valid, es, ds, emitted, cache_drop, valid_cap,
+                drop_extra=cfg.drop_extra_pre_encoded, max_tokens=max_tokens,
+                use_pallas_joint=True)
+            return toks, n, es, ds
+        return step
+
     def session_step_fn(p):
         ppT = make_ppT(p)
 
@@ -158,10 +186,13 @@ def main() -> int:
         "xla": lambda: xla_step_fn(params),
         "bpallas": lambda: xla_step_fn(params, pallas=True),
         "bpallas_q8": lambda: xla_step_fn(q_all, pallas=True),
+        "bpallas3": lambda: xla_step_fn(params, pallas=True, all_kernels=True),
+        "bpallas3_q8": lambda: xla_step_fn(q_all, pallas=True, all_kernels=True),
         "spallas": lambda: session_step_fn(params),
         "spallas_q8": lambda: session_step_fn(q_all),
         "xla_q8enc": lambda: xla_step_fn(q_enc),
         "xla_q8all": lambda: xla_step_fn(q_all),
+        "f32": lambda: f32_step_fn(),
     }
     results = {"blank_bias": chosen[0], "emission_tok_per_chunk": chosen[1],
                "iters": args.iters, "device": str(jax.devices()[0]),

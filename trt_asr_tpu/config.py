@@ -182,6 +182,8 @@ class RuntimeConfig:
     use_pallas_joint: bool = False           # fused Pallas joint decode step
     use_pallas_att: bool = False             # fused attention-block kernel
                                              # (B=1 streaming hot path)
+    use_pallas_conv: bool = False            # fused conv-module kernel (B=1)
+    use_pallas_ffn: bool = False             # fused FFN kernel
     quant: str = "none"                      # int8 weight-only quantization
                                              # scope: none|joint|encoder|all
     batched_decode: bool = True              # blank-run batched decode in the
@@ -226,6 +228,8 @@ class RuntimeConfig:
             decode_dtype=_env_str("TRT_ASR_DECODE_DTYPE", None, d.decode_dtype),
             use_pallas_joint=_env_bool("TRT_ASR_PALLAS_JOINT", None, d.use_pallas_joint),
             use_pallas_att=_env_bool("TRT_ASR_PALLAS_ATT", None, d.use_pallas_att),
+            use_pallas_conv=_env_bool("TRT_ASR_PALLAS_CONV", None, d.use_pallas_conv),
+            use_pallas_ffn=_env_bool("TRT_ASR_PALLAS_FFN", None, d.use_pallas_ffn),
             quant=_env_str("TRT_ASR_QUANT", None, d.quant),
             batched_decode=_env_bool("TRT_ASR_BATCHED_DECODE", None, d.batched_decode),
             nan_guard=_env_bool("TRT_ASR_NAN_GUARD", "PARAKEET_NAN_GUARD_ALWAYS", d.nan_guard),

@@ -144,6 +144,7 @@ def _conformer_layer(
     cache_keep: int,                # Tq - cache_drop (static)
     appended: jnp.ndarray,          # [B] = min(sub_len, cache_keep), dynamic
     use_pallas_ffn: bool = False,
+    use_pallas_conv: bool = False,       # fused conv-module kernel (B=1)
     pallas_att: Optional[Tuple] = None,  # (g_sel, kv_mask_1S, posT [D, R_pad])
                                          # -> fused attention-block kernel (B=1)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -201,16 +202,27 @@ def _conformer_layer(
         new_att_cache, new_kv_cache = att_cache, kv_cache
 
     # --- convolution module ---
-    c = layer_norm(x, lp["conv_ln_g"], lp["conv_ln_b"])
-    c = glu(matmul(c, lp["conv_pw1"]), axis=-1)
-    c = jnp.where(time_mask[:, :, None], c, 0)  # zero padded steps pre-conv
-    c_ext = jnp.concatenate(
-        [time_cache.astype(c.dtype), c, jnp.zeros((b, k, d), c.dtype)], axis=1)
-    cv = depthwise_conv1d(c_ext, lp["conv_dw"])           # [B, Tq, D]
-    cv = batch_norm_inference(cv, lp["conv_bn_g"], lp["conv_bn_b"],
-                              lp["conv_bn_m"], lp["conv_bn_v"])
-    cv = matmul(silu(cv), lp["conv_pw2"])
-    x = x + cv
+    if use_pallas_conv:
+        from trt_asr_tpu.ops.pallas.conv_block_kernel import conv_block_pallas
+
+        y2, c1 = conv_block_pallas(
+            x[0].astype(jnp.float32), lp["conv_ln_g"], lp["conv_ln_b"],
+            lp["conv_pw1"], lp["conv_dw"], lp["conv_bn_g"], lp["conv_bn_b"],
+            lp["conv_bn_m"], lp["conv_bn_v"], lp["conv_pw2"],
+            time_cache[0], time_mask[0][:, None].astype(jnp.float32))
+        c = c1[None].astype(x.dtype)
+        x = y2[None].astype(x.dtype)
+    else:
+        c = layer_norm(x, lp["conv_ln_g"], lp["conv_ln_b"])
+        c = glu(matmul(c, lp["conv_pw1"]), axis=-1)
+        c = jnp.where(time_mask[:, :, None], c, 0)  # zero padded steps pre-conv
+        c_ext = jnp.concatenate(
+            [time_cache.astype(c.dtype), c, jnp.zeros((b, k, d), c.dtype)], axis=1)
+        cv = depthwise_conv1d(c_ext, lp["conv_dw"])           # [B, Tq, D]
+        cv = batch_norm_inference(cv, lp["conv_bn_g"], lp["conv_bn_b"],
+                                  lp["conv_bn_m"], lp["conv_bn_v"])
+        cv = matmul(silu(cv), lp["conv_pw2"])
+        x = x + cv
     new_time_cache = _append_cache(time_cache, c[:, :cache_keep], appended)
 
     # --- FFN 2 (1/2 residual) ---
@@ -245,6 +257,7 @@ def encode(
     compute_dtype=jnp.float32,
     pos_proj: Optional[jnp.ndarray] = None,  # precomputed [L, R, D] (see precompute_pos_proj)
     use_pallas_ffn: bool = False,
+    use_pallas_conv: bool = False,   # fused conv-module kernel (B=1)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[EncoderState]]:
     """Returns (enc_out [B, Tq, D] in compute dtype, out_lengths [B], new_state).
 
@@ -332,6 +345,8 @@ def encode(
 
     x = jnp.where(time_mask[:, :, None], x, 0)
 
+    if use_pallas_conv:
+        assert b == 1, "use_pallas_conv requires B=1"
     pallas_shared = None
     if use_pallas_att:
         # fused attention-block kernel: B=1 streaming only. The positional
@@ -373,7 +388,7 @@ def encode(
             y, new_ac, new_tc, new_kvc = _conformer_layer(
                 lp, carry, ac, tc, kvc, pp, kv_mask, rel_idx, time_mask, cursor,
                 cfg.n_heads, cache_keep, appended, use_pallas_ffn=use_pallas_ffn,
-                pallas_att=pa)
+                use_pallas_conv=use_pallas_conv, pallas_att=pa)
             return y, (new_ac, new_tc, new_kvc)
 
         xs = (_layer_params_slice(enc_p["layers"]), att_cache0,
@@ -387,7 +402,7 @@ def encode(
             y, _, new_tc, _ = _conformer_layer(
                 lp, carry, None, tc, None, pp, kv_mask, rel_idx, time_mask,
                 cursor, cfg.n_heads, cache_keep, appended,
-                use_pallas_ffn=use_pallas_ffn)
+                use_pallas_ffn=use_pallas_ffn, use_pallas_conv=use_pallas_conv)
             return y, new_tc
 
         x, _ = lax.scan(

@@ -41,13 +41,15 @@ from trt_asr_tpu.streaming.session import Event, EventType
 @functools.partial(jax.jit, static_argnames=("cfg", "drop_extra", "max_tokens",
                                              "blank_penalty", "use_punct_mask",
                                              "use_pallas_joint", "pad_steps",
-                                             "use_pallas_att"),
+                                             "use_pallas_att", "use_pallas_conv",
+                                             "use_pallas_ffn"),
                    donate_argnames=("enc_state", "dec_state"))
 def _batch_step(params, cfg: ModelConfig, feats, valid, enc_state, dec_state,
                 emitted_so_far, cache_drop_vec, valid_cap_vec, *, drop_extra: int,
                 max_tokens: int, blank_penalty: float = 0.0, punct_mask=None,
                 use_punct_mask: bool = False, pos_proj=None,
                 pos_projT=None, pad_steps: int = 0, use_pallas_att: bool = False,
+                use_pallas_conv: bool = False, use_pallas_ffn: bool = False,
                 use_pallas_joint: bool = False):
     """One lockstep batched program for steady AND final-flush chunks: the
     per-row cache_drop / emission-cap vectors let a finalizing stream run
@@ -60,7 +62,9 @@ def _batch_step(params, cfg: ModelConfig, feats, valid, enc_state, dec_state,
                                      valid_cap_vec=valid_cap_vec,
                                      pos_proj=pos_proj, pos_projT=pos_projT,
                                      pad_steps=pad_steps,
-                                     use_pallas_att=use_pallas_att)
+                                     use_pallas_att=use_pallas_att,
+                                     use_pallas_conv=use_pallas_conv,
+                                     use_pallas_ffn=use_pallas_ffn)
     toks, n, dec_state = tdt_greedy_decode_batch(
         params, cfg, enc, out_len.astype(jnp.int32), dec_state,
         max_tokens=max_tokens, emitted_so_far=emitted_so_far,

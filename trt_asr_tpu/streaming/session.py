@@ -321,6 +321,8 @@ class StreamingSession:
             pos_projT=self._pos_projT if pal_att else None,
             pad_steps=self._pad_steps if pal_att else 0,
             use_pallas_att=pal_att,
+            use_pallas_conv=rt.use_pallas_conv,
+            use_pallas_ffn=rt.use_pallas_ffn,
             use_pallas_joint=rt.use_pallas_joint, trace=rt.debug_tdt_steps,
             use_batched_decode=rt.batched_decode)
         if rt.debug_tdt_steps:
@@ -373,7 +375,8 @@ class StreamingSession:
     jax.jit,
     static_argnames=("cfg", "drop_extra", "cache_drop", "valid_cap", "blank_penalty",
                      "use_punct_mask", "use_pallas_joint", "trace", "pad_steps",
-                     "use_pallas_att", "use_batched_decode"),
+                     "use_pallas_att", "use_pallas_conv", "use_pallas_ffn",
+                     "use_batched_decode"),
     donate_argnames=("enc_state", "dec_state"),
 )
 def _session_step(params, cfg: ModelConfig, feats, valid, enc_state: EncoderState,
@@ -381,7 +384,8 @@ def _session_step(params, cfg: ModelConfig, feats, valid, enc_state: EncoderStat
                   valid_cap=None,
                   blank_penalty: float, emitted_so_far, punct_mask, use_punct_mask: bool,
                   pos_proj=None, pos_projT=None, pad_steps: int = 0,
-                  use_pallas_att: bool = False,
+                  use_pallas_att: bool = False, use_pallas_conv: bool = False,
+                  use_pallas_ffn: bool = False,
                   use_pallas_joint: bool = False, trace: bool = False,
                   use_batched_decode: bool = False):
     """One fused device program: streaming encoder step + TDT decode loop.
@@ -392,7 +396,8 @@ def _session_step(params, cfg: ModelConfig, feats, valid, enc_state: EncoderStat
         params, cfg, feats, valid[None] if valid.ndim == 0 else valid,
         enc_state, drop_extra=drop_extra, cache_drop=cache_drop,
         valid_cap=valid_cap, pos_proj=pos_proj, pos_projT=pos_projT,
-        pad_steps=pad_steps, use_pallas_att=use_pallas_att)
+        pad_steps=pad_steps, use_pallas_att=use_pallas_att,
+        use_pallas_conv=use_pallas_conv, use_pallas_ffn=use_pallas_ffn)
     tq = enc.shape[1]
     if use_batched_decode and not trace:
         # blank-run batched decode at B=1: joint matmuls run O(emits), not
