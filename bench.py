@@ -4,7 +4,10 @@ Headline vs the reference's best number (BASELINE.md): TRT FP16
 streaming-encoder per-chunk latency mean 18.8 ms for a 480 ms-advance chunk
 (per-240ms-normalized: 9.4 ms). Ours measures the SAME work plus the decode
 loop (which the reference ran on the host with per-step D2H), on one TPU
-chip, bf16 encoder / f32 decode.
+chip. Default config is the ACCURACY-PASSING one (f32 weights, 3-pass HIGH
+matmuls — closed-loop 2.99e-4, inside the contract fp32-class bar, while
+the TRT-FP16 baseline failed its own bar at 0.7% pass); `--dtype bf16`
+[--pallas-att --quant all] selects the fast mode.
 
 Methodology note (docs/DEBUGGING.md): repeated identical executions through
 the axon tunnel get memoized upstream, so every timed step feeds DIFFERENT
@@ -73,23 +76,36 @@ def main() -> int:
     ap.add_argument("--quant", default="none",
                     choices=["none", "joint", "encoder", "all"],
                     help="int8 weight-only quantization scope (TRT_ASR_QUANT)")
-    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
-                    help="encoder weights/compute dtype (f32 = accuracy mode)")
+    ap.add_argument("--dtype", default="f32", choices=["bf16", "f32"],
+                    help="f32 (default) = the ACCURACY-PASSING config: f32 "
+                         "weights, 3-pass HIGH matmuls — full-size closed-"
+                         "loop error 2.99e-4, inside even the contract's "
+                         "fp32-class bar (artifacts/parity/fullsize_tpu_"
+                         "f32high_closedloop_30.json). bf16 = fast mode "
+                         "(fails the accuracy bar, like the reference's "
+                         "own shipped fp16 engine did at 0.7% pass)")
     ap.add_argument("--offline", type=float, default=0.0, metavar="SECONDS",
                     help="offline batch mode: RTFx for B utterances of this "
                          "duration (BASELINE.json 'batched offline' config)")
-    ap.add_argument("--blank-bias", type=float, default=6.0,
+    ap.add_argument("--blank-bias", type=float, default=1.5,
                     help="added to the joint blank logit so the decode loop "
                          "sees a SPEECH-LIKE blank-dominated emission profile "
-                         "(~1-3 tokens per 240ms chunk) instead of random "
-                         "weights' emit-every-step worst case; 0 disables "
-                         "(see --worst-case)")
+                         "instead of random weights' emit-every-step worst "
+                         "case; 1.5 measured = 1.5 tokens/chunk (calibrated "
+                         "on-device, artifacts/perf/b1_sweep.json); 0 "
+                         "disables (see --worst-case)")
     ap.add_argument("--worst-case", action="store_true",
                     help="alias for --blank-bias 0: every decode step emits "
                          "(max_symbols cap), the decode-bound upper bound")
     args = ap.parse_args()
     if args.worst_case:
         args.blank_bias = 0.0
+    if args.dtype == "f32":
+        # the accuracy-mode MXU pass count (read once at ops.common import,
+        # so it must be set before trt_asr_tpu imports); HIGH = 3-pass
+        import os
+
+        os.environ.setdefault("TRT_ASR_F32_PRECISION", "high")
 
     import jax
     import jax.numpy as jnp
@@ -158,7 +174,7 @@ def main() -> int:
                     punct_mask=None, use_punct_mask=False,
                     pos_proj=None, pos_projT=ppT,
                     pad_steps=tq_pad - tq, use_pallas_att=True,
-                    use_pallas_joint=not args.no_pallas)
+                    use_pallas_joint=not args.no_pallas and args.dtype == "bf16")
                 return toks, n, es, ds
 
             return step
@@ -167,7 +183,7 @@ def main() -> int:
             toks, n, es, ds = _batch_step(
                 params, cfg, f, valid, es, ds, emitted, cache_drop, valid_cap,
                 drop_extra=cfg.drop_extra_pre_encoded, max_tokens=max_tokens,
-                use_pallas_joint=not args.no_pallas)
+                use_pallas_joint=not args.no_pallas and args.dtype == "bf16")
             return toks, n, es, ds
 
         return step
@@ -247,7 +263,7 @@ def _bench_offline(params, cfg, args) -> int:
         toks, n, _ = tdt_greedy_decode_batch(
             p, cfg, enc.astype(jnp.float32), t_enc.astype(jnp.int32), ds,
             max_tokens=cfg.max_symbols_per_timestep * enc.shape[1],
-            use_pallas_joint=not args.no_pallas)
+            use_pallas_joint=not args.no_pallas and args.dtype == "bf16")
         return toks, n
 
     t0 = time.time()

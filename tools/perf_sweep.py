@@ -160,10 +160,13 @@ def main() -> int:
         p = _f32_cache["p"]
 
         def step(f, es, ds):
+            # XLA joint: the fused joint kernel's f32 out-projection
+            # (640x8320 = 21 MB) exceeds VMEM; accuracy mode keeps the
+            # joint f32 via the plain matmul path
             toks, n, es, ds = _batch_step(
                 p, cfg, f, valid, es, ds, emitted, cache_drop, valid_cap,
                 drop_extra=cfg.drop_extra_pre_encoded, max_tokens=max_tokens,
-                use_pallas_joint=True)
+                use_pallas_joint=False)
             return toks, n, es, ds
         return step
 
