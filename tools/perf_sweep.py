@@ -245,13 +245,29 @@ def main() -> int:
     return 0
 
 
-if __name__ == "__main__":
-    raise SystemExit(main())
+
+
+def encoder_flops(cfg, b: int, t_feat: int) -> float:
+    """Analytic encoder FLOP count (XLA cost_analysis counts a lax.scan
+    body ONCE, undercounting the 24-layer encoder ~24x — measured 671
+    GFLOP reported vs ~9.3 TFLOP actual at B=64 x 10 s)."""
+    d, ed = cfg.d_model, cfg.d_model * cfg.ff_expansion_factor
+    t = t_feat
+    for _ in range(cfg.stride_stages):
+        t = (t - 1) // 2 + 1
+    mults_per_step = (4 * d * ed          # two macaron FFNs
+                      + 7 * d * d         # qkvo + conv pw1(2d) + pw2
+                      + 2 * t * d         # attention scores + context row
+                      + cfg.conv_kernel_size * d)
+    return 2.0 * b * t * cfg.num_layers * mults_per_step
 
 
 def _offline_sweep(args, cfg, params) -> int:
     """One-upload offline RTFx + MFU sweep over batch sizes (VERDICT r1 #9:
-    report MFU; target >=25% bf16 MFU offline)."""
+    report MFU). Decode runs at the calibrated ~1.5 tok/chunk-equivalent
+    blank-dominated emission profile (random weights would emit every step
+    — unrepresentative); encoder-only wall is timed separately so MFU has
+    a clean denominator."""
     import jax
     import jax.numpy as jnp
 
@@ -261,8 +277,19 @@ def _offline_sweep(args, cfg, params) -> int:
 
     frames = int(args.offline * 100)
     rng = np.random.default_rng(0)
+    # blank-dominated decode (bias measured on-device, b1_sweep.json)
+    b_old = params["joint"]["out"]["b"]
+    bb = np.asarray(jax.device_get(b_old)).astype(np.float32)
+    bb[cfg.blank_id] += 1.5
+    params["joint"]["out"]["b"] = jax.device_put(jnp.asarray(bb, b_old.dtype))
     results = {"utterance_s": args.offline, "device": str(jax.devices()[0]),
-               "dtype": "bf16", "configs": {}}
+               "dtype": "bf16", "blank_bias": 1.5, "configs": {}}
+
+    @functools.partial(jax.jit, static_argnames=("b",))
+    def enc_only(p, f, b):
+        lens = jnp.full((b,), frames, jnp.int32)
+        enc, t_enc = offline_encode(p, cfg, f, lens, compute_dtype=jnp.bfloat16)
+        return enc
 
     @functools.partial(jax.jit, static_argnames=("b",))
     def run(p, f, b):
@@ -281,33 +308,37 @@ def _offline_sweep(args, cfg, params) -> int:
         t0 = time.time()
         toks, _ = run(params, feats0, b)
         _ = np.asarray(toks)
+        _ = np.asarray(enc_only(params, feats0, b)[..., -1:])
         print(f"B={b} compile+first: {time.time()-t0:.0f}s", file=sys.stderr)
-        flops = None
-        try:
-            cost = run.lower(params, feats0, b).compile().cost_analysis()
-            if isinstance(cost, (list, tuple)):
-                cost = cost[0]
-            flops = float(cost.get("flops", 0)) or None
-        except Exception as e:  # noqa: BLE001
-            print(f"cost_analysis unavailable: {e}", file=sys.stderr)
-        best = 1e9
+        flops = encoder_flops(cfg, b, frames)
+        best = best_enc = 1e9
         for salt in (0.02, 0.07, 0.13):
             f = feats0 * (1 + salt)
             t0 = time.perf_counter()
             toks, _ = run(params, f, b)
             _ = np.asarray(toks)
             best = min(best, time.perf_counter() - t0)
+            f = feats0 * (1 + salt + 0.005)
+            t0 = time.perf_counter()
+            _ = np.asarray(enc_only(params, f, b)[..., -1:])
+            best_enc = min(best_enc, time.perf_counter() - t0)
         rtfx = b * args.offline / best
-        mfu = flops / best / 197e12 if flops else None
-        print(f"B={b}: {best*1e3:.1f} ms -> RTFx {rtfx:.0f}"
-              + (f", MFU {mfu*100:.1f}%" if mfu else ""), file=sys.stderr)
+        mfu = flops / best_enc / 197e12
+        print(f"B={b}: e2e {best*1e3:.1f} ms -> RTFx {rtfx:.0f}; encoder "
+              f"{best_enc*1e3:.1f} ms -> {flops/best_enc/1e12:.1f} TFLOP/s "
+              f"= {mfu*100:.1f}% of bf16 peak", file=sys.stderr)
         results["configs"][f"b{b}"] = {
             "wall_ms": round(best * 1e3, 1), "rtfx": round(rtfx, 1),
-            "gflop": round(flops / 1e9, 1) if flops else None,
-            "mfu_pct_bf16_peak": round(mfu * 100, 1) if mfu else None}
+            "encoder_wall_ms": round(best_enc * 1e3, 1),
+            "encoder_gflop_analytic": round(flops / 1e9, 1),
+            "encoder_mfu_pct_bf16_peak": round(mfu * 100, 1)}
     out = args.out.replace("b1_sweep", "offline_sweep")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results["configs"]))
     return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -62,6 +62,10 @@ def tdt_greedy_decode_batch(
     enc_proj = joint_project_enc(params["joint"], enc)            # [B, T, J]
     tq = enc_proj.shape[1]
     bi = jnp.arange(b)
+    # the fused joint kernel is a LATENCY device: all rows + the 10 MB out
+    # projection + [rows, V] logits must fit VMEM at once. For offline-size
+    # B*T, XLA's own matmul tiling is the right engine — gate statically.
+    use_pallas_joint = use_pallas_joint and b * tq <= 256
     if use_pallas_joint:
         from trt_asr_tpu.ops.pallas.joint_step_kernel import (
             joint_step_pallas_prepadded, pad_joint_weights)
