@@ -66,3 +66,33 @@ def test_row_reset(setup, rng):
     np.testing.assert_allclose(np.asarray(st2.h)[:, 1], np.asarray(st.h)[:, 1], atol=0)
     assert int(np.asarray(st2.y_id)[0]) == cfg.blank_id
     assert int(np.asarray(st2.y_id)[1]) == int(np.asarray(st.y_id)[1])
+
+
+def test_per_step_regime_matches_blank_run(rng):
+    """The large-B*T per-step decode regime (b*tq > 256) must be
+    token-exact with the blank-run regime on identical inputs."""
+    import jax.numpy as jnp
+
+    from trt_asr_tpu.decode import init_decode_state
+    from trt_asr_tpu.decode.batched import tdt_greedy_decode_batch
+
+    cfg = ModelConfig.tiny()
+    params = init_params(cfg, seed=11)
+    b, t = 4, 40
+    enc = jnp.asarray(rng.standard_normal((b, t, cfg.d_model)).astype(np.float32))
+    t_enc = jnp.asarray(np.array([40, 33, 40, 17], np.int32))
+
+    # b*t=160 <= 256: blank-run regime
+    toks_a, n_a, _ = tdt_greedy_decode_batch(
+        params, cfg, enc, t_enc, init_decode_state(cfg, b),
+        max_tokens=cfg.max_symbols_per_timestep * t)
+    # pad T with masked steps so b*t=328 > 256: per-step regime, same valid work
+    enc_pad = jnp.pad(enc, ((0, 0), (0, 42), (0, 0)))
+    toks_b, n_b, _ = tdt_greedy_decode_batch(
+        params, cfg, enc_pad, t_enc, init_decode_state(cfg, b),
+        max_tokens=cfg.max_symbols_per_timestep * t)
+    assert np.array_equal(np.asarray(n_a), np.asarray(n_b))
+    na = np.asarray(n_a)
+    for i in range(b):
+        assert np.array_equal(np.asarray(toks_a)[i, :na[i]],
+                              np.asarray(toks_b)[i, :na[i]]), f"row {i}"

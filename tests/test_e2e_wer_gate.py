@@ -28,7 +28,7 @@ def test_synthetic_e2e_wer_gate(tmp_path):
     tool = os.path.join(REPO, "tools", "train_synthetic_e2e.py")
     out = subprocess.run(
         [sys.executable, tool,
-         "--out-dir", str(tmp_path), "--steps", "700", "--train-utts", "400",
+         "--out-dir", str(tmp_path), "--steps", "900", "--train-utts", "400",
          "--eval-utts", "10", "--vocab-size", "200", "--gate-wer", "0.10",
          "--stream-sims", "0.3,0.5,1.0"],
         capture_output=True, text=True, env=env, timeout=3600)

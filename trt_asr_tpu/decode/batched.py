@@ -62,10 +62,21 @@ def tdt_greedy_decode_batch(
     enc_proj = joint_project_enc(params["joint"], enc)            # [B, T, J]
     tq = enc_proj.shape[1]
     bi = jnp.arange(b)
+    # Two regimes (static switch at trace):
+    # - small B*T (streaming chunks): blank-run batching — precompute every
+    #   (row, step) argmax under the current g, recompute only when some g
+    #   changed. A recompute costs one 10 MB weight read, same as ONE
+    #   per-step joint, so it wins whenever emissions are rarer than steps.
+    # - large B*T (offline batches): with ~B emissions per iteration the
+    #   [B,T,V] recompute fires every iteration and is pure compute waste
+    #   (84 GFLOP/recompute at B=64 x 10 s). Each row only ever reads its
+    #   CURRENT time position, so compute exactly that: a [B,V] joint per
+    #   iteration (0.67 GFLOP) — ~100x less decode compute.
+    blank_run = b * tq <= 256
     # the fused joint kernel is a LATENCY device: all rows + the 10 MB out
     # projection + [rows, V] logits must fit VMEM at once. For offline-size
     # B*T, XLA's own matmul tiling is the right engine — gate statically.
-    use_pallas_joint = use_pallas_joint and b * tq <= 256
+    use_pallas_joint = use_pallas_joint and blank_run
     if use_pallas_joint:
         from trt_asr_tpu.ops.pallas.joint_step_kernel import (
             joint_step_pallas_prepadded, pad_joint_weights)
@@ -106,20 +117,39 @@ def tdt_greedy_decode_batch(
         h = jnp.maximum(e_proj + _proj(params["joint"]["pred"], g)[:, None, :], 0)
         return _proj(params["joint"]["out"], h)
 
+    def step_vals(g, n, t_c):
+        """Per-iteration joint at each row's CURRENT position only [B, V]."""
+        e_t = enc_proj[bi, t_c]                                    # [B, J]
+        from trt_asr_tpu.models.parakeet.joint import _proj
+
+        h = jnp.maximum(e_t + _proj(params["joint"]["pred"], g), 0)
+        logits = _proj(params["joint"]["out"], h)                  # [B, V]
+        tok_logits = logits[:, :ths]
+        if blank_penalty:
+            tok_logits = tok_logits.at[:, blank].add(-blank_penalty)
+        toks = jnp.argmax(tok_logits, axis=-1).astype(jnp.int32)
+        dur_sel = jnp.argmax(logits[:, ths : ths + cfg.num_duration_bins], axis=-1)
+        if use_punct_mask and punct_mask is not None:
+            first = (emitted_so_far + n) == 0
+            toks = jnp.where(first & punct_mask[toks], blank, toks)
+        return toks, dur_values[dur_sel].astype(jnp.int32)
+
     def cond(carry):
         time_idx = carry[0]
         return jnp.any(time_idx < t_enc)
 
     def body(carry):
         time_idx, u_count, dstate, tokens, n, any_stale, tok_vec, dur_vec = carry
-        tok_vec, dur_vec = lax.cond(
-            any_stale, lambda _: compute_vecs(dstate.g, n),
-            lambda _: (tok_vec, dur_vec), None)
-        active = time_idx < t_enc
-
         t_c = jnp.clip(time_idx, 0, tq - 1)
-        best_tok = tok_vec[bi, t_c]
-        duration = dur_vec[bi, t_c]
+        if blank_run:
+            tok_vec, dur_vec = lax.cond(
+                any_stale, lambda _: compute_vecs(dstate.g, n),
+                lambda _: (tok_vec, dur_vec), None)
+            best_tok = tok_vec[bi, t_c]
+            duration = dur_vec[bi, t_c]
+        else:
+            best_tok, duration = step_vals(dstate.g, n, t_c)
+        active = time_idx < t_enc
         is_blank = best_tok == blank
         advance = jnp.where(is_blank & (duration == 0), 1, duration)
         hit_cap = u_count >= (max_symbols - 1)
