@@ -233,3 +233,29 @@ def test_flush_inside_lockstep_batch(model):
         want = _single_stream_tokens(model, a)
         got = [e for e in _drain(eng.poll_event, sid) if e.type == 1][0].tokens
         assert got == want, f"stream {sid}"
+
+
+def test_large_batch_per_step_decode_regime(model):
+    """A wide engine (B*Tq > 256 -> the per-position decode regime) must
+    still match single-stream decode token-exactly."""
+    rt = RuntimeConfig(suppress_leading_punct=False)
+    eng = BatchStreamingEngine(model, batch_size=36, runtime=rt)
+    audios = {0: _audio(24000, 5), 1: _audio(30000, 6)}
+    sids = {k: eng.open_stream() for k in audios}
+    offs = {k: 0 for k in audios}
+    while any(offs[k] < len(a) for k, a in audios.items()):
+        for k, a in audios.items():
+            if offs[k] < len(a):
+                eng.push_audio(sids[k], a[offs[k] : offs[k] + 8000])
+                offs[k] += 8000
+        eng.step()
+    for k in audios:
+        eng.finalize_stream(sids[k])
+    eng.run_until_drained()
+    for k, a in audios.items():
+        want = _single_stream_tokens(model, a)
+        got = None
+        while (e := eng.poll_event(sids[k])) is not None:
+            if e.type == 1:
+                got = e.tokens
+        assert got == want, f"stream {k}"

@@ -78,16 +78,16 @@ def test_per_step_regime_matches_blank_run(rng):
 
     cfg = ModelConfig.tiny()
     params = init_params(cfg, seed=11)
-    b, t = 4, 40
+    b, t = 4, 30
     enc = jnp.asarray(rng.standard_normal((b, t, cfg.d_model)).astype(np.float32))
-    t_enc = jnp.asarray(np.array([40, 33, 40, 17], np.int32))
+    t_enc = jnp.asarray(np.array([30, 23, 30, 17], np.int32))
 
-    # b*t=160 <= 256: blank-run regime
+    # b*t=120 <= 128: blank-run regime
     toks_a, n_a, _ = tdt_greedy_decode_batch(
         params, cfg, enc, t_enc, init_decode_state(cfg, b),
         max_tokens=cfg.max_symbols_per_timestep * t)
-    # pad T with masked steps so b*t=328 > 256: per-step regime, same valid work
-    enc_pad = jnp.pad(enc, ((0, 0), (0, 42), (0, 0)))
+    # pad T with masked steps so b*t=280 > 128: per-step regime, same valid work
+    enc_pad = jnp.pad(enc, ((0, 0), (0, 40), (0, 0)))
     toks_b, n_b, _ = tdt_greedy_decode_batch(
         params, cfg, enc_pad, t_enc, init_decode_state(cfg, b),
         max_tokens=cfg.max_symbols_per_timestep * t)

@@ -170,3 +170,52 @@ def test_profiler_capture(tmp_path):
     files = glob.glob(str(tmp_path / "prof" / "**" / "*"), recursive=True)
     assert any(("xplane" in f or "trace" in f) and not os.path.isdir(f)
                for f in files), files
+
+
+def test_joint_dur_first_load_permutation():
+    """PARAKEET_JOINT_DUR_FIRST compat: an export with [durations, tokens]
+    joint head order loads via a column permutation and produces logits
+    identical to the native layout."""
+    import jax.numpy as jnp
+
+    from trt_asr_tpu.models.parakeet import init_params
+    from trt_asr_tpu.models.parakeet.joint import joint_single_step
+    from trt_asr_tpu.models.parakeet.model import ParakeetTDT
+    from trt_asr_tpu.tokenizer import Tokenizer, make_synthetic_vocab
+
+    cfg = ModelConfig.tiny()
+    params = init_params(cfg, seed=3)
+    nd, ths = cfg.num_duration_bins, cfg.token_head_size
+    # build the swapped-layout export: [durations, tokens]
+    inv = np.concatenate([np.arange(ths, ths + nd), np.arange(ths)])
+    swapped = {**params, "joint": {**params["joint"], "out": {
+        "w": np.asarray(params["joint"]["out"]["w"])[:, inv],
+        "b": np.asarray(params["joint"]["out"]["b"])[inv]}}}
+    tok = Tokenizer(make_synthetic_vocab(cfg.vocab_size), blank_id=cfg.blank_id)
+    m = ParakeetTDT(cfg, swapped, tok,
+                    runtime=RuntimeConfig(joint_dur_first=True))
+    rng = np.random.default_rng(0)
+    enc_t = jnp.asarray(rng.standard_normal((2, cfg.d_model)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((2, cfg.pred_hidden)).astype(np.float32))
+    want = np.asarray(joint_single_step(params["joint"], enc_t, g))
+    got = np.asarray(joint_single_step(m.params["joint"], enc_t, g))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_blank_scan_summary(capfd):
+    """PARAKEET_DEBUG_BLANK_SCAN: per-utterance blank/emit preference
+    summary from the production decode trace; transcript unchanged."""
+    from trt_asr_tpu.models.parakeet.model import ParakeetTDT
+    from trt_asr_tpu.streaming.session import StreamingSession
+
+    model = ParakeetTDT.random(ModelConfig.tiny(), seed=2)
+    rng = np.random.default_rng(0)
+    audio = (0.1 * rng.standard_normal(24000)).astype(np.float32)
+    sess_a = StreamingSession(model, RuntimeConfig())
+    sess_b = StreamingSession(model, RuntimeConfig(debug_blank_scan=True))
+    for sess in (sess_a, sess_b):
+        sess.push_audio(audio)
+        sess.finalize()
+    err = capfd.readouterr().err
+    assert "blank_scan: steps=" in err and "blank_pref=" in err
+    assert sess_b.text == sess_a.text

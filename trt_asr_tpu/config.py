@@ -208,6 +208,16 @@ class RuntimeConfig:
     disable_cache: bool = False              # PARAKEET_DISABLE_CACHE
     cache_len_override: int = -1             # PARAKEET_CACHE_LEN_OVERRIDE
     y0_override: int = -1                    # PARAKEET_Y0_OVERRIDE
+    joint_dur_first: bool = False            # PARAKEET_JOINT_DUR_FIRST: the
+                                             # export's joint head order is
+                                             # [durations, tokens]; fixed by a
+                                             # LOAD-TIME column permutation of
+                                             # the out projection (exact, zero
+                                             # hot-path cost — TPU-native
+                                             # replacement for the reference's
+                                             # per-step offset arithmetic)
+    debug_blank_scan: bool = False           # PARAKEET_DEBUG_BLANK_SCAN: per-
+                                             # utterance blank/emit step stats
     sabotage: str = ""                       # fault injection for gate-sensitivity
                                              # proofs: "drop_time_carry" (breaks
                                              # chunked==whole decode equivalence;
@@ -248,6 +258,8 @@ class RuntimeConfig:
             disable_cache=_env_bool("TRT_ASR_DISABLE_CACHE", "PARAKEET_DISABLE_CACHE", d.disable_cache),
             cache_len_override=_env_int("TRT_ASR_CACHE_LEN_OVERRIDE", "PARAKEET_CACHE_LEN_OVERRIDE", d.cache_len_override),
             y0_override=_env_int("TRT_ASR_Y0_OVERRIDE", "PARAKEET_Y0_OVERRIDE", d.y0_override),
+            joint_dur_first=_env_bool("TRT_ASR_JOINT_DUR_FIRST", "PARAKEET_JOINT_DUR_FIRST", d.joint_dur_first),
+            debug_blank_scan=_env_bool("TRT_ASR_DEBUG_BLANK_SCAN", "PARAKEET_DEBUG_BLANK_SCAN", d.debug_blank_scan),
             sabotage=_env_str("TRT_ASR_SABOTAGE", None, d.sabotage),
             suppress_leading_punct=not _env_bool("TRT_ASR_ALLOW_LEADING_PUNCT", "PARAKEET_ALLOW_LEADING_PUNCT", not d.suppress_leading_punct),
             partial_min_interval_ms=_env_int("TRT_ASR_PARTIAL_MIN_INTERVAL_MS", "PARAKEET_PARTIAL_MIN_INTERVAL_MS", d.partial_min_interval_ms),

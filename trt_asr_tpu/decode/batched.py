@@ -74,9 +74,11 @@ def tdt_greedy_decode_batch(
     #   iteration (0.67 GFLOP) — ~100x less decode compute.
     blank_run = b * tq <= 256
     # the fused joint kernel is a LATENCY device: all rows + the 10 MB out
-    # projection + [rows, V] logits must fit VMEM at once. For offline-size
-    # B*T, XLA's own matmul tiling is the right engine — gate statically.
-    use_pallas_joint = use_pallas_joint and blank_run
+    # projection + [rows, V] f32 logits must fit VMEM at once. Budget:
+    # bf16 wo 10.6 MB + wp + logits rows*33 KB -> 128 rows is the safe cap
+    # (192 rows measured 0.8 MB over the 16 MB scoped limit). Above it,
+    # XLA's own matmul tiling is the right engine — gate statically.
+    use_pallas_joint = use_pallas_joint and b * tq <= 128
     if use_pallas_joint:
         from trt_asr_tpu.ops.pallas.joint_step_kernel import (
             joint_step_pallas_prepadded, pad_joint_weights)

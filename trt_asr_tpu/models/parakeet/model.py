@@ -57,6 +57,19 @@ class ParakeetTDT:
         self.frontend = frontend or LogMelFrontend(FrontendSpec(n_mels=cfg.feat_in))
         self.runtime = runtime or RuntimeConfig.from_env()
         self._punct_mask = None
+        if self.runtime.joint_dur_first:
+            # export compat (reference PARAKEET_JOINT_DUR_FIRST,
+            # parakeet_trt.cpp:2853-2857): head order [durations, tokens]
+            # becomes the internal [tokens, durations] by permuting the out
+            # projection's columns ONCE at load — exact, zero hot-path cost
+            nd = self.cfg.num_duration_bins
+            ths = self.cfg.token_head_size
+            perm = np.concatenate([np.arange(nd, nd + ths), np.arange(nd)])
+            out = self.params["joint"]["out"]
+            self.params = {**self.params, "joint": {
+                **self.params["joint"],
+                "out": {"w": np.asarray(out["w"])[:, perm],
+                        "b": np.asarray(out["b"])[perm]}}}
         if self.runtime.quant != "none":
             # int8 weight-only quantization (the TRT builder-precision
             # analog); every matmul site dispatches on the leaf type

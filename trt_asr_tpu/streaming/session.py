@@ -241,6 +241,17 @@ class StreamingSession:
             self._taps.close()
         if self._profiler is not None:
             self._profiler.stop()   # flush a short capture on finalize
+        if self.rt.debug_blank_scan and self.tdt_steps:
+            # reference PARAKEET_DEBUG_BLANK_SCAN summary
+            # (parakeet_trt.cpp:2858-2870): blank-vs-emit preference counts
+            # over the production decode steps
+            steps = len(self.tdt_steps)
+            blanks = sum(r["is_blank"] for r in self.tdt_steps)
+            clamped = sum(bool(r.get("blank_dur0_clamped")) for r in self.tdt_steps)
+            stage_marker(self.rt,
+                         f"blank_scan: steps={steps} blank_pref={blanks} "
+                         f"nonblank_pref={steps - blanks} dur0_clamped={clamped}",
+                         force=True)
         with self._lock:
             self._events.append(Event(EventType.FINAL_TEXT, self._segment,
                                       self.model.tokenizer.decode(self._tokens),
@@ -323,9 +334,10 @@ class StreamingSession:
             use_pallas_att=pal_att,
             use_pallas_conv=rt.use_pallas_conv,
             use_pallas_ffn=rt.use_pallas_ffn,
-            use_pallas_joint=rt.use_pallas_joint, trace=rt.debug_tdt_steps,
+            use_pallas_joint=rt.use_pallas_joint,
+            trace=rt.debug_tdt_steps or rt.debug_blank_scan,
             use_batched_decode=rt.batched_decode)
-        if rt.debug_tdt_steps:
+        if rt.debug_tdt_steps or rt.debug_blank_scan:
             toks, n, self._enc_state, self._dec_state, (rec_buf, n_steps) = out
             from trt_asr_tpu.debug.tdt_trace import records_from_buffer
 
