@@ -202,6 +202,27 @@ def _conformer_layer(
         new_att_cache, new_kv_cache = att_cache, kv_cache
 
     # --- convolution module ---
+    from trt_asr_tpu.ops.quant import QuantTensor
+
+    # with int8 weights, conv + FFN2 + out-LN fuse into ONE kernel
+    # (11.5 MB of weights — only the int8 representation fits VMEM)
+    fused_tail = (use_pallas_conv and use_pallas_ffn
+                  and isinstance(lp["conv_pw1"], QuantTensor)
+                  and isinstance(lp["ff2_w1"], QuantTensor))
+    if fused_tail:
+        from trt_asr_tpu.ops.pallas.conv_block_kernel import conv_ffn_ln_pallas
+
+        y2, c1 = conv_ffn_ln_pallas(
+            x[0].astype(jnp.float32), lp["conv_ln_g"], lp["conv_ln_b"],
+            lp["conv_pw1"], lp["conv_dw"], lp["conv_bn_g"], lp["conv_bn_b"],
+            lp["conv_bn_m"], lp["conv_bn_v"], lp["conv_pw2"],
+            time_cache[0], time_mask[0][:, None].astype(jnp.float32),
+            lp["ff2_ln_g"], lp["ff2_ln_b"], lp["ff2_w1"], lp["ff2_w2"],
+            lp["out_ln_g"], lp["out_ln_b"])
+        c = c1[None].astype(x.dtype)
+        new_time_cache = _append_cache(time_cache, c[:, :cache_keep], appended)
+        return (y2[None].astype(x.dtype), new_att_cache, new_time_cache,
+                new_kv_cache)
     if use_pallas_conv:
         from trt_asr_tpu.ops.pallas.conv_block_kernel import conv_block_pallas
 
