@@ -42,6 +42,12 @@ def main() -> int:
                     choices=["none", "joint", "encoder", "all"],
                     help="int8 weight-only quantization scope (precision-"
                          "ladder accuracy measurement)")
+    ap.add_argument("--mixed-att", action="store_true",
+                    help="mixed-precision candidate: attention weights bf16 "
+                         "+ fused attention kernel, everything else at the "
+                         "f32 precision in force (accuracy measurement for "
+                         "the 'fast attention inside the accuracy mode' "
+                         "question)")
     args = ap.parse_args()
 
     if args.platform != "env":
@@ -82,12 +88,20 @@ def main() -> int:
         from trt_asr_tpu.models.parakeet.quant import quantize_params
 
         params = quantize_params(params, args.quant)
+    enc_kw = {}
+    if args.mixed_att:
+        layers = dict(params["encoder"]["layers"])
+        for k in ("att_wq", "att_wk", "att_wv", "att_wo"):
+            layers[k] = jnp.asarray(layers[k], jnp.bfloat16)
+        params = {**params, "encoder": {**params["encoder"], "layers": layers}}
+        enc_kw = dict(use_pallas_att=True, pad_steps=2)
 
     import functools
 
     jit_encode = functools.partial(
         jax.jit(encode, static_argnames=("cfg", "drop_extra", "cache_drop",
-                                         "compute_dtype")))
+                                         "compute_dtype", "use_pallas_att",
+                                         "pad_steps")))
 
     records = list(read_jsonl(args.goldens))
     meta = records[0]
@@ -116,7 +130,7 @@ def main() -> int:
             params, cfg, jnp.asarray(x, jnp.float32),
             np.array([rec["valid_frames"]], np.int32), state,
             drop_extra=rec["drop_extra"], cache_drop=cache_drop,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, **enc_kw)
         enc = np.asarray(enc, np.float32)
         out_len_v = int(np.asarray(out_len)[0])
         ms = (time.perf_counter() - t0) * 1e3
@@ -176,7 +190,7 @@ def main() -> int:
     times = np.array([r["timing_ms"] for r in results])
     summary = {
         "goldens": args.goldens, "mode": args.mode, "dtype": args.dtype,
-        "quant": args.quant,
+        "quant": args.quant, "mixed_att": args.mixed_att,
         "platform": args.platform, "atol": atol, "cache_atol": cache_atol,
         "num_chunks": len(results), "num_pass": int(n_pass),
         "pass_rate": n_pass / max(len(results), 1),
