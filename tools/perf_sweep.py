@@ -79,9 +79,12 @@ def main() -> int:
     if args.offline:
         return _offline_sweep(args, cfg, params)
 
-    def make_state():
-        return (init_encoder_state(cfg, 1, dtype=jnp.bfloat16),
+    def make_state(dt=jnp.bfloat16):
+        return (init_encoder_state(cfg, 1, dtype=dt),
                 init_decode_state(cfg, 1))
+
+    def make_state_f32():
+        return make_state(jnp.float32)
 
     tq = int(subsampled_length(np.asarray(frames), cfg.stride_stages)) \
         - cfg.drop_extra_pre_encoded
@@ -110,8 +113,8 @@ def main() -> int:
             return toks, n, es, ds
         return step
 
-    def emission(step):
-        es, ds = make_state()
+    def emission(step, mk=make_state):
+        es, ds = mk()
         ems = []
         for k in range(4):
             out = step(feats * (1.0 + 0.02 * k), es, ds)
@@ -185,6 +188,27 @@ def main() -> int:
             return toks, n, es, ds
         return step
 
+    def f32_mixatt_step_fn():
+        """SPEED PROBE (fails accuracy — PERFNOTES attribution): bf16
+        attention kernel inside the f32-HIGH model. Bounds how much of the
+        accuracy mode's wall is the attention section."""
+        f32_step_fn()   # ensures the f32 upload
+        p = _f32_cache["p"]
+        layers = dict(p["encoder"]["layers"])
+        for k in ("att_wq", "att_wk", "att_wv", "att_wo"):
+            layers[k] = layers[k].astype(jnp.bfloat16)
+        p = {**p, "encoder": {**p["encoder"], "layers": layers}}
+        kw = dict(pos_projT=make_ppT(p), pad_steps=tq_pad - tq,
+                  use_pallas_att=True)
+
+        def step(f, es, ds):
+            toks, n, es, ds = _batch_step(
+                p, cfg, f, valid, es, ds, emitted, cache_drop, valid_cap,
+                drop_extra=cfg.drop_extra_pre_encoded, max_tokens=max_tokens,
+                use_pallas_joint=False, **kw)
+            return toks, n, es, ds
+        return step
+
     steps = {
         "xla": lambda: xla_step_fn(params),
         "bpallas": lambda: xla_step_fn(params, pallas=True),
@@ -196,6 +220,7 @@ def main() -> int:
         "xla_q8enc": lambda: xla_step_fn(q_enc),
         "xla_q8all": lambda: xla_step_fn(q_all),
         "f32": lambda: f32_step_fn(),
+        "f32_mixatt": lambda: f32_mixatt_step_fn(),
     }
     results = {"blank_bias": chosen[0], "emission_tok_per_chunk": chosen[1],
                "iters": args.iters, "device": str(jax.devices()[0]),
@@ -203,8 +228,8 @@ def main() -> int:
                          "tunnel speed drift between minutes)",
                "configs": {}}
 
-    def measure_once(step, salt: float) -> float:
-        states = make_state()
+    def measure_once(step, salt: float, mk=make_state) -> float:
+        states = mk()
         f = feats * (1.0 + salt)
         t0 = time.perf_counter()
         out = None
@@ -220,17 +245,19 @@ def main() -> int:
     built = {}
     for name in names:   # compile/warm everything first
         s = steps[name]()
-        out = s(feats, *make_state())
+        mk = make_state_f32 if name.startswith("f32") else make_state
+        out = s(feats, *mk())
         _ = np.asarray(out[0])
-        built[name] = {"step": s, "ms": []}
+        built[name] = {"step": s, "ms": [], "mk": mk}
     # interleave rounds so machine-speed drift hits all configs equally
     for r in range(3):
         for name in names:
-            ms = measure_once(built[name]["step"], 0.03 * (r + 1))
+            ms = measure_once(built[name]["step"], 0.03 * (r + 1),
+                              built[name]["mk"])
             built[name]["ms"].append(ms)
             print(f"round {r} {name}: {ms:.3f} ms/chunk", file=sys.stderr)
     for name in names:
-        em = emission(built[name]["step"])
+        em = emission(built[name]["step"], built[name]["mk"])
         msl = built[name]["ms"]
         results["configs"][name] = {
             "ms_per_chunk": round(min(msl), 3),
