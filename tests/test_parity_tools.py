@@ -159,3 +159,26 @@ class TestCacheDiagnostics:
                               cache_drop=cfg.cache_drop_size,
                               noise_scales=(), verbose=False)
         assert r["max_effect"] > 1e-3
+
+
+def test_trace_topk_fields(tmp_path):
+    """--trace-topk adds per-step top-k token logits + logsumexp (reference
+    tdt_trace.py / PARAKEET_DEBUG_JOINT_TOPK parity)."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "parity", "gen_goldens.py"),
+         "--out-dir", str(tmp_path), "--config", "tiny", "--seed", "1",
+         "--chunks", "2", "--trace", "--trace-topk", "3"],
+        capture_output=True, text=True,
+        env={**os.environ, "PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu"},
+        timeout=600)
+    assert out.returncode == 0, out.stderr[-800:]
+    recs = [json.loads(l) for l in open(tmp_path / "tdt_trace.jsonl")]
+    steps = [r for r in recs if r.get("type") == "step"]
+    assert steps and all(len(r["topk"]) == 3 and "logsumexp" in r for r in steps)
+    # topk[0] must be the argmax the decode actually took
+    assert all(r["topk"][0][0] == r["best_tok"] or r["is_blank"]
+               for r in steps)

@@ -74,7 +74,7 @@ def gen_streaming_records(cfg, oracle, total_frames, feats_seed):
         }
 
 
-def gen_tdt_trace(cfg, oracle, total_frames, feats_seed, out_path):
+def gen_tdt_trace(cfg, oracle, total_frames, feats_seed, out_path, topk=0):
     from trt_asr_tpu.decode import tdt_greedy_decode_host
 
     rng = np.random.default_rng(feats_seed)
@@ -98,7 +98,8 @@ def gen_tdt_trace(cfg, oracle, total_frames, feats_seed, out_path):
         enc[0, :t], joint_fn, pred_fn, (h, c), g[0, 0], cfg.blank_id,
         blank_id=cfg.blank_id, token_head_size=cfg.token_head_size,
         duration_values=cfg.duration_values,
-        max_symbols=cfg.max_symbols_per_timestep, trace=trace)
+        max_symbols=cfg.max_symbols_per_timestep, trace=trace,
+        trace_topk=topk)
     with open(out_path, "w") as f:
         f.write(json.dumps({"type": "meta", "blank_id": cfg.blank_id,
                             "t_enc": t, "emitted": toks,
@@ -117,6 +118,10 @@ def main() -> int:
     ap.add_argument("--feats-seed", type=int, default=0)
     ap.add_argument("--chunks", type=int, default=20)
     ap.add_argument("--trace", action="store_true", help="also write tdt_trace.jsonl")
+    ap.add_argument("--trace-topk", type=int, default=0,
+                    help="include per-step top-k token logits + logsumexp in "
+                         "the trace (reference tdt_trace.py / "
+                         "PARAKEET_DEBUG_JOINT_TOPK)")
     args = ap.parse_args()
 
     cfg, _params, oracle = _load(args)
@@ -129,7 +134,8 @@ def main() -> int:
     print(f"streaming goldens: {n - 1} chunks -> {p}")
     if args.trace:
         tp = os.path.join(args.out_dir, "tdt_trace.jsonl")
-        steps = gen_tdt_trace(cfg, oracle, min(total, 300), args.feats_seed, tp)
+        steps = gen_tdt_trace(cfg, oracle, min(total, 300), args.feats_seed, tp,
+                              topk=args.trace_topk)
         print(f"tdt trace: {steps} steps -> {tp}")
     return 0
 

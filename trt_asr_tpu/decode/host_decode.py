@@ -42,6 +42,9 @@ def tdt_greedy_decode_host(
     emitted_so_far: int = 0,
     trace: Optional[List[Dict]] = None,
     time_offset: int = 0,
+    trace_topk: int = 0,        # per-step top-k token logits + logsumexp in
+                                # the trace (reference tdt_trace.py:294-356
+                                # and PARAKEET_DEBUG_JOINT_TOPK)
 ) -> Tuple[List[int], object, np.ndarray, int]:
     """Decode one chunk. Returns (emitted tokens, state, g, y_id)."""
     t_enc = enc.shape[0]
@@ -68,13 +71,20 @@ def tdt_greedy_decode_host(
                 advance = 1
                 clamped = True
             if trace is not None:
-                trace.append({
+                rec = {
                     "type": "step", "time_idx": time_offset + time_idx, "u": u,
                     "y_id": int(y_id), "best_tok": best_tok,
                     "is_blank": bool(best_tok == blank_id),
                     "best_dur_idx": best_dur_idx, "duration": duration,
                     "advance": advance, "blank_dur0_clamped": clamped,
-                })
+                }
+                if trace_topk:
+                    idx = np.argsort(tok_logits)[::-1][:trace_topk]
+                    m = float(tok_logits.max())
+                    rec["topk"] = [[int(i), float(tok_logits[i])] for i in idx]
+                    rec["logsumexp"] = m + float(
+                        np.log(np.sum(np.exp(tok_logits - m))))
+                trace.append(rec)
             if best_tok != blank_id:
                 emitted.append(best_tok)
                 n_total += 1
