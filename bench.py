@@ -151,6 +151,8 @@ def main() -> int:
 
         if args.pallas_att:
             assert b == 1, "--pallas-att is the B=1 streaming path"
+            assert args.dtype == "bf16" or args.quant in ("encoder", "all"), \
+                "--pallas-att needs bf16 or int8 weights (f32 exceeds VMEM)"
             from trt_asr_tpu.ops.conv import subsampled_length
             from trt_asr_tpu.models.parakeet.encoder import precompute_pos_proj
             from trt_asr_tpu.ops.pallas.att_block_kernel import _round_up

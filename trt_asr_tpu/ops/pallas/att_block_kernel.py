@@ -125,7 +125,7 @@ def build_rel_selection(cursor: jnp.ndarray, cache_len: jnp.ndarray,
     return g_sel, mask[None].astype(jnp.float32)
 
 
-def _weight_parts(w, d: int):
+def _weight_parts(w):
     """(stored_array, scale_row) for a float weight or a QuantTensor."""
     from trt_asr_tpu.ops.quant import QuantTensor
 
@@ -159,10 +159,10 @@ def att_block_pallas(
     dh = d // n_heads
     c_size = kv_cache.shape[0]
     s_pad = g_sel.shape[2]
-    wq, sq = _weight_parts(wq, d)
-    wk, sk = _weight_parts(wk, d)
-    wv, sv = _weight_parts(wv, d)
-    wo, so = _weight_parts(wo, d)
+    wq, sq = _weight_parts(wq)
+    wk, sk = _weight_parts(wk)
+    wv, sv = _weight_parts(wv)
+    wo, so = _weight_parts(wo)
     wdtype = jnp.bfloat16 if wq.dtype == jnp.int8 else wq.dtype
     kern = functools.partial(
         _att_block_kernel, n_heads=n_heads, dh=dh, c_size=c_size,

@@ -34,7 +34,11 @@ import jax.numpy as jnp
 
 # activation policy for f32 callers; bf16 callers always use one pass
 _Q8_ACT = os.environ.get("TRT_ASR_Q8_ACT", "bf16").lower()
-assert _Q8_ACT in ("bf16", "split"), _Q8_ACT
+if _Q8_ACT not in ("bf16", "split"):
+    import warnings
+
+    warnings.warn(f"TRT_ASR_Q8_ACT={_Q8_ACT!r} unknown; using 'bf16'")
+    _Q8_ACT = "bf16"
 
 
 class QuantTensor(NamedTuple):
