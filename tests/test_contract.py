@@ -56,3 +56,19 @@ def test_tiny_config_invariants():
     assert mc.subsampling_factor == 2 ** mc.stride_stages
     assert mc.joint_vocab_size == mc.vocab_size + 1 + len(mc.duration_values)
     assert mc.d_model % mc.n_heads == 0
+
+
+def test_reference_env_aliases(monkeypatch):
+    """The reference's exact env names must steer RuntimeConfig
+    (operational parity: docs/DEBUGGING.md table)."""
+    from trt_asr_tpu.config import RuntimeConfig
+
+    monkeypatch.setenv("PARAKEET_DISABLE_PUNCT_SUPPRESSION", "1")
+    monkeypatch.setenv("PARAKEET_EMIT_FINAL_EACH_CHUNK", "1")
+    monkeypatch.setenv("PARAKEET_JOINT_DUR_FIRST", "1")
+    monkeypatch.setenv("PARAKEET_DEBUG_BLANK_SCAN", "1")
+    rt = RuntimeConfig.from_env()
+    assert rt.suppress_leading_punct is False
+    assert rt.final_on_push is True
+    assert rt.joint_dur_first is True
+    assert rt.debug_blank_scan is True

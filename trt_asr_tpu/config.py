@@ -139,10 +139,14 @@ class ModelConfig:
         return cls(**base)
 
 
-def _env(name: str, alias: Optional[str] = None) -> Optional[str]:
+def _env(name: str, alias=None) -> Optional[str]:
+    """alias may be a single PARAKEET_* name or a tuple of them."""
     v = os.environ.get(name)
-    if v is None and alias is not None:
-        v = os.environ.get(alias)
+    if v is None and alias:
+        for a in (alias,) if isinstance(alias, str) else alias:
+            v = os.environ.get(a)
+            if v is not None:
+                break
     return v
 
 
@@ -261,7 +265,13 @@ class RuntimeConfig:
             joint_dur_first=_env_bool("TRT_ASR_JOINT_DUR_FIRST", "PARAKEET_JOINT_DUR_FIRST", d.joint_dur_first),
             debug_blank_scan=_env_bool("TRT_ASR_DEBUG_BLANK_SCAN", "PARAKEET_DEBUG_BLANK_SCAN", d.debug_blank_scan),
             sabotage=_env_str("TRT_ASR_SABOTAGE", None, d.sabotage),
-            suppress_leading_punct=not _env_bool("TRT_ASR_ALLOW_LEADING_PUNCT", "PARAKEET_ALLOW_LEADING_PUNCT", not d.suppress_leading_punct),
+            suppress_leading_punct=not _env_bool(
+                "TRT_ASR_ALLOW_LEADING_PUNCT",
+                ("PARAKEET_ALLOW_LEADING_PUNCT",
+                 "PARAKEET_DISABLE_PUNCT_SUPPRESSION"),
+                not d.suppress_leading_punct),
             partial_min_interval_ms=_env_int("TRT_ASR_PARTIAL_MIN_INTERVAL_MS", "PARAKEET_PARTIAL_MIN_INTERVAL_MS", d.partial_min_interval_ms),
-            final_on_push=_env_bool("TRT_ASR_FINAL_ON_PUSH", None, d.final_on_push),
+            final_on_push=_env_bool("TRT_ASR_FINAL_ON_PUSH",
+                                    "PARAKEET_EMIT_FINAL_EACH_CHUNK",
+                                    d.final_on_push),
         )
