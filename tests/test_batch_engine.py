@@ -259,3 +259,50 @@ def test_large_batch_per_step_decode_regime(model):
             if e.type == 1:
                 got = e.tokens
         assert got == want, f"stream {k}"
+
+
+def test_batch_step_pallas_att_token_exact(model):
+    """_batch_step with the fused attention kernel (pad_steps + per-row
+    cache_drop_vec) must be token-exact with the XLA path, closed loop."""
+    import jax.numpy as jnp
+
+    from trt_asr_tpu.decode import init_decode_state
+    from trt_asr_tpu.models.parakeet import init_encoder_state
+    from trt_asr_tpu.models.parakeet.encoder import precompute_pos_proj
+    from trt_asr_tpu.ops.pallas.att_block_kernel import _round_up
+    from trt_asr_tpu.streaming.batch_engine import _batch_step
+
+    cfg = model.cfg
+    params = model.params
+    frames = cfg.chunk_size_frames[1] + cfg.pre_encode_cache_size[1]
+    tq = frames
+    for _ in range(cfg.stride_stages):
+        tq = (tq - 1) // 2 + 1
+    tq -= cfg.drop_extra_pre_encoded
+    tq_pad = _round_up(tq, 8)
+    pp = precompute_pos_proj(params, cfg, tq_pad, cfg.att_cache_size)
+    r_pad = _round_up(pp.shape[1], 128)
+    ppT = jnp.zeros((cfg.num_layers, cfg.d_model, r_pad), jnp.float32)
+    ppT = ppT.at[:, :, : pp.shape[1]].set(jnp.swapaxes(pp, 1, 2))
+
+    rng = np.random.default_rng(3)
+    valid = jnp.full((1,), frames, jnp.int32)
+    emitted = jnp.zeros((1,), jnp.int32)
+    cdv = jnp.full((1,), cfg.cache_drop_size, jnp.int32)
+    vcv = jnp.full((1,), cfg.valid_out_len, jnp.int32)
+    kw = dict(drop_extra=cfg.drop_extra_pre_encoded, max_tokens=32,
+              use_pallas_joint=False)
+
+    es_a, ds_a = init_encoder_state(cfg, 1), init_decode_state(cfg, 1)
+    es_b, ds_b = init_encoder_state(cfg, 1), init_decode_state(cfg, 1)
+    for k in range(5):   # closed loop: caches thread forward
+        f = jnp.asarray(rng.standard_normal((1, frames, cfg.feat_in)).astype(np.float32))
+        toks_a, n_a, es_a, ds_a = _batch_step(
+            params, cfg, f, valid, es_a, ds_a, emitted, cdv, vcv, **kw)
+        toks_b, n_b, es_b, ds_b = _batch_step(
+            params, cfg, f, valid, es_b, ds_b, emitted, cdv, vcv,
+            pos_projT=ppT, pad_steps=tq_pad - tq, use_pallas_att=True, **kw)
+        assert int(n_a[0]) == int(n_b[0]), f"chunk {k}"
+        na = int(n_a[0])
+        assert np.array_equal(np.asarray(toks_a)[0, :na],
+                              np.asarray(toks_b)[0, :na]), f"chunk {k}"
