@@ -135,3 +135,36 @@ def test_all_pallas_kernels_transcript_identical(model):
             sess.push_audio(audio[s : s + 8000])
         sess.finalize()
     assert sess_b._tokens == sess_a._tokens
+
+
+def test_fast_mode_production_invariants(model):
+    """The full fast-mode stack (int8 + fused attention kernel + batched
+    decode) must preserve the session invariants: push-granularity
+    invariance and snapshot/restore transcript identity."""
+    from trt_asr_tpu.models.parakeet.quant import quantize_params
+
+    audio = _audio(32000, seed=11)
+    rt = RuntimeConfig(use_pallas_att=True, batched_decode=True)
+    qm = ParakeetTDT(model.cfg, quantize_params(model.params, "all"),
+                     model.tokenizer, runtime=rt)
+
+    def run(chunk):
+        sess = StreamingSession(qm, rt)
+        for s in range(0, len(audio), chunk):
+            sess.push_audio(audio[s : s + chunk])
+        sess.finalize()
+        return sess
+
+    a, b = run(3200), run(16000)
+    assert a._tokens == b._tokens, "granularity invariance broke in fast mode"
+
+    # snapshot mid-stream, restore into a fresh session, finish both
+    sess1 = StreamingSession(qm, rt)
+    sess1.push_audio(audio[:16000])
+    snap = sess1.snapshot()
+    sess2 = StreamingSession(qm, rt)
+    sess2.restore(snap)
+    for sess in (sess1, sess2):
+        sess.push_audio(audio[16000:])
+        sess.finalize()
+    assert sess2._tokens == sess1._tokens == a._tokens
