@@ -186,3 +186,33 @@ def test_cli_dump_and_replay_roundtrip(built, tmp_path, rng):
     out = subprocess.run([CLI, str(bm), "--mock", "--features-input"],
                          capture_output=True, text=True, check=True)
     assert f"Mock transcription for {sc['frames']} frames" in out.stdout
+
+
+def test_python_backend_fast_mode_env(built, tmp_path):
+    """PARAKEET_*/TRT_ASR_* env toggles reach the embedded interpreter: the
+    native CLI in fast mode (int8 + fused kernels + batched decode) must
+    produce the same transcript as default."""
+    from trt_asr_tpu.config import ModelConfig
+    from trt_asr_tpu.io.wav import save_wav
+    from trt_asr_tpu.models.parakeet.model import ParakeetTDT
+
+    mdir = tmp_path / "model"
+    ParakeetTDT.random(ModelConfig.tiny(), seed=5).save_model_dir(str(mdir))
+    wav = tmp_path / "t.wav"
+    t = np.arange(24000)
+    save_wav(str(wav), (0.4 * np.sin(2 * np.pi * 300 * t / 16000)).astype(np.float32))
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    base = subprocess.run([CLI, str(wav), "--model-dir", str(mdir)],
+                          capture_output=True, text=True, env=env, timeout=420)
+    assert base.returncode == 0, base.stderr[-1500:]
+    env["TRT_ASR_QUANT"] = "all"
+    env["TRT_ASR_PALLAS_ATT"] = "1"
+    fast = subprocess.run([CLI, str(wav), "--model-dir", str(mdir)],
+                          capture_output=True, text=True, env=env, timeout=420)
+    assert fast.returncode == 0, fast.stderr[-1500:]
+    assert fast.stdout.splitlines()[-1].startswith("Transcript:")
+    # int8 on this tone-model keeps the transcript identical
+    assert fast.stdout.splitlines()[-1] == base.stdout.splitlines()[-1]
