@@ -83,10 +83,18 @@ def rel_pos_attention_kv(
     ac = einsum("bthd,bshd->bhts", q_u, k)                       # [B,H,Tq,Tkv]
     pd = einsum("bthd,rhd->bhtr", q_v, pos_proj.astype(q.dtype))  # [B,H,Tq,R]
     if rel_idx is None:
-        idx = jnp.asarray(_rel_index_matrix(tq, tkv))[None, None]
+        # static right-aligned offsets bd[t,s] = pd[t, tq-1-t+s]: the
+        # Transformer-XL relative SHIFT (pad + reshape + slice) instead of
+        # a [B,H,Tq,Tkv] gather — take_along_axis lowered to a generic
+        # gather that dominated offline long-T encode (30 s utterances:
+        # encoder MFU 13% gathered vs 32+% shifted)
+        r = pd.shape[-1]
+        padded = jnp.pad(pd, ((0, 0), (0, 0), (0, 0), (1, 0)))   # [B,H,Tq,R+1]
+        bd = padded.reshape(b, h, tq * (r + 1))[..., tq:] \
+            .reshape(b, h, tq, r)[..., :tkv]
     else:
-        idx = rel_idx[:, None]
-    bd = jnp.take_along_axis(pd, idx.astype(jnp.int32), axis=-1)
+        bd = jnp.take_along_axis(pd, rel_idx[:, None].astype(jnp.int32),
+                                 axis=-1)
 
     scores = (ac + bd).astype(jnp.float32) / math.sqrt(dh)
     if kv_mask is not None:
