@@ -72,3 +72,36 @@ def test_reference_env_aliases(monkeypatch):
     assert rt.final_on_push is True
     assert rt.joint_dur_first is True
     assert rt.debug_blank_scan is True
+
+
+def test_tolerance_rung_ladder():
+    """The contract defines a tolerance LADDER (reference contract.json
+    tolerances block: ORT all-chunk atol / TRT-fp32 p95+p100 / fp16 p95);
+    rung_verdicts must report the strictest rung cleared."""
+    from trt_asr_tpu.contract import load_contract
+
+    tol = load_contract().tolerances
+
+    v = tol.rung_verdicts([1e-6] * 50)
+    assert v["best_rung"] == "ort_f32"
+    assert all(r["pass"] for r in v["rungs"].values())
+
+    # 3e-4 floor (the r2 full-size f32-HIGH case): fails ORT, passes TRT-fp32
+    v = tol.rung_verdicts([2.9e-4] * 30)
+    assert v["best_rung"] == "trt_fp32"
+    assert not v["rungs"]["ort_f32"]["pass"]
+    assert v["rungs"]["trt_fp32"]["pass"] and v["rungs"]["trt_fp16"]["pass"]
+
+    # bf16-class error: only the fp16 rung
+    v = tol.rung_verdicts([1.2e-3] * 30)
+    assert v["best_rung"] == "trt_fp16"
+    assert not v["rungs"]["trt_fp32"]["pass"]
+
+    # one outlier chunk above p100 kills trt_fp32 even with a clean p95
+    errs = [1e-5] * 99 + [2e-3]
+    v = tol.rung_verdicts(errs)
+    assert not v["rungs"]["trt_fp32"]["pass"]
+    assert v["best_rung"] == "trt_fp16"
+
+    v = tol.rung_verdicts([5e-2] * 10)
+    assert v["best_rung"] is None

@@ -184,3 +184,52 @@ def test_read_model_meta_both_schemas(tmp_path):
     json.dump(bad, open(os.path.join(baddir, "model_meta.json"), "w"))
     with pytest.raises(ValueError, match="joint_vocab_size"):
         read_model_meta(baddir)
+
+
+def test_onnx_graph_exec_parity(tmp_path, rng):
+    """The exported predictor/joint graphs must be EXECUTABLE programs:
+    the pure-numpy interpreter (tools/onnx_exec.py — op-level-independent
+    of both JAX and the torch oracle) runs them and reproduces the JAX
+    logits at 1e-5 (reference export's ORT-smoke role,
+    tools/export_onnx/export.py:819-852)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tools.onnx_exec import run_graph
+
+    cfg = ModelConfig.tiny()
+    params = init_params(cfg, seed=5)
+    out = str(tmp_path / "export")
+    export_params_to_onnx(params, cfg, out, external_threshold=None)
+
+    B, U, T = 2, 4, 6
+    y = rng.integers(0, cfg.vocab_size, (B, U)).astype(np.int32)
+    h = rng.standard_normal((cfg.pred_rnn_layers, B, cfg.pred_hidden)).astype(np.float32)
+    c = rng.standard_normal((cfg.pred_rnn_layers, B, cfg.pred_hidden)).astype(np.float32)
+
+    pred_model = read_onnx(os.path.join(out, "predictor.onnx"))
+    assert pred_model.nodes, "predictor.onnx must carry compute nodes"
+    assert "LSTM" in pred_model.node_ops
+    got = run_graph(pred_model, {"y": y, "h": h, "c": c})
+
+    from trt_asr_tpu.models.parakeet.predictor import predictor_sequence
+
+    g_jax, h_jax, c_jax = predictor_sequence(params["predictor"], y, h, c)
+    np.testing.assert_allclose(got["g"], np.transpose(np.asarray(g_jax), (0, 2, 1)),
+                               atol=1e-5)
+    np.testing.assert_allclose(got["h_out"], np.asarray(h_jax), atol=1e-5)
+    np.testing.assert_allclose(got["c_out"], np.asarray(c_jax), atol=1e-5)
+
+    joint_model = read_onnx(os.path.join(out, "joint.onnx"))
+    assert joint_model.nodes, "joint.onnx must carry compute nodes"
+    assert "LogSoftmax" not in joint_model.node_ops  # raw logits contract
+    enc = rng.standard_normal((B, cfg.d_model, T)).astype(np.float32)
+    pred = rng.standard_normal((B, cfg.pred_hidden, U)).astype(np.float32)
+    got_j = run_graph(joint_model, {"encoder_output": enc, "predictor_output": pred})
+
+    from trt_asr_tpu.models.parakeet.joint import joint_apply
+
+    want = joint_apply(params["joint"], np.transpose(enc, (0, 2, 1)),
+                       np.transpose(pred, (0, 2, 1)))
+    assert got_j["joint_output"].shape == (B, T, U, cfg.joint_vocab_size)
+    np.testing.assert_allclose(got_j["joint_output"], np.asarray(want), atol=1e-5)

@@ -38,6 +38,15 @@ def main() -> int:
         errs.append("graph contains LogSoftmax — contract requires raw logits")
     else:
         print("no LogSoftmax node: raw logits OK")
+    if not m.nodes:
+        errs.append("no compute nodes — joint.onnx must be an executable "
+                    "graph (run it with tools/onnx_exec.py)")
+    else:
+        from collections import Counter
+
+        ops = Counter(m.node_ops)
+        print(f"compute graph: {len(m.nodes)} nodes "
+              f"({', '.join(f'{k}x{v}' for k, v in sorted(ops.items()))})")
     if "joint_output" not in m.outputs and m.outputs:
         errs.append(f"output name {m.outputs} != joint_output")
     for e in errs:

@@ -1,0 +1,173 @@
+#!/usr/bin/env python3
+"""Pure-numpy ONNX graph interpreter.
+
+An op-level-INDEPENDENT third executor of the exported component graphs
+(not the torch oracle, not JAX): it knows nothing about this repo's model
+code — it topologically walks NodeProtos and evaluates each op from the
+public ONNX operator semantics. This is the role the reference's ORT smoke
+test played for its export (tools/export_onnx/export.py:819-852; parity
+harnesses then executed the graphs, tools/onnxruntime/
+onnx_streaming_parity.py:178-230): proof that the .onnx files are runnable
+programs outside the producing framework, and an escape from the
+same-author-oracle risk.
+
+Supported op set = exactly what trt_asr_tpu/io/onnx_graphs.py emits:
+MatMul, Add, Relu, Transpose, Gather, Split, Concat, Unsqueeze, Squeeze,
+Slice, LSTM (forward, default activations, iofc gate order per the ONNX
+spec).
+
+CLI: run a graph on NPZ feeds and write NPZ outputs:
+    python tools/onnx_exec.py model.onnx --feeds feeds.npz --out outs.npz
+"""
+from __future__ import annotations
+
+import sys
+from typing import Dict, List
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/tools/", 1)[0])
+
+from trt_asr_tpu.io.onnx_lite import OnnxModel, OnnxNode, read_onnx  # noqa: E402
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    out = np.empty_like(x)
+    pos = x >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
+    e = np.exp(x[~pos])
+    out[~pos] = e / (1.0 + e)
+    return out
+
+
+def _lstm(node: OnnxNode, vals: Dict[str, np.ndarray]) -> List[np.ndarray]:
+    """ONNX LSTM, forward direction, default activations (f=Sigmoid,
+    g=Tanh, h=Tanh), gate blocks ordered i, o, f, c along the 4H axis.
+    X [S,B,In], W [1,4H,In], R [1,4H,H], B [1,8H], initial_h/c [1,B,H].
+    Returns Y [S,1,B,H], Y_h [1,B,H], Y_c [1,B,H]."""
+    x = vals[node.inputs[0]]
+    w = vals[node.inputs[1]][0]           # [4H, In]
+    r = vals[node.inputs[2]][0]           # [4H, H]
+    hidden = int(node.attrs["hidden_size"])
+    b = vals[node.inputs[3]][0] if len(node.inputs) > 3 and node.inputs[3] \
+        else np.zeros(8 * hidden, x.dtype)
+    h = vals[node.inputs[5]][0].copy() if len(node.inputs) > 5 and node.inputs[5] \
+        else np.zeros((x.shape[1], hidden), x.dtype)
+    c = vals[node.inputs[6]][0].copy() if len(node.inputs) > 6 and node.inputs[6] \
+        else np.zeros((x.shape[1], hidden), x.dtype)
+    wb, rb = b[: 4 * hidden], b[4 * hidden:]
+    ys = []
+    for t in range(x.shape[0]):
+        gates = x[t] @ w.T + h @ r.T + wb + rb          # [B, 4H], i|o|f|c
+        i = _sigmoid(gates[:, 0 * hidden: 1 * hidden])
+        o = _sigmoid(gates[:, 1 * hidden: 2 * hidden])
+        f = _sigmoid(gates[:, 2 * hidden: 3 * hidden])
+        g = np.tanh(gates[:, 3 * hidden: 4 * hidden])
+        c = f * c + i * g
+        h = o * np.tanh(c)
+        ys.append(h)
+    y = np.stack(ys)[:, None]                            # [S,1,B,H]
+    return [y, h[None], c[None]]
+
+
+def _eval_node(node: OnnxNode, vals: Dict[str, np.ndarray]) -> List[np.ndarray]:
+    op, ins = node.op_type, [vals[i] if i else None for i in node.inputs]
+    if op == "MatMul":
+        return [ins[0] @ ins[1]]
+    if op == "Add":
+        return [ins[0] + ins[1]]
+    if op == "Relu":
+        return [np.maximum(ins[0], 0)]
+    if op == "Transpose":
+        perm = node.attrs.get("perm")
+        return [np.transpose(ins[0], perm and [int(p) for p in perm])]
+    if op == "Gather":
+        return [np.take(ins[0], ins[1], axis=int(node.attrs.get("axis", 0)))]
+    if op == "Split":
+        axis = int(node.attrs.get("axis", 0))
+        if len(ins) > 1 and ins[1] is not None:
+            sizes = np.cumsum(ins[1])[:-1]
+            return list(np.split(ins[0], sizes, axis=axis))
+        n = int(node.attrs.get("num_outputs", len(node.outputs)))
+        return list(np.split(ins[0], n, axis=axis))
+    if op == "Concat":
+        return [np.concatenate(ins, axis=int(node.attrs["axis"]))]
+    if op == "Unsqueeze":
+        out = ins[0]
+        for ax in sorted(int(a) for a in np.asarray(ins[1]).ravel()):
+            out = np.expand_dims(out, ax)
+        return [out]
+    if op == "Squeeze":
+        axes = tuple(int(a) for a in np.asarray(ins[1]).ravel())
+        return [np.squeeze(ins[0], axis=axes)]
+    if op == "Slice":
+        data, starts, ends = ins[0], np.asarray(ins[1]), np.asarray(ins[2])
+        axes = (np.asarray(ins[3]).ravel() if len(ins) > 3 and ins[3] is not None
+                else np.arange(len(starts)))
+        steps = (np.asarray(ins[4]).ravel() if len(ins) > 4 and ins[4] is not None
+                 else np.ones(len(starts), np.int64))
+        sl = [slice(None)] * data.ndim
+        for s, e, a, st in zip(starts.ravel(), ends.ravel(), axes, steps):
+            sl[int(a)] = slice(int(s), int(e), int(st))
+        return [data[tuple(sl)]]
+    if op == "LSTM":
+        return _lstm(node, vals)
+    raise NotImplementedError(f"op {op}")
+
+
+def run_graph(model: OnnxModel, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Execute the graph on the given input feeds; returns the graph
+    outputs by name. Nodes are evaluated in topological order (the emitted
+    graphs are already topologically sorted; we verify as we go)."""
+    vals: Dict[str, np.ndarray] = {
+        name: t.array for name, t in model.initializers.items()
+        if t.array is not None}
+    vals.update({k: np.asarray(v) for k, v in feeds.items()})
+    pending = list(model.nodes)
+    progress = True
+    while pending and progress:
+        progress = False
+        remaining = []
+        for node in pending:
+            if all((not i) or i in vals for i in node.inputs):
+                outs = _eval_node(node, vals)
+                for name, arr in zip(node.outputs, outs):
+                    vals[name] = arr
+                progress = True
+            else:
+                remaining.append(node)
+        pending = remaining
+    if pending:
+        missing = {i for n in pending for i in n.inputs if i and i not in vals}
+        raise RuntimeError(f"graph not executable; unresolved inputs: {sorted(missing)[:8]}")
+    absent = [o for o in model.outputs if o not in vals]
+    if absent:
+        raise RuntimeError(f"graph produced no value for outputs {absent}")
+    return {o: vals[o] for o in model.outputs}
+
+
+def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("model")
+    ap.add_argument("--feeds", required=True, help="NPZ of graph inputs")
+    ap.add_argument("--out", default="", help="NPZ path for graph outputs")
+    args = ap.parse_args()
+
+    model = read_onnx(args.model)
+    if not model.nodes:
+        print(f"{args.model}: no compute nodes — initializer-only file", file=sys.stderr)
+        return 2
+    feeds = dict(np.load(args.feeds))
+    outs = run_graph(model, feeds)
+    for k, v in outs.items():
+        print(f"{k}: shape {v.shape} dtype {v.dtype} "
+              f"mean {float(np.mean(v)):.6g}")
+    if args.out:
+        np.savez(args.out, **outs)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

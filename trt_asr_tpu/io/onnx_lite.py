@@ -17,8 +17,11 @@ Field numbers per onnx.proto3 (stable public schema):
   GraphProto: node=1, name=2, initializer=5, input=11, output=12
   TensorProto: dims=1, data_type=2, float_data=4, int32_data=5, name=8,
                int64_data=7, raw_data=9, external_data=13, data_location=14
-  ValueInfoProto: name=1
-  StringStringEntryProto: key=1, value=2
+  NodeProto: input=1, output=2, name=3, op_type=4, attribute=5
+  AttributeProto: name=1, f=2, i=3, s=4, t=5, floats=7, ints=8, type=20
+  ValueInfoProto: name=1, type=2; TypeProto: tensor_type=1;
+  TypeProto.Tensor: elem_type=1, shape=2; TensorShapeProto: dim=1;
+  Dimension: dim_value=1, dim_param=2
 """
 
 from __future__ import annotations
@@ -115,6 +118,15 @@ class OnnxTensor:
 
 
 @dataclass
+class OnnxNode:
+    op_type: str
+    inputs: List[str]
+    outputs: List[str]
+    name: str = ""
+    attrs: Dict[str, object] = field(default_factory=dict)
+
+
+@dataclass
 class OnnxModel:
     graph_name: str = ""
     producer: str = ""
@@ -122,6 +134,7 @@ class OnnxModel:
     outputs: List[str] = field(default_factory=list)
     initializers: Dict[str, OnnxTensor] = field(default_factory=dict)
     node_ops: List[str] = field(default_factory=list)
+    nodes: List[OnnxNode] = field(default_factory=list)
 
 
 def _parse_packed_varints(data: bytes) -> List[int]:
@@ -203,6 +216,62 @@ def _value_info_name(buf: bytes) -> str:
     return ""
 
 
+def _zigzag_to_int(v: int) -> int:
+    """Protobuf int64 varints are two's-complement encoded (not zigzag for
+    non-sint fields): values >= 2^63 are negative."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _parse_attribute(buf: bytes, base_dir: str) -> Tuple[str, object]:
+    name = ""
+    val: object = None
+    floats: List[float] = []
+    ints: List[int] = []
+    for fno, wt, v in _iter_fields(buf):
+        if fno == 1 and wt == 2:
+            name = v.decode("utf-8")
+        elif fno == 2 and wt == 5:
+            val = struct.unpack("<f", v)[0]
+        elif fno == 3 and wt == 0:
+            val = _zigzag_to_int(v)
+        elif fno == 4 and wt == 2:
+            val = v.decode("utf-8", "replace")
+        elif fno == 5 and wt == 2:
+            val = _parse_tensor(v, base_dir)
+        elif fno == 7:
+            if wt == 5:
+                floats.append(struct.unpack("<f", v)[0])
+            elif wt == 2:
+                floats.extend(struct.unpack(f"<{len(v)//4}f", v))
+        elif fno == 8:
+            if wt == 0:
+                ints.append(_zigzag_to_int(v))
+            elif wt == 2:
+                ints.extend(_zigzag_to_int(x) for x in _parse_packed_varints(v))
+    if floats:
+        val = floats
+    if ints:
+        val = ints
+    return name, val
+
+
+def _parse_node(buf: bytes, base_dir: str) -> OnnxNode:
+    node = OnnxNode("", [], [])
+    for fno, wt, v in _iter_fields(buf):
+        if fno == 1 and wt == 2:
+            node.inputs.append(v.decode("utf-8"))
+        elif fno == 2 and wt == 2:
+            node.outputs.append(v.decode("utf-8"))
+        elif fno == 3 and wt == 2:
+            node.name = v.decode("utf-8", "replace")
+        elif fno == 4 and wt == 2:
+            node.op_type = v.decode("utf-8")
+        elif fno == 5 and wt == 2:
+            k, val = _parse_attribute(v, base_dir)
+            node.attrs[k] = val
+    return node
+
+
 def read_onnx(path: str) -> OnnxModel:
     with open(path, "rb") as f:
         buf = f.read()
@@ -227,9 +296,9 @@ def read_onnx(path: str) -> OnnxModel:
         elif fno == 12 and wt == 2:
             model.outputs.append(_value_info_name(v))
         elif fno == 1 and wt == 2:
-            for f2, w2, v2 in _iter_fields(v):
-                if f2 == 4 and w2 == 2:
-                    model.node_ops.append(v2.decode("utf-8", "replace"))
+            node = _parse_node(v, base_dir)
+            model.nodes.append(node)
+            model.node_ops.append(node.op_type)
     return model
 
 
@@ -258,23 +327,106 @@ def _tensor_bytes(name: str, arr: np.ndarray, external: Optional[Tuple[str, int]
     return bytes(out)
 
 
-def _value_info_bytes(name: str) -> bytes:
+def _value_info_bytes(name: str, spec: Optional[Tuple[int, Tuple]] = None) -> bytes:
+    """spec = (elem_type_code, dims) where each dim is an int (fixed) or a
+    str (dynamic dim_param). Typed value infos make the graph consumable by
+    real runtimes (ORT requires elem_type+shape on graph inputs)."""
     out = bytearray()
     _put_bytes(out, 1, name.encode("utf-8"))
+    if spec is not None:
+        elem, dims = spec
+        shape = bytearray()
+        for d in dims:
+            dim = bytearray()
+            if isinstance(d, str):
+                _put_bytes(dim, 2, d.encode("utf-8"))
+            else:
+                _put_varint_field(dim, 1, int(d))
+            _put_bytes(shape, 1, bytes(dim))
+        tensor_type = bytearray()
+        _put_varint_field(tensor_type, 1, elem)
+        _put_bytes(tensor_type, 2, bytes(shape))
+        type_proto = bytearray()
+        _put_bytes(type_proto, 1, bytes(tensor_type))
+        _put_bytes(out, 2, bytes(type_proto))
+    return bytes(out)
+
+
+# AttributeProto.AttributeType codes
+_ATTR_FLOAT, _ATTR_INT, _ATTR_STRING, _ATTR_TENSOR = 1, 2, 3, 4
+_ATTR_FLOATS, _ATTR_INTS = 6, 7
+
+
+def _int64_varint(out: bytearray, fno: int, v: int) -> None:
+    _field(out, fno, 0)
+    _write_varint(out, v & ((1 << 64) - 1))
+
+
+def _attr_bytes(name: str, val) -> bytes:
+    out = bytearray()
+    _put_bytes(out, 1, name.encode("utf-8"))
+    if isinstance(val, bool):
+        raise ValueError("use int for attribute values")
+    if isinstance(val, float):
+        _field(out, 2, 5)
+        out.extend(struct.pack("<f", val))
+        _put_varint_field(out, 20, _ATTR_FLOAT)
+    elif isinstance(val, int):
+        _int64_varint(out, 3, val)
+        _put_varint_field(out, 20, _ATTR_INT)
+    elif isinstance(val, str):
+        _put_bytes(out, 4, val.encode("utf-8"))
+        _put_varint_field(out, 20, _ATTR_STRING)
+    elif isinstance(val, (list, tuple)):
+        if val and isinstance(val[0], float):
+            for x in val:
+                _field(out, 7, 5)
+                out.extend(struct.pack("<f", x))
+            _put_varint_field(out, 20, _ATTR_FLOATS)
+        else:
+            for x in val:
+                _int64_varint(out, 8, int(x))
+            _put_varint_field(out, 20, _ATTR_INTS)
+    else:
+        raise ValueError(f"unsupported attribute value {val!r} for {name}")
+    return bytes(out)
+
+
+def _node_bytes(op_type: str, inputs, outputs, name: str = "",
+                attrs: Optional[Dict[str, object]] = None) -> bytes:
+    out = bytearray()
+    for i in inputs:
+        _put_bytes(out, 1, i.encode("utf-8"))
+    for o in outputs:
+        _put_bytes(out, 2, o.encode("utf-8"))
+    if name:
+        _put_bytes(out, 3, name.encode("utf-8"))
+    _put_bytes(out, 4, op_type.encode("utf-8"))
+    for k, v in (attrs or {}).items():
+        _put_bytes(out, 5, _attr_bytes(k, v))
     return bytes(out)
 
 
 def write_onnx(path: str, graph_name: str, initializers: Dict[str, np.ndarray],
                inputs: List[str] = (), outputs: List[str] = (),
                external_threshold: Optional[int] = None,
-               producer: str = "trt-asr-tpu") -> None:
-    """Write a weight-carrying ModelProto. Tensors >= external_threshold
-    bytes (if set) go to ``<path>.data`` as external data."""
+               producer: str = "trt-asr-tpu",
+               nodes: List[OnnxNode] = (),
+               io_types: Optional[Dict[str, Tuple[int, Tuple]]] = None) -> None:
+    """Write a ModelProto. Tensors >= external_threshold bytes (if set) go
+    to ``<path>.data`` as external data. ``nodes`` turns the file into an
+    executable compute graph (vs a weight-interchange initializer bag);
+    ``io_types`` maps input/output names to (elem_type_code, dims) so real
+    runtimes can bind them (dims entries may be str dim_params)."""
     ext_path = path + ".data"
     ext_name = os.path.basename(ext_path)
     ext_blob = bytearray()
+    io_types = io_types or {}
 
     graph = bytearray()
+    for nd in nodes:
+        _put_bytes(graph, 1, _node_bytes(nd.op_type, nd.inputs, nd.outputs,
+                                         nd.name, nd.attrs))
     _put_bytes(graph, 2, graph_name.encode("utf-8"))
     for name, arr in initializers.items():
         arr = np.asarray(arr)
@@ -289,9 +441,9 @@ def write_onnx(path: str, graph_name: str, initializers: Dict[str, np.ndarray],
             ext = (ext_name, off)
         _put_bytes(graph, 5, _tensor_bytes(name, arr, ext))
     for n in inputs:
-        _put_bytes(graph, 11, _value_info_bytes(n))
+        _put_bytes(graph, 11, _value_info_bytes(n, io_types.get(n)))
     for n in outputs:
-        _put_bytes(graph, 12, _value_info_bytes(n))
+        _put_bytes(graph, 12, _value_info_bytes(n, io_types.get(n)))
 
     model = bytearray()
     _put_varint_field(model, 1, 8)  # ir_version

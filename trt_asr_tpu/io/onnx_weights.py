@@ -192,26 +192,40 @@ def export_params_to_onnx(params: Dict[str, Any], cfg: ModelConfig, out_dir: str
     unprefixed names) + encoder_streaming.onnx (5-in/5-out cache IO,
     'encoder.'-prefixed names) + predictor.onnx + joint.onnx (torch layouts,
     NeMo state-dict names) + model_meta.json (reference schema,
-    export.py:970-997)."""
+    export.py:970-997).
+
+    predictor.onnx and joint.onnx are EXECUTABLE programs (real compute
+    nodes over the same initializers — trt_asr_tpu/io/onnx_graphs.py),
+    restoring the reference export's runnable-outside-the-repo property
+    (its ORT smoke, export.py:819-852); the encoder files remain weight
+    interchange."""
+    from trt_asr_tpu.io.onnx_graphs import joint_graph, predictor_graph
+
     os.makedirs(out_dir, exist_ok=True)
     paths = {}
     enc_map = encoder_name_map(cfg)
+    pred_nodes, pred_consts, pred_io = predictor_graph(cfg)
+    joint_nodes, joint_consts, joint_io = joint_graph(cfg)
     comps = {
         "encoder": ([(p, n.split(".", 1)[1], f, b) for p, n, f, b in enc_map],
                     ["audio_signal", "length"],
-                    ["encoder_output", "encoded_lengths"]),
+                    ["encoder_output", "encoded_lengths"], (), {}, {}),
         "encoder_streaming": (enc_map, STREAMING_ENCODER_INPUTS,
-                              STREAMING_ENCODER_OUTPUTS),
-        "predictor": (predictor_name_map(cfg), ["y", "h", "c"], ["g", "h_out", "c_out"]),
+                              STREAMING_ENCODER_OUTPUTS, (), {}, {}),
+        "predictor": (predictor_name_map(cfg), ["y", "h", "c"],
+                      ["g", "h_out", "c_out"], pred_nodes, pred_consts, pred_io),
         "joint": (joint_name_map(cfg), ["encoder_output", "predictor_output"],
-                  ["joint_output"]),
+                  ["joint_output"], joint_nodes, joint_consts, joint_io),
     }
-    for comp, (name_map, ins, outs) in comps.items():
+    for comp, (name_map, ins, outs, nodes, consts, io_types) in comps.items():
         inits = {}
         for path, onnx_name, fwd, _bwd in name_map:
             inits[onnx_name] = fwd(_get_path(params, path)).astype(np.float32)
+        inits.update(consts)
         p = os.path.join(out_dir, f"{comp}.onnx")
-        write_onnx(p, comp, inits, ins, outs, external_threshold=external_threshold)
+        write_onnx(p, comp, inits, ins, outs,
+                   external_threshold=external_threshold,
+                   nodes=nodes, io_types=io_types)
         paths[comp] = p
     meta = {
         # reference model_meta.json schema (export.py:970-997)

@@ -228,11 +228,12 @@ class ChunkScheduler:
         self._idx = 0
         self._start = 0          # next chunk's start frame (absolute)
 
-    def next_ready(self, frames_available: int) -> Optional[ChunkSpec]:
-        """If enough absolute frames are available, return the next chunk."""
+    def peek(self, frames_available: int) -> Optional[ChunkSpec]:
+        """Non-mutating readiness probe: the chunk `next_ready` WOULD return,
+        without consuming it. The serving engine's `pending()` uses this —
+        no caller may touch scheduler internals (VERDICT r2 weak #6)."""
         rg = self.regime
         first_chunk, steady_chunk = rg.chunk_sizes
-        first_shift, steady_shift = rg.shift_sizes
         pre = rg.pre_encode[1]
         if self._idx == 0:
             if frames_available < first_chunk:
@@ -240,21 +241,28 @@ class ChunkScheduler:
             if self.unified:
                 frames = steady_chunk + pre
                 lead = frames - first_chunk
-                spec = ChunkSpec(0, 0, -lead, first_chunk, frames, frames,
+                return ChunkSpec(0, 0, -lead, first_chunk, frames, frames,
                                  rg.drop_extra, False)
-            else:
-                spec = ChunkSpec(0, 0, 0, first_chunk, first_chunk,
-                                 first_chunk, rg.chunk0_drop(), False)
-            self._idx, self._start = 1, first_shift
-            return spec
+            return ChunkSpec(0, 0, 0, first_chunk, first_chunk,
+                             first_chunk, rg.chunk0_drop(), False)
         s0 = self._start - pre
         s1 = self._start + steady_chunk
         if frames_available < s1:
             return None
-        spec = ChunkSpec(self._idx, self._start, s0, s1, steady_chunk + pre,
+        return ChunkSpec(self._idx, self._start, s0, s1, steady_chunk + pre,
                          steady_chunk + pre, rg.drop_extra, False)
-        self._idx += 1
-        self._start += steady_shift
+
+    def next_ready(self, frames_available: int) -> Optional[ChunkSpec]:
+        """If enough absolute frames are available, consume + return the
+        next chunk (peek + advance)."""
+        spec = self.peek(frames_available)
+        if spec is None:
+            return None
+        if spec.idx == 0:
+            self._idx, self._start = 1, self.regime.shift_sizes[0]
+        else:
+            self._idx += 1
+            self._start += self.regime.shift_sizes[1]
         return spec
 
     def flush(self, frames_available: int) -> Optional[ChunkSpec]:
