@@ -27,8 +27,25 @@ import torch.nn.functional as F
 from trt_asr_tpu.config import ModelConfig
 
 
+_DTYPE = torch.float32
+
+
+def set_oracle_dtype(name: str) -> None:
+    """Switch the oracle's working precision ('float32' | 'float64').
+
+    float64 turns the oracle into a near-exact reference for ATTRIBUTING
+    the f32 parity floor (VERDICT r2 #1): ||torch32 - torch64|| isolates
+    the oracle's own f32 rounding from ||jax - torch64||, the
+    implementation's true error. Affects tensors created AFTER the call
+    (construct TorchParakeet afterwards); also sets torch's default dtype
+    so internal zeros/cat/LSTM follow."""
+    global _DTYPE
+    _DTYPE = {"float32": torch.float32, "float64": torch.float64}[name]
+    torch.set_default_dtype(_DTYPE)
+
+
 def _t(x) -> torch.Tensor:
-    return torch.from_numpy(np.asarray(x)).to(torch.float32)
+    return torch.from_numpy(np.asarray(x)).to(_DTYPE)
 
 
 def sinusoidal_pos_table(tq: int, tkv: int, d_model: int) -> torch.Tensor:
@@ -37,7 +54,7 @@ def sinusoidal_pos_table(tq: int, tkv: int, d_model: int) -> torch.Tensor:
     pe = torch.zeros(positions.shape[0], d_model, dtype=torch.float64)
     pe[:, 0::2] = torch.sin(positions * div)
     pe[:, 1::2] = torch.cos(positions * div)
-    return pe.to(torch.float32)
+    return pe.to(_DTYPE)
 
 
 class OracleEncoderLayer:

@@ -11,8 +11,11 @@ Variants (reference :117-125):
   nocache         — streaming cache disabled
   nocache_nopunct — both
 
-Engines: "python" (in-process StreamingSession — fast, no subprocess) or
-"cli" / "native" (subprocess over the Python CLI / the C++ CLI binary).
+Engines: "python" (in-process StreamingSession — fast, no subprocess),
+"cli" / "native" (subprocess over the Python CLI / the C++ CLI binary), or
+"batch" (in-process BatchStreamingEngine: utterances served CONCURRENTLY
+in lockstep slots with staggered attach/finalize — the serving surface the
+reference never had; VERDICT r2 #6 requires the WER gate to face it).
 """
 
 from __future__ import annotations
@@ -44,8 +47,9 @@ class SuiteConfig:
     manifest_path: str
     out_dir: str
     model_dir: str = ""
-    engine: str = "python"            # python | cli | native
+    engine: str = "python"            # python | cli | native | batch
     native_cli: str = ""
+    batch_size: int = 4               # engine="batch": concurrent slots
     variants: List[str] = field(default_factory=lambda: ["base"])
     rounds: int = 1
     stream_sim: float = 0.5
@@ -109,6 +113,71 @@ def _run_python_engine(entry: ManifestEntry, model, variant_env: Dict[str, str],
                 os.environ[k] = v
 
 
+def _run_batch_engine(entries: List[ManifestEntry], model,
+                      variant_env: Dict[str, str],
+                      cfg: SuiteConfig) -> List[Dict[str, object]]:
+    """Serve the whole manifest through a BatchStreamingEngine: groups of
+    ``batch_size`` utterances share lockstep steps, each stream attaching
+    STAGGERED (slot k starts k steps late) and finalizing independently as
+    its audio drains — mid-flight attach + keep-all flush next to steady
+    chunks, the production serving pattern."""
+    from trt_asr_tpu.io.wav import load_wav
+    from trt_asr_tpu.streaming.batch_engine import BatchStreamingEngine
+
+    old_env = {k: os.environ.get(k) for k in variant_env}
+    os.environ.update(variant_env)
+    try:
+        rt = RuntimeConfig.from_env()
+        eng = BatchStreamingEngine(model, batch_size=cfg.batch_size, runtime=rt)
+        out: List[Dict[str, object]] = []
+        for g0 in range(0, len(entries), cfg.batch_size):
+            group = entries[g0: g0 + cfg.batch_size]
+            audios = [load_wav(e.audio_path) for e in group]
+            hop = max(int(cfg.stream_sim * 16000), 1600)
+            sids = [None] * len(group)
+            offs = [0] * len(group)
+            fin = [False] * len(group)
+            steps = 0
+            while not all(fin):
+                for k in range(len(group)):
+                    if sids[k] is None:
+                        if steps >= k:          # staggered attach
+                            sids[k] = eng.open_stream()
+                        else:
+                            continue
+                    if offs[k] < len(audios[k]):
+                        eng.push_audio(sids[k], audios[k][offs[k]: offs[k] + hop])
+                        offs[k] += hop
+                    elif not fin[k]:
+                        eng.finalize_stream(sids[k])
+                        fin[k] = True
+                eng.step()
+                steps += 1
+                if steps > 100000:
+                    raise RuntimeError("batch suite drive did not drain")
+            eng.run_until_drained()
+            for k, e in enumerate(group):
+                transcript, n_partials = "", 0
+                while (ev := eng.poll_event(sids[k])) is not None:
+                    if ev.type == 0:
+                        n_partials += 1
+                    elif ev.type == 1:
+                        transcript = ev.text
+                out.append({"transcript": transcript, "num_partials": n_partials,
+                            "audio_path": e.audio_path, "reference": e.transcript})
+                eng.close_stream(sids[k])
+        # batch step latencies are engine-global, not per-utterance
+        if eng.step_latencies_ms:
+            out[0]["latency_ms"] = list(eng.step_latencies_ms)
+        return out
+    finally:
+        for k, v in old_env.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
 def _run_subprocess_engine(entry: ManifestEntry, variant_env: Dict[str, str],
                            cfg: SuiteConfig) -> Dict[str, object]:
     env = dict(os.environ)
@@ -137,8 +206,12 @@ def run_suite(cfg: SuiteConfig) -> Dict[str, object]:
     os.makedirs(cfg.out_dir, exist_ok=True)
     entries = read_manifest(cfg.manifest_path, verify_sha=cfg.verify_sha)
 
+    if cfg.engine == "batch" and cfg.feature_norm != "none":
+        raise ValueError("engine='batch' streams raw audio per slot; "
+                         "per-utterance feature_norm is a session-surface "
+                         "feature — use feature_norm='none'")
     model = None
-    if cfg.engine == "python":
+    if cfg.engine in ("python", "batch"):
         from trt_asr_tpu.models.parakeet.model import ParakeetTDT
         if cfg.model_dir:
             model = ParakeetTDT.from_model_dir(cfg.model_dir)
@@ -159,14 +232,17 @@ def run_suite(cfg: SuiteConfig) -> Dict[str, object]:
         for rnd in range(cfg.rounds):
             utts = []
             t0 = time.time()
-            for entry in entries:
-                if cfg.engine == "python":
-                    r = _run_python_engine(entry, model, venv, cfg)
-                else:
-                    r = _run_subprocess_engine(entry, venv, cfg)
-                r["audio_path"] = entry.audio_path
-                r["reference"] = entry.transcript
-                utts.append(r)
+            if cfg.engine == "batch":
+                utts = _run_batch_engine(entries, model, venv, cfg)
+            else:
+                for entry in entries:
+                    if cfg.engine == "python":
+                        r = _run_python_engine(entry, model, venv, cfg)
+                    else:
+                        r = _run_subprocess_engine(entry, venv, cfg)
+                    r["audio_path"] = entry.audio_path
+                    r["reference"] = entry.transcript
+                    utts.append(r)
             wall = time.time() - t0
             wer = score_corpus((u["reference"], u["transcript"]) for u in utts)
             lat_all = [x for u in utts for x in u.get("latency_ms", [])]
