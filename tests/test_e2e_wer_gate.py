@@ -19,29 +19,36 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_synthetic_e2e_wer_gate(tmp_path):
-    """Hardened gate (VERDICT r1 #10): 200-word vocabulary, additive noise
-    condition, multiple --stream-sim granularities, 4-variant matrix — then
-    the sensitivity proof: the SAME model must FAIL the gate under the
-    drop_time_carry fault injection (a decode-semantics bug the gate is
-    required to catch)."""
+    """Hardened gate (VERDICT r2 #6): 1120-word vocabulary, 8-12-word
+    utterances (>=5 s — many steady chunks, att-cache saturation), 50
+    held-out utterances, served through the python session AND the
+    lockstep batch engine (staggered attach/finalize), additive-noise
+    condition, granularity sweep, 4-variant matrix — then the sensitivity
+    proof on EVERY surface: the SAME model must FAIL under the
+    drop_time_carry fault injection. (The native-CLI surface runs in the
+    r3 artifact, artifacts/e2e_wer_gate_r3.json — per-utterance subprocess
+    compiles make it a tool-level run, not a pytest-budget one.)"""
     env = {**os.environ, "PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu"}
     tool = os.path.join(REPO, "tools", "train_synthetic_e2e.py")
     out = subprocess.run(
         [sys.executable, tool,
-         "--out-dir", str(tmp_path), "--steps", "900", "--train-utts", "400",
-         "--eval-utts", "10", "--vocab-size", "200", "--gate-wer", "0.10",
+         "--out-dir", str(tmp_path), "--steps", "2000", "--train-utts", "500",
+         "--eval-utts", "50", "--vocab-size", "1120", "--gate-wer", "0.05",
+         "--words-per-utt", "8,13", "--joint-hidden", "64",
+         "--surfaces", "python,batch",
          "--stream-sims", "0.3,0.5,1.0"],
-        capture_output=True, text=True, env=env, timeout=3600)
+        capture_output=True, text=True, env=env, timeout=14000)
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-1000:]
     assert "WER GATE PASS" in out.stdout
 
     sab = subprocess.run(
         [sys.executable, tool,
-         "--out-dir", str(tmp_path), "--skip-train", "--vocab-size", "200",
-         "--eval-utts", "10", "--gate-wer", "0.10", "--stream-sims", "0.5",
+         "--out-dir", str(tmp_path), "--skip-train", "--vocab-size", "1120",
+         "--eval-utts", "50", "--gate-wer", "0.05", "--stream-sims", "0.5",
+         "--words-per-utt", "8,13", "--surfaces", "python,batch",
          "--variants", "base", "--noise-snr-db", "0",
          "--sabotage", "drop_time_carry"],
-        capture_output=True, text=True, env=env, timeout=1200)
+        capture_output=True, text=True, env=env, timeout=7200)
     assert sab.returncode != 0 and "WER GATE FAIL" in sab.stdout, (
         "the gate must demonstrably fail under a decode-semantics fault:\n"
         + sab.stdout[-2000:])
