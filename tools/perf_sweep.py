@@ -41,6 +41,16 @@ def main() -> int:
                     help="offline mode instead: RTFx + MFU sweep over "
                          "--batches utterances of this duration")
     ap.add_argument("--batches", default="8,16,32,64")
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
+                    help="offline-mode compute dtype; f32 honors "
+                         "TRT_ASR_F32_PRECISION (the accuracy mode's "
+                         "throughput rows, VERDICT r2 #4)")
+    ap.add_argument("--bucket-secs", default="",
+                    help="offline length-bucketing mode: comma list of "
+                         "utterance durations (e.g. 5,10,15,30); each batch "
+                         "mixes real lengths, bucketed to the nearest "
+                         "duration and padded within the bucket only "
+                         "(VERDICT r2 #7: variable-length batches)")
     args = ap.parse_args()
 
     import jax
@@ -73,10 +83,11 @@ def main() -> int:
     max_tokens = cfg.max_symbols_per_timestep * (frames // cfg.subsampling_factor + 1)
 
     t0 = time.time()
-    params = jax.device_put(cast_params_for_compute(params_np, jnp.bfloat16))
-    print(f"upload: {time.time()-t0:.0f}s", file=sys.stderr)
+    sweep_dt = jnp.float32 if args.dtype == "f32" else jnp.bfloat16
+    params = jax.device_put(cast_params_for_compute(params_np, sweep_dt))
+    print(f"upload ({args.dtype}): {time.time()-t0:.0f}s", file=sys.stderr)
 
-    if args.offline:
+    if args.offline or args.bucket_secs:
         return _offline_sweep(args, cfg, params)
 
     def make_state(dt=jnp.bfloat16):
@@ -291,18 +302,20 @@ def encoder_flops(cfg, b: int, t_feat: int) -> float:
 
 def _offline_sweep(args, cfg, params) -> int:
     """One-upload offline RTFx + MFU sweep over batch sizes (VERDICT r1 #9:
-    report MFU). Decode runs at the calibrated ~1.5 tok/chunk-equivalent
-    blank-dominated emission profile (random weights would emit every step
-    — unrepresentative); encoder-only wall is timed separately so MFU has
-    a clean denominator."""
+    report MFU; r2 #4: --dtype f32 for the accuracy mode's rows; r2 #7:
+    --bucket-secs for variable-length batches). Decode runs at the
+    calibrated ~1.5 tok/chunk-equivalent blank-dominated emission profile
+    (random weights would emit every step — unrepresentative); encoder-only
+    wall is timed separately so MFU has a clean denominator."""
     import jax
     import jax.numpy as jnp
 
     from trt_asr_tpu.decode import init_decode_state
     from trt_asr_tpu.decode.batched import tdt_greedy_decode_batch
     from trt_asr_tpu.models.parakeet import offline_encode
+    from trt_asr_tpu.ops.common import _F32_PRECISION
 
-    frames = int(args.offline * 100)
+    compute_dtype = jnp.float32 if args.dtype == "f32" else jnp.bfloat16
     rng = np.random.default_rng(0)
     # blank-dominated decode (bias measured on-device, b1_sweep.json)
     b_old = params["joint"]["out"]["b"]
@@ -310,18 +323,20 @@ def _offline_sweep(args, cfg, params) -> int:
     bb[cfg.blank_id] += 1.5
     params["joint"]["out"]["b"] = jax.device_put(jnp.asarray(bb, b_old.dtype))
     results = {"utterance_s": args.offline, "device": str(jax.devices()[0]),
-               "dtype": "bf16", "blank_bias": 1.5, "configs": {}}
+               "dtype": args.dtype, "blank_bias": 1.5, "configs": {}}
+    if args.dtype == "f32":
+        results["f32_precision"] = str(_F32_PRECISION)
 
-    @functools.partial(jax.jit, static_argnames=("b",))
-    def enc_only(p, f, b):
+    @functools.partial(jax.jit, static_argnames=("b", "frames"))
+    def enc_only(p, f, b, frames):
         lens = jnp.full((b,), frames, jnp.int32)
-        enc, t_enc = offline_encode(p, cfg, f, lens, compute_dtype=jnp.bfloat16)
+        enc, t_enc = offline_encode(p, cfg, f, lens, compute_dtype=compute_dtype)
         return enc
 
-    @functools.partial(jax.jit, static_argnames=("b",))
-    def run(p, f, b):
+    @functools.partial(jax.jit, static_argnames=("b", "frames"))
+    def run(p, f, b, frames):
         lens = jnp.full((b,), frames, jnp.int32)
-        enc, t_enc = offline_encode(p, cfg, f, lens, compute_dtype=jnp.bfloat16)
+        enc, t_enc = offline_encode(p, cfg, f, lens, compute_dtype=compute_dtype)
         ds = init_decode_state(cfg, b)
         toks, n, _ = tdt_greedy_decode_batch(
             p, cfg, enc.astype(jnp.float32), t_enc.astype(jnp.int32), ds,
@@ -329,26 +344,35 @@ def _offline_sweep(args, cfg, params) -> int:
             use_pallas_joint=True)
         return toks, n
 
-    for b in [int(x) for x in args.batches.split(",")]:
-        feats0 = jnp.asarray(
-            rng.standard_normal((b, frames, cfg.feat_in)).astype(np.float32))
-        t0 = time.time()
-        toks, _ = run(params, feats0, b)
-        _ = np.asarray(toks)
-        _ = np.asarray(enc_only(params, feats0, b)[..., -1:])
-        print(f"B={b} compile+first: {time.time()-t0:.0f}s", file=sys.stderr)
-        flops = encoder_flops(cfg, b, frames)
+    def _measure_bf(b, frames, feats0):
+        """Best-of-3 fenced e2e + encoder-only walls for one (b, frames)."""
         best = best_enc = 1e9
         for salt in (0.02, 0.07, 0.13):
             f = feats0 * (1 + salt)
             t0 = time.perf_counter()
-            toks, _ = run(params, f, b)
+            toks, _ = run(params, f, b, frames)
             _ = np.asarray(toks)
             best = min(best, time.perf_counter() - t0)
             f = feats0 * (1 + salt + 0.005)
             t0 = time.perf_counter()
-            _ = np.asarray(enc_only(params, f, b)[..., -1:])
+            _ = np.asarray(enc_only(params, f, b, frames)[..., -1:])
             best_enc = min(best_enc, time.perf_counter() - t0)
+        return best, best_enc
+
+    if args.bucket_secs:
+        return _bucketed_sweep(args, cfg, params, results, run, enc_only, rng)
+
+    frames = int(args.offline * 100)
+    for b in [int(x) for x in args.batches.split(",")]:
+        feats0 = jnp.asarray(
+            rng.standard_normal((b, frames, cfg.feat_in)).astype(np.float32))
+        t0 = time.time()
+        toks, _ = run(params, feats0, b, frames)
+        _ = np.asarray(toks)
+        _ = np.asarray(enc_only(params, feats0, b, frames)[..., -1:])
+        print(f"B={b} compile+first: {time.time()-t0:.0f}s", file=sys.stderr)
+        flops = encoder_flops(cfg, b, frames)
+        best, best_enc = _measure_bf(b, frames, feats0)
         rtfx = b * args.offline / best
         mfu = flops / best_enc / 197e12
         print(f"B={b}: e2e {best*1e3:.1f} ms -> RTFx {rtfx:.0f}; encoder "
@@ -360,6 +384,72 @@ def _offline_sweep(args, cfg, params) -> int:
             "encoder_gflop_analytic": round(flops / 1e9, 1),
             "encoder_mfu_pct_bf16_peak": round(mfu * 100, 1)}
     out = args.out.replace("b1_sweep", "offline_sweep")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results["configs"]))
+    return 0
+
+
+def _bucketed_sweep(args, cfg, params, results, run, enc_only, rng) -> int:
+    """Variable-length corpus via length bucketing (VERDICT r2 #7): sample
+    a corpus of utterances with durations log-uniform across the bucket
+    range, pad each only to its bucket's duration, and process bucket by
+    bucket — vs the naive pad-everything-to-max baseline. One compiled
+    program per (bucket, B); RTFx is REAL audio seconds over wall."""
+    import jax.numpy as jnp
+
+    buckets = sorted(float(s) for s in args.bucket_secs.split(","))
+    b = int(args.batches.split(",")[0])
+    n_utts = 4 * b
+    lo, hi = buckets[0] * 0.4, buckets[-1]
+    durs = np.exp(rng.uniform(np.log(lo), np.log(hi), size=n_utts))
+    assign = [min(s for s in buckets if s >= d - 1e-9) if d <= buckets[-1]
+              else buckets[-1] for d in durs]
+    real_audio = float(np.sum(durs))
+
+    def process(groups):
+        """groups: list of (frames, count). Returns fenced wall seconds."""
+        total = 0.0
+        for frames, count in groups:
+            feats0 = jnp.asarray(rng.standard_normal(
+                (b, frames, cfg.feat_in)).astype(np.float32))
+            toks, _ = run(params, feats0, b, frames)     # compile / cache hit
+            _ = np.asarray(toks)
+            n_batches = int(np.ceil(count / b))
+            best = 1e9
+            for salt in (0.03, 0.11):
+                t0 = time.perf_counter()
+                toks, _ = run(params, feats0 * (1 + salt), b, frames)
+                _ = np.asarray(toks)
+                best = min(best, time.perf_counter() - t0)
+            total += best * n_batches
+        return total
+
+    bucket_groups = []
+    for s in buckets:
+        count = sum(1 for a in assign if a == s)
+        if count:
+            bucket_groups.append((int(s * 100), count))
+    wall_bucketed = process(bucket_groups)
+    wall_padmax = process([(int(buckets[-1] * 100), n_utts)])
+
+    out_cfg = {
+        "n_utts": n_utts, "batch": b, "buckets_s": buckets,
+        "real_audio_s": round(real_audio, 1),
+        "duration_range_s": [round(lo, 2), round(hi, 2)],
+        "bucketed": {"wall_s": round(wall_bucketed, 3),
+                     "rtfx_real_audio": round(real_audio / wall_bucketed, 1)},
+        "pad_to_max": {"wall_s": round(wall_padmax, 3),
+                       "rtfx_real_audio": round(real_audio / wall_padmax, 1)},
+        "bucketing_speedup": round(wall_padmax / wall_bucketed, 2),
+    }
+    results["configs"]["bucketed"] = out_cfg
+    print(f"bucketed: {wall_bucketed*1e3:.0f} ms vs pad-to-max "
+          f"{wall_padmax*1e3:.0f} ms -> {out_cfg['bucketing_speedup']}x; "
+          f"corpus RTFx {out_cfg['bucketed']['rtfx_real_audio']}",
+          file=sys.stderr)
+    out = args.out.replace("b1_sweep", "offline_bucketed")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
