@@ -359,3 +359,57 @@ class TestConvBlockKernel:
             np.testing.assert_allclose(
                 np.asarray(e_pal)[0, :lr], np.asarray(e_ref)[0, :lr],
                 atol=5e-2, rtol=1e-2, err_msg=f"chunk {spec.idx}")
+
+
+class TestFlashAttention:
+    """Blocked (flash) offline attention kernel == the XLA softmax path
+    (interpret mode, f32). Reference role: the TRT engine's fused offline
+    rel_pos attention (tools/build_trt profiles, encoder component)."""
+
+    def test_kernel_matches_softmax_math(self, rng):
+        import jax.numpy as jnp
+
+        from trt_asr_tpu.ops.pallas.flash_att_kernel import flash_bias_attention
+
+        b, t, h, dh = 2, 37, 2, 64          # t deliberately not block-aligned
+        q = rng.standard_normal((b, t, h, dh)).astype(np.float32)
+        k = rng.standard_normal((b, t, h, dh)).astype(np.float32)
+        v = rng.standard_normal((b, t, h, dh)).astype(np.float32)
+        bd = rng.standard_normal((b, h, t, t)).astype(np.float32)
+        lens = np.array([t, 29])
+        mask = np.arange(t)[None, :] < lens[:, None]
+
+        s = (np.einsum("bthd,bshd->bhts", q, k) + bd) / np.sqrt(dh)
+        s = np.where(mask[:, None, None, :], s, -1e30)
+        a = np.exp(s - s.max(-1, keepdims=True))
+        a = a / a.sum(-1, keepdims=True)
+        want = np.einsum("bhts,bshd->bthd", a, v).reshape(b, t, h * dh)
+
+        got = np.asarray(flash_bias_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(bd),
+            jnp.asarray(mask), n_heads=h, interpret=True))
+        for i in range(b):
+            np.testing.assert_allclose(got[i, : lens[i]], want[i, : lens[i]],
+                                       atol=2e-5, rtol=1e-4)
+
+    def test_offline_encode_flash_matches_xla(self, rng):
+        """Whole offline encoder with use_flash_att == the XLA path, incl.
+        a short (masked) row in the batch."""
+        from trt_asr_tpu.models.parakeet import offline_encode
+
+        cfg = ModelConfig.tiny()
+        params = init_params(cfg, seed=2)
+        b, frames = 2, 168
+        feats = (0.5 * rng.standard_normal((b, frames, cfg.feat_in))
+                 ).astype(np.float32)
+        lengths = np.array([frames, 111], np.int32)
+        want, wl = offline_encode(params, cfg, feats, lengths)
+        got, gl = offline_encode(params, cfg, feats, lengths,
+                                 use_flash_att=True)
+        np.testing.assert_array_equal(np.asarray(wl), np.asarray(gl))
+        for i in range(b):
+            n = int(np.asarray(wl)[i])
+            assert n > 0
+            np.testing.assert_allclose(np.asarray(got)[i, :n],
+                                       np.asarray(want)[i, :n],
+                                       atol=5e-5, rtol=1e-4)

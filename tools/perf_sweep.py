@@ -45,6 +45,10 @@ def main() -> int:
                     help="offline-mode compute dtype; f32 honors "
                          "TRT_ASR_F32_PRECISION (the accuracy mode's "
                          "throughput rows, VERDICT r2 #4)")
+    ap.add_argument("--flash-att", action="store_true",
+                    help="offline mode: blocked (flash) attention kernel — "
+                         "streams K/V/bias blocks through VMEM instead of "
+                         "materializing [B,H,T,T] scores in HBM")
     ap.add_argument("--bucket-secs", default="",
                     help="offline length-bucketing mode: comma list of "
                          "utterance durations (e.g. 5,10,15,30); each batch "
@@ -157,13 +161,14 @@ def main() -> int:
 
     _f32_cache = {}
 
-    def f32_step_fn():
-        """Accuracy-mode config: f32 params at the TRT_ASR_F32_PRECISION
-        pass count (set the ENV — the precision global is read at trace and
-        is NOT part of the jit cache key, so exactly one f32 config per
-        process). B=1 is overhead-bound, so the 3-pass HIGH matmuls may
-        cost little over bf16 — the r1 '1.2x baseline' figure predates the
-        batched decode and fused-kernel overhead cuts."""
+    def f32_step_fn(precision: str = ""):
+        """Accuracy-mode config: f32 params. Default (precision="") honors
+        the TRT_ASR_F32_PRECISION env read at import. With an explicit
+        precision ("high" | "highest"), the raw step is RE-JITTED into a
+        fresh callable and traced under set_f32_precision — giving each
+        mode its own compiled program so both can interleave in ONE process
+        (the precision global is not a jit cache key; a shared callable
+        would silently reuse the first mode's program)."""
         if "p" not in _f32_cache:
             bb = np.asarray(params_np["joint"]["out"]["b"]).copy()
             bb[cfg.blank_id] += chosen[0]
@@ -173,14 +178,29 @@ def main() -> int:
             print(f"f32 upload: {time.time()-t0:.0f}s", file=sys.stderr)
         p = _f32_cache["p"]
 
+        if precision:
+            from trt_asr_tpu.ops.common import set_f32_precision
+            from trt_asr_tpu.streaming.batch_engine import BATCH_STEP_STATIC
+            step_impl = functools.partial(
+                jax.jit, static_argnames=BATCH_STEP_STATIC,
+                donate_argnames=("enc_state", "dec_state"))(
+                _batch_step.__wrapped__)
+        else:
+            step_impl = _batch_step
+
         def step(f, es, ds):
             # XLA joint: the fused joint kernel's f32 out-projection
             # (640x8320 = 21 MB) exceeds VMEM; accuracy mode keeps the
             # joint f32 via the plain matmul path
-            toks, n, es, ds = _batch_step(
-                p, cfg, f, valid, es, ds, emitted, cache_drop, valid_cap,
-                drop_extra=cfg.drop_extra_pre_encoded, max_tokens=max_tokens,
-                use_pallas_joint=False)
+            prev = set_f32_precision(precision) if precision else None
+            try:
+                toks, n, es, ds = step_impl(
+                    p, cfg, f, valid, es, ds, emitted, cache_drop, valid_cap,
+                    drop_extra=cfg.drop_extra_pre_encoded,
+                    max_tokens=max_tokens, use_pallas_joint=False)
+            finally:
+                if prev is not None:
+                    set_f32_precision(prev)
             return toks, n, es, ds
         return step
 
@@ -231,6 +251,8 @@ def main() -> int:
         "xla_q8enc": lambda: xla_step_fn(q_enc),
         "xla_q8all": lambda: xla_step_fn(q_all),
         "f32": lambda: f32_step_fn(),
+        "f32_high": lambda: f32_step_fn("high"),
+        "f32_highest": lambda: f32_step_fn("highest"),
         "f32_mixatt": lambda: f32_mixatt_step_fn(),
     }
     results = {"blank_bias": chosen[0], "emission_tok_per_chunk": chosen[1],
@@ -327,16 +349,23 @@ def _offline_sweep(args, cfg, params) -> int:
     if args.dtype == "f32":
         results["f32_precision"] = str(_F32_PRECISION)
 
-    @functools.partial(jax.jit, static_argnames=("b", "frames"))
-    def enc_only(p, f, b, frames):
+    if args.flash_att:
+        # flash rows are measured INTERLEAVED with the XLA rows per batch
+        # size (one process, same minute — the only tunnel-valid comparison)
+        results["flash_att"] = "interleaved_comparison"
+
+    @functools.partial(jax.jit, static_argnames=("b", "frames", "flash"))
+    def enc_only(p, f, b, frames, flash=False):
         lens = jnp.full((b,), frames, jnp.int32)
-        enc, t_enc = offline_encode(p, cfg, f, lens, compute_dtype=compute_dtype)
+        enc, t_enc = offline_encode(p, cfg, f, lens, compute_dtype=compute_dtype,
+                                    use_flash_att=flash)
         return enc
 
-    @functools.partial(jax.jit, static_argnames=("b", "frames"))
-    def run(p, f, b, frames):
+    @functools.partial(jax.jit, static_argnames=("b", "frames", "flash"))
+    def run(p, f, b, frames, flash=False):
         lens = jnp.full((b,), frames, jnp.int32)
-        enc, t_enc = offline_encode(p, cfg, f, lens, compute_dtype=compute_dtype)
+        enc, t_enc = offline_encode(p, cfg, f, lens, compute_dtype=compute_dtype,
+                                    use_flash_att=flash)
         ds = init_decode_state(cfg, b)
         toks, n, _ = tdt_greedy_decode_batch(
             p, cfg, enc.astype(jnp.float32), t_enc.astype(jnp.int32), ds,
@@ -344,45 +373,53 @@ def _offline_sweep(args, cfg, params) -> int:
             use_pallas_joint=True)
         return toks, n
 
-    def _measure_bf(b, frames, feats0):
-        """Best-of-3 fenced e2e + encoder-only walls for one (b, frames)."""
-        best = best_enc = 1e9
+    def _measure_bf(b, frames, feats0, variants=(False,)):
+        """Best-of-3 fenced e2e + encoder-only walls; when comparing
+        variants (flash vs XLA attention) the rounds ALTERNATE between them
+        so tunnel-speed drift hits both equally."""
+        best = {fl: [1e9, 1e9] for fl in variants}
         for salt in (0.02, 0.07, 0.13):
-            f = feats0 * (1 + salt)
-            t0 = time.perf_counter()
-            toks, _ = run(params, f, b, frames)
-            _ = np.asarray(toks)
-            best = min(best, time.perf_counter() - t0)
-            f = feats0 * (1 + salt + 0.005)
-            t0 = time.perf_counter()
-            _ = np.asarray(enc_only(params, f, b, frames)[..., -1:])
-            best_enc = min(best_enc, time.perf_counter() - t0)
-        return best, best_enc
+            for fl in variants:
+                f = feats0 * (1 + salt)
+                t0 = time.perf_counter()
+                toks, _ = run(params, f, b, frames, flash=fl)
+                _ = np.asarray(toks)
+                best[fl][0] = min(best[fl][0], time.perf_counter() - t0)
+                f = feats0 * (1 + salt + 0.005)
+                t0 = time.perf_counter()
+                _ = np.asarray(enc_only(params, f, b, frames, flash=fl)[..., -1:])
+                best[fl][1] = min(best[fl][1], time.perf_counter() - t0)
+        return best
 
     if args.bucket_secs:
         return _bucketed_sweep(args, cfg, params, results, run, enc_only, rng)
 
+    variants = (False, True) if args.flash_att else (False,)
     frames = int(args.offline * 100)
     for b in [int(x) for x in args.batches.split(",")]:
         feats0 = jnp.asarray(
             rng.standard_normal((b, frames, cfg.feat_in)).astype(np.float32))
         t0 = time.time()
-        toks, _ = run(params, feats0, b, frames)
-        _ = np.asarray(toks)
-        _ = np.asarray(enc_only(params, feats0, b, frames)[..., -1:])
+        for fl in variants:
+            toks, _ = run(params, feats0, b, frames, flash=fl)
+            _ = np.asarray(toks)
+            _ = np.asarray(enc_only(params, feats0, b, frames, flash=fl)[..., -1:])
         print(f"B={b} compile+first: {time.time()-t0:.0f}s", file=sys.stderr)
         flops = encoder_flops(cfg, b, frames)
-        best, best_enc = _measure_bf(b, frames, feats0)
-        rtfx = b * args.offline / best
-        mfu = flops / best_enc / 197e12
-        print(f"B={b}: e2e {best*1e3:.1f} ms -> RTFx {rtfx:.0f}; encoder "
-              f"{best_enc*1e3:.1f} ms -> {flops/best_enc/1e12:.1f} TFLOP/s "
-              f"= {mfu*100:.1f}% of bf16 peak", file=sys.stderr)
-        results["configs"][f"b{b}"] = {
-            "wall_ms": round(best * 1e3, 1), "rtfx": round(rtfx, 1),
-            "encoder_wall_ms": round(best_enc * 1e3, 1),
-            "encoder_gflop_analytic": round(flops / 1e9, 1),
-            "encoder_mfu_pct_bf16_peak": round(mfu * 100, 1)}
+        walls = _measure_bf(b, frames, feats0, variants)
+        for fl in variants:
+            best, best_enc = walls[fl]
+            rtfx = b * args.offline / best
+            mfu = flops / best_enc / 197e12
+            tag = f"b{b}_flash" if fl else f"b{b}"
+            print(f"{tag}: e2e {best*1e3:.1f} ms -> RTFx {rtfx:.0f}; encoder "
+                  f"{best_enc*1e3:.1f} ms -> {flops/best_enc/1e12:.1f} TFLOP/s "
+                  f"= {mfu*100:.1f}% of bf16 peak", file=sys.stderr)
+            results["configs"][tag] = {
+                "wall_ms": round(best * 1e3, 1), "rtfx": round(rtfx, 1),
+                "encoder_wall_ms": round(best_enc * 1e3, 1),
+                "encoder_gflop_analytic": round(flops / 1e9, 1),
+                "encoder_mfu_pct_bf16_peak": round(mfu * 100, 1)}
     out = args.out.replace("b1_sweep", "offline_sweep")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:

@@ -147,6 +147,7 @@ def _conformer_layer(
     use_pallas_conv: bool = False,       # fused conv-module kernel (B=1)
     pallas_att: Optional[Tuple] = None,  # (g_sel, kv_mask_1S, posT [D, R_pad])
                                          # -> fused attention-block kernel (B=1)
+    use_flash_att: bool = False,         # offline: blocked flash kernel
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     b, tq, d = x.shape
     k = time_cache.shape[1]
@@ -192,7 +193,7 @@ def _conformer_layer(
             v_full.reshape(b, c_size + tq, n_heads, dh),
             pos_proj.reshape(-1, n_heads, dh),
             lp["att_bias_u"], lp["att_bias_v"], lp["att_wo"],
-            kv_mask=kv_mask, rel_idx=rel_idx)
+            kv_mask=kv_mask, rel_idx=rel_idx, use_flash=use_flash_att)
         x = x + y
     if c_size:
         new_att_cache = _ring_write(att_cache, u[:, :cache_keep], cursor, appended)
@@ -279,6 +280,8 @@ def encode(
     pos_proj: Optional[jnp.ndarray] = None,  # precomputed [L, R, D] (see precompute_pos_proj)
     use_pallas_ffn: bool = False,
     use_pallas_conv: bool = False,   # fused conv-module kernel (B=1)
+    use_flash_att: bool = False,     # offline: blocked (flash) attention —
+                                     # no [B,H,T,T] HBM score tensors
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[EncoderState]]:
     """Returns (enc_out [B, Tq, D] in compute dtype, out_lengths [B], new_state).
 
@@ -423,7 +426,8 @@ def encode(
             y, _, new_tc, _ = _conformer_layer(
                 lp, carry, None, tc, None, pp, kv_mask, rel_idx, time_mask,
                 cursor, cfg.n_heads, cache_keep, appended,
-                use_pallas_ffn=use_pallas_ffn, use_pallas_conv=use_pallas_conv)
+                use_pallas_ffn=use_pallas_ffn, use_pallas_conv=use_pallas_conv,
+                use_flash_att=use_flash_att)
             return y, new_tc
 
         x, _ = lax.scan(
@@ -453,9 +457,12 @@ def precompute_pos_proj(params, cfg: ModelConfig, tq: int, c_size: int,
                   params["encoder"]["layers"]["att_wpos"].astype(compute_dtype))
 
 
-def offline_encode(params, cfg: ModelConfig, feats, lengths, compute_dtype=jnp.float32):
+def offline_encode(params, cfg: ModelConfig, feats, lengths, compute_dtype=jnp.float32,
+                   use_flash_att: bool = False):
     """Full-utterance encoding (reference encoder.onnx equivalent)."""
-    enc, out_len, _ = encode(params, cfg, feats, lengths, None, compute_dtype=compute_dtype)
+    enc, out_len, _ = encode(params, cfg, feats, lengths, None,
+                             compute_dtype=compute_dtype,
+                             use_flash_att=use_flash_att)
     return enc, out_len
 
 

@@ -66,6 +66,9 @@ def rel_pos_attention_kv(
     rel_idx: Optional[jnp.ndarray] = None,  # [B, Tq, Tkv] pos-table indices
                                             # (ring-ordered caches); default
                                             # static right-aligned formula
+    use_flash: bool = False,                # offline (Tq==Tkv, no cache):
+                                            # blocked kernel, no T^2 score
+                                            # materialization in HBM
 ) -> jnp.ndarray:
     """Attention core on pre-projected q/k/v. Returns [B, Tq, D].
 
@@ -80,7 +83,6 @@ def rel_pos_attention_kv(
     q_u = q + pos_bias_u.astype(q.dtype)[None, None]
     q_v = q + pos_bias_v.astype(q.dtype)[None, None]
 
-    ac = einsum("bthd,bshd->bhts", q_u, k)                       # [B,H,Tq,Tkv]
     pd = einsum("bthd,rhd->bhtr", q_v, pos_proj.astype(q.dtype))  # [B,H,Tq,R]
     if rel_idx is None:
         # static right-aligned offsets bd[t,s] = pd[t, tq-1-t+s]: the
@@ -96,6 +98,15 @@ def rel_pos_attention_kv(
         bd = jnp.take_along_axis(pd, rel_idx[:, None].astype(jnp.int32),
                                  axis=-1)
 
+    if use_flash and rel_idx is None and tq == tkv and dh <= 128:
+        from trt_asr_tpu.ops.pallas.flash_att_kernel import flash_bias_attention
+
+        mask = kv_mask if kv_mask is not None \
+            else jnp.ones((b, tkv), bool)
+        out = flash_bias_attention(q_u, k, v, bd, mask, n_heads=h)
+        return matmul(out.astype(q.dtype), wo)
+
+    ac = einsum("bthd,bshd->bhts", q_u, k)                       # [B,H,Tq,Tkv]
     scores = (ac + bd).astype(jnp.float32) / math.sqrt(dh)
     if kv_mask is not None:
         scores = jnp.where(kv_mask[:, None, None, :], scores, jnp.float32(-1e30))

@@ -21,11 +21,27 @@ from trt_asr_tpu.ops.quant import QuantTensor, q8_matmul
 # f32 matmul pass count on the MXU: HIGHEST = 6-pass (full f32-equivalent),
 # HIGH = 3-pass (~1e-5 class), DEFAULT = 1-pass bf16 (the TF32-analog trap).
 # Env knob TRT_ASR_F32_PRECISION in {highest, high, default}; read once.
-_F32_PRECISION = {
+_PRECISION_MODES = {
     "highest": lax.Precision.HIGHEST,
     "high": lax.Precision.HIGH,
     "default": lax.Precision.DEFAULT,
-}[os.environ.get("TRT_ASR_F32_PRECISION", "highest").lower()]
+}
+_F32_PRECISION = _PRECISION_MODES[
+    os.environ.get("TRT_ASR_F32_PRECISION", "highest").lower()]
+
+
+def set_f32_precision(mode: str) -> str:
+    """Override the f32 matmul precision; returns the previous mode name.
+
+    The global is consumed at TRACE time and is NOT a jit cache key — a
+    caller switching modes must trace through a FRESH jitted callable per
+    mode (e.g. re-jit the raw step function), otherwise the second mode
+    silently reuses the first's compiled program. tools/perf_sweep.py's
+    interleaved precision comparison is the intended user."""
+    global _F32_PRECISION
+    prev = next(k for k, v in _PRECISION_MODES.items() if v is _F32_PRECISION)
+    _F32_PRECISION = _PRECISION_MODES[mode.lower()]
+    return prev
 
 
 def matmul(a: jnp.ndarray, b) -> jnp.ndarray:

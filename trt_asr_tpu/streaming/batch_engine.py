@@ -38,11 +38,14 @@ from trt_asr_tpu.streaming.schedule import ChunkScheduler, extract_chunk
 from trt_asr_tpu.streaming.session import Event, EventType
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "drop_extra", "max_tokens",
-                                             "blank_penalty", "use_punct_mask",
-                                             "use_pallas_joint", "pad_steps",
-                                             "use_pallas_att", "use_pallas_conv",
-                                             "use_pallas_ffn"),
+# exported so tools can re-jit the raw step under a different trace-time
+# policy (e.g. perf_sweep's interleaved f32-precision comparison)
+BATCH_STEP_STATIC = ("cfg", "drop_extra", "max_tokens", "blank_penalty",
+                     "use_punct_mask", "use_pallas_joint", "pad_steps",
+                     "use_pallas_att", "use_pallas_conv", "use_pallas_ffn")
+
+
+@functools.partial(jax.jit, static_argnames=BATCH_STEP_STATIC,
                    donate_argnames=("enc_state", "dec_state"))
 def _batch_step(params, cfg: ModelConfig, feats, valid, enc_state, dec_state,
                 emitted_so_far, cache_drop_vec, valid_cap_vec, *, drop_extra: int,
