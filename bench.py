@@ -83,7 +83,7 @@ def main() -> int:
                          "fp32-class bar (artifacts/parity/fullsize_tpu_"
                          "f32high_closedloop_30.json). bf16 = fast mode "
                          "(fails the accuracy bar, like the reference's "
-                         "own shipped fp16 engine did at 0.7% pass)")
+                         "own shipped fp16 engine did at 0.7%% pass)")
     ap.add_argument("--offline", type=float, default=0.0, metavar="SECONDS",
                     help="offline batch mode: RTFx for B utterances of this "
                          "duration (BASELINE.json 'batched offline' config)")
@@ -97,15 +97,21 @@ def main() -> int:
     ap.add_argument("--worst-case", action="store_true",
                     help="alias for --blank-bias 0: every decode step emits "
                          "(max_symbols cap), the decode-bound upper bound")
+    ap.add_argument("--f32-precision", default="high",
+                    choices=["high", "highest"],
+                    help="accuracy-mode MXU pass count: high = 3-pass "
+                         "(trt_fp32 rung, 2.99e-4 full-size closed loop), "
+                         "highest = 6-pass (strictest ort_f32 rung, 5.2e-6 "
+                         "— floor_attribution_tpu_f32highest.json)")
     args = ap.parse_args()
     if args.worst_case:
         args.blank_bias = 0.0
     if args.dtype == "f32":
         # the accuracy-mode MXU pass count (read once at ops.common import,
-        # so it must be set before trt_asr_tpu imports); HIGH = 3-pass
+        # so it must be set before trt_asr_tpu imports)
         import os
 
-        os.environ.setdefault("TRT_ASR_F32_PRECISION", "high")
+        os.environ.setdefault("TRT_ASR_F32_PRECISION", args.f32_precision)
 
     import jax
     import jax.numpy as jnp

@@ -111,8 +111,8 @@ def main() -> int:
                          "this SNR; <=0 (default) trains clean only. "
                          "Measured: the tiny gate model lacks capacity for "
                          "noise-robust 200-word training — ANY train noise "
-                         "costs held-out clean WER (clean-only 3.1%, "
-                         "replace-half 59%, append-half 44%), so the gate "
+                         "costs held-out clean WER (clean-only 3.1%%, "
+                         "replace-half 59%%, append-half 44%%), so the gate "
                          "criterion stays clean/base and the noisy eval row "
                          "is reported as an informational condition")
     ap.add_argument("--stream-sims", default="0.3,0.5,1.0",
