@@ -4,9 +4,11 @@ Headline vs the reference's best number (BASELINE.md): TRT FP16
 streaming-encoder per-chunk latency mean 18.8 ms for a 480 ms-advance chunk
 (per-240ms-normalized: 9.4 ms). Ours measures the SAME work plus the decode
 loop (which the reference ran on the host with per-step D2H), on one TPU
-chip. Default config is the ACCURACY-PASSING one (f32 weights, 3-pass HIGH
-matmuls — closed-loop 2.99e-4, inside the contract fp32-class bar, while
-the TRT-FP16 baseline failed its own bar at 0.7% pass); `--dtype bf16`
+chip. Default config is the ACCURACY-PASSING one (f32 weights, 6-pass
+HIGHEST matmuls — closed-loop 5.2e-6 at full size, the contract's
+strictest ort_f32 1e-4 rung with 19x margin, while the TRT-FP16 baseline
+failed its own bar at 0.7% pass; B=1 is op-overhead-bound so HIGHEST
+costs nothing vs 3-pass HIGH there); `--dtype bf16`
 [--pallas-att --quant all] selects the fast mode.
 
 Methodology note (docs/DEBUGGING.md): repeated identical executions through
@@ -97,12 +99,17 @@ def main() -> int:
     ap.add_argument("--worst-case", action="store_true",
                     help="alias for --blank-bias 0: every decode step emits "
                          "(max_symbols cap), the decode-bound upper bound")
-    ap.add_argument("--f32-precision", default="high",
+    ap.add_argument("--f32-precision", default="highest",
                     choices=["high", "highest"],
                     help="accuracy-mode MXU pass count: high = 3-pass "
                          "(trt_fp32 rung, 2.99e-4 full-size closed loop), "
                          "highest = 6-pass (strictest ort_f32 rung, 5.2e-6 "
-                         "— floor_attribution_tpu_f32highest.json)")
+                         "— floor_attribution_tpu_f32highest.json). "
+                         "DEFAULT is highest: B=1 is op-overhead-bound, so "
+                         "the strictest rung costs nothing there (measured "
+                         "interleaved, artifacts/perf/b1_f32_precision.json "
+                         "8.2 vs 7.7 ms); at B>=32 capacity, high is ~12%% "
+                         "more streams/chip")
     args = ap.parse_args()
     if args.worst_case:
         args.blank_bias = 0.0

@@ -1,0 +1,67 @@
+#!/bin/bash
+# VERDICT r2 #6 artifact driver: hardened multi-surface WER gate.
+#
+# Profile: 1120-word vocabulary, 8-12-word utterances (>=5 s of audio,
+# many steady chunks, attention-cache saturation), 50 held-out
+# utterances, three serving surfaces (python StreamingSession, lockstep
+# BatchStreamingEngine with staggered attach/finalize, native C++ CLI in
+# fast mode), granularity sweep, noise condition — then the sensitivity
+# proof: the SAME model must FAIL the gate on every surface under the
+# drop_time_carry fault injection.
+#
+# Reference role: tools/stt_suite/run_suite.py:117-125,554-779 (the WER
+# gate the reference's TRT engines never passed). Output:
+# artifacts/e2e_wer_gate_r3.json (clean + sabotage merged).
+set -e
+cd "$(dirname "$0")/.."
+OUT=${1:-/tmp/gate_r3}
+mkdir -p "$OUT"
+
+python tools/train_synthetic_e2e.py \
+  --out-dir "$OUT" --steps 2000 --train-utts 500 --eval-utts 50 \
+  --vocab-size 1120 --gate-wer 0.05 --words-per-utt 8,13 \
+  --joint-hidden 64 --surfaces python,batch,native \
+  --native-eval-utts 12 --stream-sims 0.3,0.5,1.0 \
+  --artifact "$OUT/gate_clean.json" 2>&1 | tee "$OUT/clean.log"
+
+set +e
+python tools/train_synthetic_e2e.py \
+  --out-dir "$OUT" --skip-train --eval-utts 50 --vocab-size 1120 \
+  --gate-wer 0.05 --words-per-utt 8,13 --joint-hidden 64 \
+  --surfaces python,batch,native --native-eval-utts 12 \
+  --stream-sims 0.5 --variants base --native-variants base \
+  --noise-snr-db 0 --sabotage drop_time_carry \
+  --artifact "$OUT/gate_sabotage.json" 2>&1 | tee "$OUT/sabotage.log"
+SAB_RC=$?
+set -e
+if [ "$SAB_RC" -eq 0 ]; then
+  echo "ERROR: sabotage run PASSED the gate — sensitivity proof failed" >&2
+  exit 1
+fi
+
+python - "$OUT" <<'EOF'
+import json, sys, os
+out = sys.argv[1]
+clean = json.load(open(os.path.join(out, "gate_clean.json")))
+sab = json.load(open(os.path.join(out, "gate_sabotage.json")))
+merged = {
+    "profile": {
+        "vocab_size": clean["vocab_size"], "words_per_utt": "8,13",
+        "eval_utts": clean["config"]["eval_utts"],
+        "gate_wer": clean["config"]["gate_wer"],
+        "surfaces": clean["config"]["surfaces"],
+    },
+    "clean": clean,
+    "sabotage_drop_time_carry": sab,
+    "verdict": {
+        "clean_pass_all_surfaces": all(
+            g["pass"] for g in clean["gate_per_surface"].values()),
+        "sabotage_fails_all_surfaces": all(
+            not g["pass"] for g in sab["gate_per_surface"].values()),
+    },
+}
+path = "artifacts/e2e_wer_gate_r3.json"
+json.dump(merged, open(path, "w"), indent=1)
+print("wrote", path)
+print(json.dumps(merged["verdict"], indent=1))
+EOF

@@ -37,7 +37,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, bd_ref, mask_ref, o_ref,
+def _flash_kernel(q_ref, k_ref, v_ref, bd_ref, o_ref,
                   m_ref, l_ref, acc_ref, *, scale: float, nj: int):
     j = pl.program_id(2)
 
@@ -51,8 +51,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, bd_ref, mask_ref, o_ref,
     k = k_ref[0]                                             # [BK, dh]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
+    # kv masking (variable lengths + tp padding) arrives pre-folded into
+    # bd as -1e9: a separate [B, T] mask operand cannot satisfy the TPU
+    # (8, 128) block-tiling rule at block (1, BK), and the fold fuses
+    # into the bias write on the XLA side for free.
     s = (s + bd_ref[0].astype(jnp.float32)) * scale          # [BQ, BK]
-    s = jnp.where(mask_ref[0][None, :] > 0, s, jnp.float32(-1e30))
 
     bk = s.shape[1]
     dh = acc_ref.shape[1]
@@ -99,9 +102,14 @@ def flash_bias_attention(
         return jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
 
     qf, kf, vf = bhtd(q_u), bhtd(k), bhtd(v)
-    bdf = jnp.pad(bd.reshape(b * h, t, t),
-                  ((0, 0), (0, tp - t), (0, tp - t))).astype(dtype)
-    maskf = jnp.pad(kv_mask, ((0, 0), (0, tp - t))).astype(jnp.float32)
+    # fold the kv mask into the bias (-1e9 on masked/padded kv columns —
+    # bf16-representable, exp() underflows to exactly 0 after the running-
+    # max subtraction); padded QUERY rows are sliced away on return
+    neg = jnp.asarray(-1e9, dtype)
+    bdm = jnp.where(kv_mask[:, None, None, :], bd.astype(dtype), neg)
+    bdf = jnp.pad(bdm.reshape(b * h, t, t),
+                  ((0, 0), (0, tp - t), (0, tp - t)),
+                  constant_values=neg)
 
     ni, nj = tp // bq, tp // bk
     out = pl.pallas_call(
@@ -112,7 +120,6 @@ def flash_bias_attention(
             pl.BlockSpec((1, bk, dh), lambda bh, i, j: (bh, j, 0)),
             pl.BlockSpec((1, bk, dh), lambda bh, i, j: (bh, j, 0)),
             pl.BlockSpec((1, bq, bk), lambda bh, i, j: (bh, i, j)),
-            pl.BlockSpec((1, bk), lambda bh, i, j: (bh // n_heads, j)),
         ],
         out_specs=pl.BlockSpec((1, bq, dh), lambda bh, i, j: (bh, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, tp, dh), jnp.float32),
@@ -124,6 +131,6 @@ def flash_bias_attention(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(qf, kf, vf, bdf, maskf)
+    )(qf, kf, vf, bdf)
     out = out[:, :t].reshape(b, h, t, dh)
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, h * dh)
