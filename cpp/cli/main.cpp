@@ -204,7 +204,15 @@ int main(int argc, char** argv) {
             drain(sess);
         }
     } else {
-        if (n_mels == 0) n_mels = 128;
+        if (n_mels == 0) {
+            // audio path: the CLI computes features itself, and the mel
+            // count is MODEL config, not a caller guess — a 128-mel
+            // default against a 32-mel model decoded plausible-looking
+            // garbage (r3 WER gate, native surface). Replay inputs keep
+            // sidecar/flag precedence above.
+            const int m = trt_asr_n_mels(sess);
+            n_mels = m > 0 ? m : 128;
+        }
         trt_asr::FeatureConfig fcfg;
         fcfg.n_mels = n_mels;
         trt_asr::LogMelExtractor mel(fcfg);

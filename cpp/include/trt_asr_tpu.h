@@ -85,6 +85,13 @@ int trt_asr_finalize(ParakeetSession* session);
 /* Library/runtime description, e.g. "trt-asr-tpu 0.1 backend=mock". */
 const char* trt_asr_runtime_info(ParakeetSession* session);
 
+/* The model's mel-bin count (feature dim). Clients computing features
+ * themselves (the CLI's native log-mel) MUST use this instead of assuming
+ * 128: a mismatched mel count decodes plausible-looking garbage (caught
+ * by the runtime's shape check since r3, but the count is model config,
+ * not a caller guess). Returns <=0 if unknown. */
+int trt_asr_n_mels(ParakeetSession* session);
+
 #ifdef __cplusplus
 }
 #endif

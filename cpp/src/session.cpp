@@ -178,4 +178,8 @@ const char* trt_asr_runtime_info(ParakeetSession* s) {
     return s ? s->info.c_str() : "";
 }
 
+int trt_asr_n_mels(ParakeetSession* s) {
+    return s && s->backend ? s->backend->n_mels() : 0;
+}
+
 }  // extern "C"

@@ -27,12 +27,18 @@ def test_synthetic_e2e_wer_gate(tmp_path):
     proof on EVERY surface: the SAME model must FAIL under the
     drop_time_carry fault injection. (The native-CLI surface runs in the
     r3 artifact, artifacts/e2e_wer_gate_r3.json — per-utterance subprocess
-    compiles make it a tool-level run, not a pytest-budget one.)"""
+    compiles make it a tool-level run, not a pytest-budget one.)
+
+    --streaming-train is load-bearing at this utterance length: offline
+    full-context training decodes at 84% WER through the streaming
+    surfaces (limited-context attention diverges word by word); training
+    through the serving chunk schedule fixes it (round-3 root cause)."""
     env = {**os.environ, "PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu"}
     tool = os.path.join(REPO, "tools", "train_synthetic_e2e.py")
     out = subprocess.run(
         [sys.executable, tool,
-         "--out-dir", str(tmp_path), "--steps", "2000", "--train-utts", "500",
+         "--out-dir", str(tmp_path), "--steps", "2500", "--train-utts", "4000",
+         "--weight-decay", "1e-4", "--streaming-train",
          "--eval-utts", "50", "--vocab-size", "1120", "--gate-wer", "0.05",
          "--words-per-utt", "8,13", "--joint-hidden", "64",
          "--surfaces", "python,batch",

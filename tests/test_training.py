@@ -61,6 +61,78 @@ def test_training_reduces_loss_and_overfits(tiny_train):
     assert hits >= 1, "overfit model failed to decode its training targets"
 
 
+def test_streaming_encode_train_matches_serving_chunk_loop():
+    """streaming_encode_train (the batched training-time chunk scan) must
+    produce EXACTLY the per-chunk emissions of the serving schedule: a
+    manual ChunkScheduler(unified=True) loop over `encode` with threaded
+    EncoderState — the code path StreamingSession runs. Bit-consistent
+    train/serve is the whole point (WER-gate root cause, round 3)."""
+    import jax.numpy as jnp
+
+    from trt_asr_tpu.models.parakeet.encoder import encode, init_encoder_state
+    from trt_asr_tpu.streaming.schedule import ChunkScheduler, extract_chunk
+    from trt_asr_tpu.train.train_step import streaming_encode_train
+
+    cfg = ModelConfig.tiny(num_layers=2, d_model=32, n_heads=4,
+                           subsampling_conv_channels=8, vocab_size=16,
+                           pred_hidden=16, joint_hidden=16, feat_in=16,
+                           att_cache_size=16)
+    params = init_params(cfg, seed=1)
+    rng = np.random.default_rng(3)
+    lens = [173, 141]  # several steady chunks + a partial tail; unequal rows
+    b, t = len(lens), max(lens)
+    feats = rng.standard_normal((b, t, cfg.feat_in)).astype(np.float32)
+    for i, l in enumerate(lens):
+        feats[i, l:] = 0.0
+    feat_len = np.asarray(lens, np.int32)
+
+    enc, enc_len = streaming_encode_train(params, cfg, jnp.asarray(feats),
+                                          jnp.asarray(feat_len))
+    enc, enc_len = np.asarray(enc), np.asarray(enc_len)
+
+    # emissions tile the stream: total == subsampled length, exactly
+    from trt_asr_tpu.ops.conv import subsampled_length
+    expect_len = np.asarray(subsampled_length(jnp.asarray(feat_len),
+                                              cfg.stride_stages))
+    np.testing.assert_array_equal(enc_len, expect_len)
+
+    for i, l in enumerate(lens):
+        sched = ChunkScheduler(cfg, unified=True)
+        state = init_encoder_state(cfg, 1)
+        got = []
+        while True:
+            spec = sched.next_ready(l)
+            if spec is None:
+                spec = sched.flush(l)
+                is_last = True
+            else:
+                is_last = False
+            if spec is None:
+                break
+            x = extract_chunk(feats[i, :l], spec)
+            valid = (max(-spec.slice_start, 0)
+                     + max(min(spec.slice_end, l) - max(spec.slice_start, 0), 0))
+            e, out_len, state = encode(
+                params, cfg, x[None], jnp.asarray([valid], jnp.int32), state,
+                drop_extra=spec.drop_extra,
+                cache_drop=0 if is_last else cfg.cache_drop_size,
+                valid_cap=None if is_last else cfg.valid_out_len)
+            got.append(np.asarray(e)[0, : int(np.asarray(out_len)[0])])
+            if is_last:
+                break
+        ref = np.concatenate(got, axis=0)
+        # the serving flush re-emits the tail from a different window
+        # alignment; every step BOTH paths emit from steady chunks must be
+        # bit-identical, and the training path must cover >= the steady
+        # prefix (trailing-silence utterances make the flush-only tail
+        # all-silence in practice — see tools/train_synthetic_e2e.py)
+        n_steady = (len(got) - 1) * cfg.valid_out_len
+        assert enc_len[i] >= n_steady
+        np.testing.assert_allclose(enc[i, :n_steady], ref[:n_steady],
+                                   rtol=0, atol=1e-5)
+        assert ref.shape[0] == enc_len[i], "flush tail must tile to sub_len"
+
+
 def test_loss_prefers_correct_labels(tiny_train):
     """Sanity: after training, the NLL of the true labels is much lower
     than of random labels."""

@@ -13,12 +13,16 @@
 # gate the reference's TRT engines never passed). Output:
 # artifacts/e2e_wer_gate_r3.json (clean + sabotage merged).
 set -e
+set -o pipefail   # `... | tee` must not mask the gate's exit code
 cd "$(dirname "$0")/.."
 OUT=${1:-/tmp/gate_r3}
 mkdir -p "$OUT"
 
+# SKIP_TRAIN=1 reuses $OUT/model from a previous run (eval-only rerun)
 python tools/train_synthetic_e2e.py \
-  --out-dir "$OUT" --steps 2000 --train-utts 500 --eval-utts 50 \
+  --out-dir "$OUT" --steps 2500 --train-utts 4000 --eval-utts 50 \
+  --weight-decay 1e-4 --streaming-train \
+  ${SKIP_TRAIN:+--skip-train} \
   --vocab-size 1120 --gate-wer 0.05 --words-per-utt 8,13 \
   --joint-hidden 64 --surfaces python,batch,native \
   --native-eval-utts 12 --stream-sims 0.3,0.5,1.0 \

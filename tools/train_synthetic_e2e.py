@@ -12,6 +12,7 @@ utterances through the real eval suite (CLI protocol) -> score WER.
     # then: suite + WER run automatically; expect WER ~0 on held-out data
 """
 import argparse
+import functools
 import os
 import sys
 
@@ -75,12 +76,17 @@ def synth_word(word_idx: int, rng, sr=16000) -> np.ndarray:
     return (x * np.clip(env, 0, 1)).astype(np.float32)
 
 
-def synth_utterance(word_ids, rng, sr=16000) -> np.ndarray:
+def synth_utterance(word_ids, rng, sr=16000, tail_s=0.6) -> np.ndarray:
+    """tail_s trailing silence >= one steady chunk (57 frames = 0.57 s):
+    streaming-consistent training emulates only STEADY chunks, so the
+    serving-side finalize flush (which re-emits the tail from a different
+    window alignment) must land entirely in silence."""
     gap = np.zeros(int(0.08 * sr), np.float32)
     parts = [gap.copy()]
     for w in word_ids:
         parts.append(synth_word(w, rng))
         parts.append(gap.copy())
+    parts.append(np.zeros(int(tail_s * sr), np.float32))
     return np.concatenate(parts)
 
 
@@ -99,6 +105,22 @@ def main() -> int:
     ap.add_argument("--train-utts", type=int, default=96)
     ap.add_argument("--eval-utts", type=int, default=12)
     ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--weight-decay", type=float, default=0.0,
+                    help="decoupled weight decay (optax.adamw); >0 switches "
+                         "the optimizer from adam to adamw. The hardened "
+                         "gate (1120 vocab, 8-13 words) needs generalization "
+                         "pressure: at 500 train utts the tiny model "
+                         "memorizes sequences (train loss 0.12, held-out WER "
+                         "99.6%) — the fix is 8x data + weight decay")
+    ap.add_argument("--streaming-train", action="store_true",
+                    help="train through the serving chunk schedule "
+                         "(train_step.streaming_encode_train) instead of the "
+                         "offline full-context encoder. REQUIRED for long "
+                         "utterances: offline-trained models degrade "
+                         "word-by-word under streaming's limited-context "
+                         "attention (measured: held-out loss 0.23 but 84% "
+                         "streaming WER at 8-13 words). Matches serving "
+                         "bit-for-bit per steady chunk")
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu", "env"])
     ap.add_argument("--gate-wer", type=float, default=0.05)
     ap.add_argument("--vocab-size", type=int, default=200,
@@ -227,11 +249,37 @@ def main() -> int:
     # ---- train ----
     params = init_params(cfg, seed=0)
     sched = optax.cosine_decay_schedule(args.lr, args.steps)
-    init_opt, train_step = make_train_step(cfg, optax.adam(sched))
+    opt = (optax.adamw(sched, weight_decay=args.weight_decay)
+           if args.weight_decay > 0 else optax.adam(sched))
+    init_opt, train_step = make_train_step(cfg, opt,
+                                           streaming=args.streaming_train)
     step = jax.jit(train_step, donate_argnums=(0, 1))
     opt_state = init_opt(params)
     bs = 16
     import time
+
+    # held-out loss probe: memorization shows as train loss falling while
+    # this rises/flattens — visible mid-run instead of after the 30+ min
+    # suite eval
+    from trt_asr_tpu.train.train_step import training_forward
+
+    ev_feats_list = [np.asarray(frontend(a)) for _, a in evals[:16]]
+    ev_t = max(f.shape[0] for f in ev_feats_list)
+    ev_u = max(len(ids) for ids, _ in evals[:16])
+    ev_b = len(ev_feats_list)
+    evf = np.zeros((ev_b, ev_t, cfg.feat_in), np.float32)
+    evfl = np.zeros((ev_b,), np.int32)
+    evl = np.zeros((ev_b, ev_u), np.int32)
+    evll = np.zeros((ev_b,), np.int32)
+    for i, ((ids, _), f) in enumerate(zip(evals[:16], ev_feats_list)):
+        evf[i, : f.shape[0]] = f
+        evfl[i] = f.shape[0]
+        evl[i, : len(ids)] = ids
+        evll[i] = len(ids)
+    ev_batch = Batch(evf, evfl, evl, evll)
+    eval_loss = jax.jit(functools.partial(
+        lambda p, b, s: jax.numpy.mean(training_forward(p, cfg, b, streaming=s)),
+        s=args.streaming_train))
 
     t0 = time.time()
     for i in range(args.steps):
@@ -239,7 +287,9 @@ def main() -> int:
         batch = Batch(feats[sel], feat_len[sel], labels[sel], label_len[sel])
         params, opt_state, m = step(params, opt_state, batch)
         if i % max(args.steps // 10, 1) == 0 or i == args.steps - 1:
-            print(f"step {i:4d}: loss {float(np.asarray(m['loss'])):8.4f}", flush=True)
+            hl = float(np.asarray(eval_loss(params, ev_batch)))
+            print(f"step {i:4d}: loss {float(np.asarray(m['loss'])):8.4f} "
+                  f"heldout {hl:8.4f}", flush=True)
     print(f"trained in {time.time()-t0:.0f}s")
 
     # ---- save model dir ----

@@ -63,6 +63,9 @@ def _drain(sess: StreamingSession, transcript_done=False) -> None:
 
 
 def main(argv=None) -> int:
+    from trt_asr_tpu.runtime.platform import ensure_requested_platform
+
+    ensure_requested_platform()  # sitecustomize may have forced the TPU
     ap = argparse.ArgumentParser(prog="trt-asr-tpu-cli", description=__doc__)
     ap.add_argument("input")
     ap.add_argument("--model-dir", default="")

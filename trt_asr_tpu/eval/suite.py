@@ -182,6 +182,15 @@ def _run_subprocess_engine(entry: ManifestEntry, variant_env: Dict[str, str],
                            cfg: SuiteConfig) -> Dict[str, object]:
     env = dict(os.environ)
     env.update(variant_env)
+    # both subprocess engines need the package importable: the native CLI's
+    # embedded-CPython backend imports trt_asr_tpu via PYTHONPATH (it has no
+    # cwd fallback), and `python -m trt_asr_tpu.cli` only works cwd-free with
+    # it set. Prepend the repo root, preserving existing entries (the axon
+    # TPU plugin site must stay on the path — docs/DEBUGGING.md)
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env["PYTHONPATH"] = (repo_root + os.pathsep + env["PYTHONPATH"]
+                         if env.get("PYTHONPATH") else repo_root)
     if cfg.engine == "native":
         cmd = [cfg.native_cli or "cpp/build/trt_asr_cli", entry.audio_path,
                "--model-dir", cfg.model_dir, "--stream-sim", str(cfg.stream_sim),

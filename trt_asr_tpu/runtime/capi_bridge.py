@@ -24,9 +24,18 @@ def _ensure_jax_backend() -> None:
     """Embedded interpreters may miss the host's TPU-plugin sitecustomize
     (e.g. the axon PJRT plugin registered via a PYTHONPATH sitecustomize).
     If the env demands a platform jax can't provide, fall back to CPU
-    instead of failing session creation."""
+    instead of failing session creation.
+
+    The caller's JAX_PLATFORMS choice is REASSERTED after import: TPU-plugin
+    sitecustomizes may force their platform at interpreter start regardless
+    of the env var (docs/DEBUGGING.md), which silently routed CPU-requested
+    native-CLI runs through the TPU tunnel (one remote compile per
+    subprocess — the r3 WER gate's native surface timed out on it)."""
     import jax
 
+    from trt_asr_tpu.runtime.platform import ensure_requested_platform
+
+    ensure_requested_platform()
     try:
         jax.devices()
     except RuntimeError as e:

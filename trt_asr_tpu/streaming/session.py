@@ -198,7 +198,17 @@ class StreamingSession:
             return 0
         try:
             if feats.size:
-                feats = self._normalize(np.asarray(feats, np.float32))
+                feats = np.asarray(feats, np.float32)
+                if feats.ndim != 2 or feats.shape[1] != self.cfg.feat_in:
+                    # hard-fail contract check (reference parakeet_trt.cpp
+                    # shape-violation throws -> ERROR events): a wrong mel
+                    # count otherwise decodes plausible-looking garbage
+                    # (r3 gate: native CLI defaulted to 128 mels against a
+                    # 32-mel model)
+                    raise ValueError(
+                        f"push_features: expected [T, {self.cfg.feat_in}] "
+                        f"features, got {feats.shape}")
+                feats = self._normalize(feats)
                 if self._taps is not None:
                     self._taps.features(n_mels=self.cfg.feat_in).write(
                         feats, {"ctx": self._debug_ctx})
