@@ -142,6 +142,32 @@ def test_f16_push_matches_f32(built, tmp_path):
     assert t16 == t32 and t32 != ""
 
 
+def test_n_mels_abi_getter(built):
+    """trt_asr_n_mels reports the backend's mel count (mock: 128) — the
+    CLI's audio path derives its feature extractor from this instead of
+    guessing 128 (r3 WER gate: a guess against a 32-mel model decoded
+    plausible-looking garbage)."""
+    import ctypes
+
+    lib = ctypes.CDLL(os.path.join(BUILD, "libtrt_asr_tpu.so"))
+
+    class Config(ctypes.Structure):
+        _fields_ = [("model_dir", ctypes.c_char_p), ("device_id", ctypes.c_int32),
+                    ("use_fp16", ctypes.c_bool), ("use_mock", ctypes.c_bool)]
+
+    lib.parakeet_create_session.restype = ctypes.c_void_p
+    lib.parakeet_create_session.argtypes = [ctypes.POINTER(Config)]
+    lib.trt_asr_n_mels.argtypes = [ctypes.c_void_p]
+    lib.parakeet_destroy_session.argtypes = [ctypes.c_void_p]
+
+    cfg = Config(b"", 0, True, True)
+    s = lib.parakeet_create_session(ctypes.byref(cfg))
+    assert s
+    assert lib.trt_asr_n_mels(s) == 128
+    lib.parakeet_destroy_session(s)
+    assert lib.trt_asr_n_mels(None) == 0
+
+
 def test_bad_model_dir_fails_cleanly(built, tmp_path):
     from trt_asr_tpu.io.wav import save_wav
 
