@@ -12,9 +12,11 @@ programs outside the producing framework, and an escape from the
 same-author-oracle risk.
 
 Supported op set = exactly what trt_asr_tpu/io/onnx_graphs.py emits:
-MatMul, Add, Relu, Transpose, Gather, Split, Concat, Unsqueeze, Squeeze,
-Slice, LSTM (forward, default activations, iofc gate order per the ONNX
-spec).
+MatMul, Add, Sub, Mul, Div, Relu, Sigmoid, Softmax, Transpose, Gather,
+Split, Concat, Unsqueeze, Squeeze, Slice, Reshape, Pad, Identity,
+Conv (1D/2D, strides/pads/group incl. depthwise), BatchNormalization,
+LayerNormalization, LSTM (forward, default activations, iofc gate order
+per the ONNX spec).
 
 CLI: run a graph on NPZ feeds and write NPZ outputs:
     python tools/onnx_exec.py model.onnx --feeds feeds.npz --out outs.npz
@@ -70,6 +72,42 @@ def _lstm(node: OnnxNode, vals: Dict[str, np.ndarray]) -> List[np.ndarray]:
     return [y, h[None], c[None]]
 
 
+def _conv(node: OnnxNode, ins: List[np.ndarray]) -> np.ndarray:
+    """ONNX Conv (cross-correlation), 1D/2D, strides/pads/group.
+    X [N,C,*S], W [M,C/g,*K], optional bias [M]."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    x, w = ins[0], ins[1]
+    b = ins[2] if len(ins) > 2 and ins[2] is not None else None
+    group = int(node.attrs.get("group", 1))
+    sp = x.ndim - 2
+    strides = [int(s) for s in node.attrs.get("strides", [1] * sp)]
+    pads = [int(p) for p in node.attrs.get("pads", [0] * (2 * sp))]
+    xp = np.pad(x, [(0, 0), (0, 0)] + [(pads[i], pads[i + sp]) for i in range(sp)])
+    ksp = tuple(w.shape[2:])
+    win = sliding_window_view(xp, ksp, axis=tuple(range(2, 2 + sp)))
+    win = win[(slice(None), slice(None))
+              + tuple(slice(None, None, s) for s in strides)]
+    c, m = x.shape[1], w.shape[0]
+    if group == c and m == c and w.shape[1] == 1:
+        # depthwise fast path: win [N,C,*O,*K] * w [C,1,*K]
+        wk = w[:, 0].reshape((1, c) + (1,) * sp + ksp)
+        y = (win * wk).sum(axis=tuple(range(2 + sp, 2 + 2 * sp)))
+    else:
+        cg, mg = c // group, m // group
+        parts = []
+        ax_x = [1] + list(range(2 + sp, 2 + 2 * sp))
+        ax_w = [1] + list(range(2, 2 + sp))
+        for g in range(group):
+            out = np.tensordot(win[:, g * cg:(g + 1) * cg],
+                               w[g * mg:(g + 1) * mg], axes=(ax_x, ax_w))
+            parts.append(np.moveaxis(out, -1, 1))  # [N, mg, *O]
+        y = np.concatenate(parts, axis=1) if group > 1 else parts[0]
+    if b is not None:
+        y = y + b.reshape((1, -1) + (1,) * sp)
+    return y.astype(x.dtype)
+
+
 def _eval_node(node: OnnxNode, vals: Dict[str, np.ndarray]) -> List[np.ndarray]:
     op, ins = node.op_type, [vals[i] if i else None for i in node.inputs]
     if op == "MatMul":
@@ -112,6 +150,48 @@ def _eval_node(node: OnnxNode, vals: Dict[str, np.ndarray]) -> List[np.ndarray]:
         return [data[tuple(sl)]]
     if op == "LSTM":
         return _lstm(node, vals)
+    if op == "Mul":
+        return [ins[0] * ins[1]]
+    if op == "Sub":
+        return [ins[0] - ins[1]]
+    if op == "Div":
+        a, b2 = ins[0], ins[1]
+        if np.issubdtype(np.asarray(a).dtype, np.integer):
+            return [a // b2]  # positive operands: trunc == floor
+        return [a / b2]
+    if op == "Sigmoid":
+        return [_sigmoid(ins[0])]
+    if op == "Identity":
+        return [ins[0]]
+    if op == "Softmax":
+        ax = int(node.attrs.get("axis", -1))
+        z = ins[0] - np.max(ins[0], axis=ax, keepdims=True)
+        e = np.exp(z)
+        return [e / np.sum(e, axis=ax, keepdims=True)]
+    if op == "Reshape":
+        return [np.reshape(ins[0], [int(v) for v in np.asarray(ins[1]).ravel()])]
+    if op == "Pad":
+        pads = np.asarray(ins[1]).ravel()
+        nd = ins[0].ndim
+        width = [(int(pads[i]), int(pads[i + nd])) for i in range(nd)]
+        cval = float(np.asarray(ins[2]).ravel()[0]) if len(ins) > 2 and ins[2] is not None else 0.0
+        return [np.pad(ins[0], width, constant_values=cval)]
+    if op == "LayerNormalization":
+        eps = float(node.attrs.get("epsilon", 1e-5))
+        ax = int(node.attrs.get("axis", -1))
+        x = ins[0].astype(np.float64)
+        mean = x.mean(axis=ax, keepdims=True)
+        var = ((x - mean) ** 2).mean(axis=ax, keepdims=True)
+        y = (x - mean) / np.sqrt(var + eps)
+        return [(y * ins[1] + ins[2]).astype(ins[0].dtype)]
+    if op == "BatchNormalization":
+        eps = float(node.attrs.get("epsilon", 1e-5))
+        x, g, b2, m, v = ins[:5]
+        shape = [1, -1] + [1] * (x.ndim - 2)   # stats broadcast over C axis
+        scale = (g / np.sqrt(v + eps)).reshape(shape)
+        return [x * scale + (b2 - m * g / np.sqrt(v + eps)).reshape(shape)]
+    if op == "Conv":
+        return [_conv(node, ins)]
     raise NotImplementedError(f"op {op}")
 
 

@@ -187,29 +187,39 @@ STREAMING_ENCODER_OUTPUTS = ["encoder_output", "encoded_lengths",
 
 
 def export_params_to_onnx(params: Dict[str, Any], cfg: ModelConfig, out_dir: str,
-                          external_threshold: Optional[int] = 1 << 20) -> Dict[str, str]:
+                          external_threshold: Optional[int] = 1 << 20,
+                          encoder_t_in: Optional[int] = 256) -> Dict[str, str]:
     """Write the reference export's component layout: encoder.onnx (offline,
     unprefixed names) + encoder_streaming.onnx (5-in/5-out cache IO,
     'encoder.'-prefixed names) + predictor.onnx + joint.onnx (torch layouts,
     NeMo state-dict names) + model_meta.json (reference schema,
     export.py:970-997).
 
-    predictor.onnx and joint.onnx are EXECUTABLE programs (real compute
-    nodes over the same initializers — trt_asr_tpu/io/onnx_graphs.py),
-    restoring the reference export's runnable-outside-the-repo property
-    (its ORT smoke, export.py:819-852); the encoder files remain weight
-    interchange."""
-    from trt_asr_tpu.io.onnx_graphs import joint_graph, predictor_graph
+    encoder.onnx, predictor.onnx and joint.onnx are EXECUTABLE programs
+    (real compute nodes over the same initializers —
+    trt_asr_tpu/io/onnx_graphs.py), restoring the reference export's
+    runnable-outside-the-repo property (its ORT smoke, export.py:819-852).
+    The offline encoder graph is emitted at the STATIC input length
+    ``encoder_t_in`` (None = initializer-only encoder, old behavior);
+    encoder_streaming.onnx remains weight interchange (its ring-cache
+    state contract is this runtime's, not expressible in portable ONNX)."""
+    from trt_asr_tpu.io.onnx_graphs import (encoder_graph, joint_graph,
+                                            predictor_graph)
 
     os.makedirs(out_dir, exist_ok=True)
     paths = {}
     enc_map = encoder_name_map(cfg)
+    if encoder_t_in:
+        enc_nodes, enc_consts, enc_io = encoder_graph(cfg, encoder_t_in)
+    else:
+        enc_nodes, enc_consts, enc_io = (), {}, {}
     pred_nodes, pred_consts, pred_io = predictor_graph(cfg)
     joint_nodes, joint_consts, joint_io = joint_graph(cfg)
     comps = {
         "encoder": ([(p, n.split(".", 1)[1], f, b) for p, n, f, b in enc_map],
                     ["audio_signal", "length"],
-                    ["encoder_output", "encoded_lengths"], (), {}, {}),
+                    ["encoder_output", "encoded_lengths"],
+                    enc_nodes, enc_consts, enc_io),
         "encoder_streaming": (enc_map, STREAMING_ENCODER_INPUTS,
                               STREAMING_ENCODER_OUTPUTS, (), {}, {}),
         "predictor": (predictor_name_map(cfg), ["y", "h", "c"],
@@ -245,6 +255,8 @@ def export_params_to_onnx(params: Dict[str, Any], cfg: ModelConfig, out_dir: str
         },
         "features": {"type": "log-mel", "n_fft": 512, "n_mels": cfg.feat_in,
                      "hop_length": 160},
+        # static shape the executable offline encoder graph was emitted at
+        "encoder_static_t_in": encoder_t_in,
         # extra (ours): structural config for exact ModelConfig reconstruction
         "config": {"num_layers": cfg.num_layers, "d_model": cfg.d_model,
                    "n_heads": cfg.n_heads, "vocab_size": cfg.vocab_size,
