@@ -122,8 +122,10 @@ def test_streaming_encode_train_matches_serving_chunk_loop():
                 break
         ref = np.concatenate(got, axis=0)
         # the serving flush re-emits the tail from a different window
-        # alignment; every step BOTH paths emit from steady chunks must be
-        # bit-identical, and the training path must cover >= the steady
+        # alignment; every step BOTH paths emit from steady chunks must
+        # match to float precision (XLA fuses the scanned body differently
+        # than the per-chunk jit: measured 1.5e-6, tolerance 1e-5), and
+        # the training path must cover >= the steady
         # prefix (trailing-silence utterances make the flush-only tail
         # all-silence in practice — see tools/train_synthetic_e2e.py)
         n_steady = (len(got) - 1) * cfg.valid_out_len

@@ -157,7 +157,10 @@ def _eval_node(node: OnnxNode, vals: Dict[str, np.ndarray]) -> List[np.ndarray]:
     if op == "Div":
         a, b2 = ins[0], ins[1]
         if np.issubdtype(np.asarray(a).dtype, np.integer):
-            return [a // b2]  # positive operands: trunc == floor
+            # ONNX integer Div truncates toward zero (C semantics), NOT
+            # numpy's floor division — they differ on negative quotients
+            q = np.trunc(np.asarray(a, np.float64) / np.asarray(b2, np.float64))
+            return [q.astype(np.asarray(a).dtype)]
         return [a / b2]
     if op == "Sigmoid":
         return [_sigmoid(ins[0])]

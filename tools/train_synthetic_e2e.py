@@ -120,7 +120,7 @@ def main() -> int:
                          "word-by-word under streaming's limited-context "
                          "attention (measured: held-out loss 0.23 but 84% "
                          "streaming WER at 8-13 words). Matches serving "
-                         "bit-for-bit per steady chunk")
+                         "to float precision per steady chunk")
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu", "env"])
     ap.add_argument("--gate-wer", type=float, default=0.05)
     ap.add_argument("--vocab-size", type=int, default=200,

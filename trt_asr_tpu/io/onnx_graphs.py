@@ -95,7 +95,6 @@ def encoder_graph(cfg: ModelConfig, t_in: int) -> Tuple[List[OnnxNode],
     consts: Dict[str, np.ndarray] = {
         "__axes1": np.array([1], np.int64),
         "__axes2": np.array([2], np.int64),
-        "__i_m1": np.array([-1], np.int64),
         "__i_1": np.array([1], np.int64),
         "__i_2": np.array([2], np.int64),
         "__zero": np.array([0], np.int64),
@@ -261,12 +260,14 @@ def encoder_graph(cfg: ModelConfig, t_in: int) -> Tuple[List[OnnxNode],
 
     # reference layout [B, D, T_enc]
     n("Transpose", [x], ["encoder_output"], perm=[0, 2, 1])
-    # encoded_lengths = subsampled_length(length): 3x floor((n-1)/2)+1
+    # encoded_lengths = subsampled_length(length). Each stride-2 stage is
+    # ceil(n/2), emitted as (n+1)/2 — for n >= 0 this is identical under
+    # floor AND truncate-toward-zero division (ONNX Div is trunc), unlike
+    # floor((n-1)/2)+1 which diverges at n == 0 between the two semantics.
     ll = "length"
     for st in range(cfg.stride_stages):
-        a = n("Add", [ll, "__i_m1"], [f"len_a{st}"])
-        dv = n("Div", [a, "__i_2"], [f"len_d{st}"])
-        ll = n("Add", [dv, "__i_1"], [f"len_s{st}"])
+        a = n("Add", [ll, "__i_1"], [f"len_a{st}"])
+        ll = n("Div", [a, "__i_2"], [f"len_d{st}"])
     n("Identity", [ll], ["encoded_lengths"])
 
     io_types = {

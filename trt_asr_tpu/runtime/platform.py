@@ -1,5 +1,11 @@
 """JAX platform selection for entrypoints.
 
+Reference parity role: the reference selects its compute device with
+`ParakeetConfig.device_id` + `cudaSetDevice` at session create
+(/root/reference/cpp/parakeet_trt.cpp:1667-1698 provenance logging; the
+CLI passes device 0). The JAX analog is the JAX_PLATFORMS env var — but
+unlike cudaSetDevice, it can be silently overridden:
+
 TPU-plugin sitecustomizes (e.g. the axon PJRT plugin registered via a
 PYTHONPATH sitecustomize) may force their platform at interpreter start
 regardless of the JAX_PLATFORMS env var (docs/DEBUGGING.md). Any entrypoint

@@ -202,8 +202,16 @@ class BatchStreamingEngine:
             self._error(sid, "push after finalize; reopen the slot")
             return
         if feats.size:
-            self._bufs[sid] = np.concatenate(
-                [self._bufs[sid], np.asarray(feats, np.float32)], axis=0)
+            feats = np.asarray(feats, np.float32)
+            if feats.ndim != 2 or feats.shape[1] != self.cfg.feat_in:
+                # same hard-fail contract check as StreamingSession (r3):
+                # a wrong mel count decodes plausible-looking garbage
+                self._error(sid, f"push_features: expected "
+                                 f"[T, {self.cfg.feat_in}], got {feats.shape}")
+                raise ValueError(
+                    f"push_features: expected [T, {self.cfg.feat_in}] "
+                    f"features, got {feats.shape}")
+            self._bufs[sid] = np.concatenate([self._bufs[sid], feats], axis=0)
 
     def finalize_stream(self, sid: int) -> None:
         self._finalizing[sid] = True

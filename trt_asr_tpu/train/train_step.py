@@ -49,8 +49,10 @@ def streaming_encode_train(params: Dict[str, Any], cfg: ModelConfig,
     84% WER from a model whose offline held-out loss was 0.23). NeMo
     trains its cache-aware models with chunked limited-context attention
     for the same reason (paper 2312.17279); here training runs *through
-    the serving encoder itself*, so train and serve match bit-for-bit
-    per chunk.
+    the serving encoder itself*, so train and serve run the same program
+    semantics per chunk (measured max |delta| 1.5e-6 vs the serving loop —
+    XLA fusion re-association between the scanned and per-chunk
+    compilations, nothing structural).
 
     Geometry (unified single-program schedule, schedule.py:ChunkScheduler):
     chunk k's input window covers feature frames
@@ -62,22 +64,39 @@ def streaming_encode_train(params: Dict[str, Any], cfg: ModelConfig,
 
     Returns (enc [B, n_chunks*valid_out_len, D], enc_len [B]).
     """
+    from trt_asr_tpu.streaming.schedule import StreamingRegime
+
     b, t, f = feats.shape
-    first_chunk, steady = cfg.chunk_size_frames
-    pre = cfg.pre_encode_cache_size[1]
-    shift = cfg.shift_size_frames[1]
+    regime = StreamingRegime.from_config(cfg)
+    first_chunk, steady = regime.chunk_sizes
+    pre = regime.pre_encode[1]
+    shift = regime.shift_sizes[1]
     window = steady + pre
     lead = window - first_chunk
-    drop = cfg.drop_extra_pre_encoded
-    v = cfg.valid_out_len
+    drop = regime.drop_extra
+    v = regime.valid_out_len
+    # The constant-shift scan reproduces serving's unified schedule ONLY
+    # when chunk windows tile: chunk k>=1 at start_k = shift0 + (k-1)*shift1
+    # must coincide with the scan's window [k*shift1 - lead, ...), i.e.
+    # shift0 == first_chunk + shift1 - steady (cache3: 41+24-48 = 17), with
+    # the tiling chunk-0 semantics. Reject anything else rather than
+    # silently training a schedule serving won't run (the exact class of
+    # train/serve mismatch this function exists to prevent).
+    if regime.nemo_chunk0_drop:
+        raise ValueError(
+            "streaming_encode_train emulates the unified (tiling) chunk-0 "
+            "semantics; nemo_compat_chunk0 regimes need the two-program "
+            "schedule (same restriction as ChunkScheduler(unified=True))")
+    if regime.shift_sizes[0] != first_chunk + shift - steady or lead < 0:
+        raise ValueError(
+            f"streaming regime {regime} does not tile under a constant "
+            f"shift: need shift0 == first_chunk + shift1 - steady "
+            f"(got {regime.shift_sizes[0]} != {first_chunk + shift - steady})")
     n_chunks = max(1, -(-(t + lead) // shift))
     pad_r = max(0, shift * (n_chunks - 1) + window - (t + lead))
     xpad = jnp.pad(feats.astype(compute_dtype), ((0, 0), (lead, pad_r), (0, 0)))
 
-    tqw = window
-    for _ in range(cfg.stride_stages):
-        tqw = (tqw - 1) // 2 + 1
-    tqw -= drop
+    tqw = regime.sub_len(window) - drop
     pos_proj = precompute_pos_proj(params, cfg, tqw, cfg.att_cache_size,
                                    compute_dtype)
 
