@@ -115,10 +115,17 @@ def main() -> int:
         args.blank_bias = 0.0
     if args.dtype == "f32":
         # the accuracy-mode MXU pass count (read once at ops.common import,
-        # so it must be set before trt_asr_tpu imports)
+        # so it must be set before trt_asr_tpu imports). The CLI flag WINS
+        # over a stale env var — silently inheriting one mislabels the
+        # benchmarked rung; report the effective mode for the record.
         import os
 
-        os.environ.setdefault("TRT_ASR_F32_PRECISION", args.f32_precision)
+        env = os.environ.get("TRT_ASR_F32_PRECISION")
+        if env and env.lower() != args.f32_precision:
+            print(f"note: overriding TRT_ASR_F32_PRECISION={env} with "
+                  f"--f32-precision {args.f32_precision}", file=sys.stderr)
+        os.environ["TRT_ASR_F32_PRECISION"] = args.f32_precision
+        print(f"effective f32 precision: {args.f32_precision}", file=sys.stderr)
 
     import jax
     import jax.numpy as jnp

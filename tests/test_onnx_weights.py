@@ -279,3 +279,39 @@ def test_onnx_encoder_graph_exec_parity(tmp_path, rng):
         got["encoder_output"],
         np.transpose(np.asarray(enc)[:, :t_enc], (0, 2, 1)),
         atol=1e-4)
+
+
+def test_attribute_proto3_default_omitted():
+    """proto3 serializers (onnx, torch.onnx) OMIT scalar attribute values
+    equal to the default — Gather(axis=0) arrives as name + type only. The
+    parser must materialize the typed default, not None (r3 review: int(None)
+    crashed the interpreter on third-party files)."""
+    from trt_asr_tpu.io.onnx_lite import _parse_attribute
+
+    def varint(v):
+        out = b""
+        while True:
+            b7, v = v & 0x7F, v >> 7
+            if v:
+                out += bytes([b7 | 0x80])
+            else:
+                return out + bytes([b7])
+
+    def enc_str(fno, s):
+        return varint((fno << 3) | 2) + varint(len(s)) + s.encode()
+
+    def enc_varint(fno, v):
+        return varint((fno << 3) | 0) + varint(v)
+
+    # AttributeProto { name: "axis" (field 1), type: INT=2 (field 20) }
+    buf = enc_str(1, "axis") + enc_varint(20, 2)
+    name, val = _parse_attribute(buf, ".")
+    assert name == "axis" and val == 0 and isinstance(val, int)
+
+    # FLOAT type with omitted value -> 0.0
+    buf = enc_str(1, "alpha") + enc_varint(20, 1)
+    assert _parse_attribute(buf, ".") == ("alpha", 0.0)
+
+    # explicit non-default value still parses
+    buf = enc_str(1, "axis") + enc_varint(3, 2) + enc_varint(20, 2)
+    assert _parse_attribute(buf, ".") == ("axis", 2)

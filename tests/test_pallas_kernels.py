@@ -387,7 +387,7 @@ class TestFlashAttention:
 
         got = np.asarray(flash_bias_attention(
             jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(bd),
-            jnp.asarray(mask), n_heads=h, interpret=True))
+            jnp.asarray(mask), interpret=True))
         for i in range(b):
             np.testing.assert_allclose(got[i, : lens[i]], want[i, : lens[i]],
                                        atol=2e-5, rtol=1e-4)

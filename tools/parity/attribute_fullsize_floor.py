@@ -96,6 +96,11 @@ def run_oracle(args) -> int:
     errs = [float(np.abs(a - b).max()) for a, b in zip(o32, o64)]
     out["t32_vs_t64"] = np.asarray(errs)
     out["n_chunks"] = np.array([len(sched)])
+    # record the feature provenance so run_jax scores against the SAME
+    # stream — an unnoticed feats_seed mismatch keeps the schedule length
+    # identical and would silently publish garbage attribution numbers
+    out["total_frames"] = np.array([total])
+    out["feats_seed"] = np.array([fseed])
     np.savez_compressed(args.out, **out)
     print(f"oracle-side f32 error vs f64: max {max(errs):.3e} "
           f"mean {np.mean(errs):.3e}")
@@ -121,9 +126,17 @@ def run_jax(args) -> int:
     cfg, params = _cfg_params(args)
     dump = np.load(args.oracle_npz)
     n = int(dump["n_chunks"][0])
-    # infer total frames back from the schedule: regenerate and assert count
-    mcfg_total = args.total_frames
-    feats, sched = _feats_and_sched(cfg, mcfg_total, args.feats_seed)
+    # regenerate the EXACT oracle feature stream: take provenance from the
+    # NPZ when present (older dumps lack it — fall back to the CLI args,
+    # guarded only by the schedule-length assert)
+    mcfg_total = int(dump["total_frames"][0]) if "total_frames" in dump \
+        else args.total_frames
+    fseed = int(dump["feats_seed"][0]) if "feats_seed" in dump \
+        else args.feats_seed
+    if "feats_seed" in dump and fseed != args.feats_seed:
+        print(f"note: using feats_seed {fseed} from the oracle NPZ "
+              f"(CLI said {args.feats_seed})", flush=True)
+    feats, sched = _feats_and_sched(cfg, mcfg_total, fseed)
     assert len(sched) == n, f"schedule {len(sched)} != dumped {n}"
 
     jit_encode = functools.partial(

@@ -222,14 +222,28 @@ def main() -> int:
         q_all["joint"], jnp.asarray(enc_q8_np),
         g_q8.astype(jnp.float32)[:, None, :]), np.float32)[0, :, 0]
 
-    top2 = np.sort(logits_ref, axis=-1)[:, -2:]
-    margins = (top2[:, 1] - top2[:, 0])
+    # TDT decode takes argmax over the TOKEN head and the DURATION head
+    # SEPARATELY (decode/tdt_greedy.py; config.py token_head_size) — a
+    # margin over the concatenated [V_tok ++ V_dur] vector would measure a
+    # token-vs-duration gap neither decoder uses. Compute per head; the
+    # decision margin that must exceed the int8 delta is the MINIMUM of
+    # the two heads' runner-up gaps.
+    v_tok = cfg.token_head_size
+    heads = {"token": (slice(0, v_tok),), "duration": (slice(v_tok, None),)}
+    margins_h, agree_j_h, agree_e_h = {}, {}, {}
+    for name, (sl,) in heads.items():
+        ref_h = logits_ref[:, sl]
+        top2 = np.sort(ref_h, axis=-1)[:, -2:]
+        margins_h[name] = top2[:, 1] - top2[:, 0]
+        agree_j_h[name] = float(np.mean(
+            logits_q8_joint[:, sl].argmax(-1) == ref_h.argmax(-1)))
+        agree_e_h[name] = float(np.mean(
+            logits_q8_e2e[:, sl].argmax(-1) == ref_h.argmax(-1)))
+    margins = np.minimum(margins_h["token"], margins_h["duration"])
     d_joint = np.abs(logits_q8_joint - logits_ref).max(axis=-1)
     d_e2e = np.abs(logits_q8_e2e - logits_ref).max(axis=-1)
-    argmax_agree_joint = float(np.mean(
-        logits_q8_joint.argmax(-1) == logits_ref.argmax(-1)))
-    argmax_agree_e2e = float(np.mean(
-        logits_q8_e2e.argmax(-1) == logits_ref.argmax(-1)))
+    argmax_agree_joint = min(agree_j_h.values())
+    argmax_agree_e2e = min(agree_e_h.values())
 
     summary = {
         "config": "full-size 0.6B, real TPU, one process",
@@ -247,11 +261,20 @@ def main() -> int:
         "margin_vs_perturbation": {
             "secs": args.margin_secs,
             "positions": int(n_t),
+            "margin_semantics": "min over (token head, duration head) "
+                                "runner-up gaps — the heads the TDT decode "
+                                "argmaxes separately",
             "ref_margin_logits": {
                 "p5": float(np.percentile(margins, 5)),
                 "p50": float(np.percentile(margins, 50)),
                 "min": float(margins.min()),
             },
+            "ref_margin_per_head": {
+                name: {"p5": float(np.percentile(m, 5)),
+                       "min": float(m.min())}
+                for name, m in margins_h.items()},
+            "argmax_agreement_per_head": {
+                "joint_only": agree_j_h, "e2e": agree_e_h},
             "delta_joint_only": {"p95": float(np.percentile(d_joint, 95)),
                                  "max": float(d_joint.max())},
             "delta_e2e": {"p95": float(np.percentile(d_e2e, 95)),

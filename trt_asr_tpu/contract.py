@@ -158,7 +158,10 @@ class Tolerances:
 
         e = _np.asarray(list(enc_errs), dtype=_np.float64)
         if e.size == 0:
-            e = _np.zeros(1)
+            # an empty series means NOTHING was measured — zeros(1) here
+            # would publish an ort_f32 PASS for a run that compared nothing
+            raise ValueError("rung_verdicts: empty error series — no chunks "
+                             "were compared; refusing to emit a verdict")
         mx = float(e.max())
         p95 = float(_np.percentile(e, 95))
         rungs = {

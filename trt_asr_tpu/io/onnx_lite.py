@@ -225,6 +225,7 @@ def _zigzag_to_int(v: int) -> int:
 def _parse_attribute(buf: bytes, base_dir: str) -> Tuple[str, object]:
     name = ""
     val: object = None
+    atype = 0
     floats: List[float] = []
     ints: List[int] = []
     for fno, wt, v in _iter_fields(buf):
@@ -248,10 +249,19 @@ def _parse_attribute(buf: bytes, base_dir: str) -> Tuple[str, object]:
                 ints.append(_zigzag_to_int(v))
             elif wt == 2:
                 ints.extend(_zigzag_to_int(x) for x in _parse_packed_varints(v))
+        elif fno == 20 and wt == 0:
+            atype = v
     if floats:
         val = floats
     if ints:
         val = ints
+    if val is None and not floats and not ints:
+        # proto3 serializers (onnx, torch.onnx) OMIT scalar fields equal to
+        # the default — an attribute like Gather(axis=0) arrives as name +
+        # type only. Materialize the typed default so consumers don't see
+        # None for a key that exists (AttributeProto.type: 1=FLOAT 2=INT
+        # 3=STRING 6=FLOATS 7=INTS).
+        val = {1: 0.0, 2: 0, 3: "", 6: [], 7: []}.get(atype)
     return name, val
 
 

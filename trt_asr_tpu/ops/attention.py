@@ -103,7 +103,7 @@ def rel_pos_attention_kv(
 
         mask = kv_mask if kv_mask is not None \
             else jnp.ones((b, tkv), bool)
-        out = flash_bias_attention(q_u, k, v, bd, mask, n_heads=h)
+        out = flash_bias_attention(q_u, k, v, bd, mask)
         return matmul(out.astype(q.dtype), wo)
 
     ac = einsum("bthd,bshd->bhts", q_u, k)                       # [B,H,Tq,Tkv]

@@ -18,8 +18,10 @@ tests/test_pallas_kernels.py::test_flash_attention_matches_xla).
 
 Replaces (behaviorally): the scores/softmax/context stages of
 ops/attention.rel_pos_attention_kv for the offline (cache-free) path;
-reference equivalent is the TRT-fused NeMo rel_pos attention at engine
-build time.
+reference equivalent: the offline encoder.onnx attention subgraph that TRT
+fuses at engine build (/root/reference/tools/export_onnx/export.py:614-660 exports it
+(export_encoder); the contract pins self_attention_model == "rel_pos",
+/root/reference/contracts/parakeet-tdt-0.6b-v3.contract.json).
 """
 
 from __future__ import annotations
@@ -77,7 +79,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, bd_ref, o_ref,
                     ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n_heads", "interpret"))
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def flash_bias_attention(
     q_u: jnp.ndarray,        # [B, T, H, dh] (query + pos_bias_u, projected)
     k: jnp.ndarray,          # [B, T, H, dh]
@@ -85,7 +87,6 @@ def flash_bias_attention(
     bd: jnp.ndarray,         # [B, H, T, T] rel-pos bias (unscaled)
     kv_mask: jnp.ndarray,    # [B, T] bool, True = attend
     *,
-    n_heads: int,
     interpret=None,
 ):
     """Returns the attention context [B, T, H*dh] (pre out-projection)."""
