@@ -75,7 +75,7 @@ def main() -> int:
         return 2
 
     em_margins, bl_margins = [], []
-    d_joint_all, d_e2e_all = [], []
+    d_joint_all, d_e2e_all, flips_all = [], [], []
     n_toks = 0
     for w in wavs:
         audio = load_wav(w)
@@ -128,6 +128,13 @@ def main() -> int:
             np.float32)[0, :, 0]
         d_joint_all.append(np.abs(logits_qj - logits_ref).max(axis=-1))
         d_e2e_all.append(np.abs(logits_qe - logits_ref).max(axis=-1))
+        # the max-over-vocab delta above is an UPPER BOUND on what a
+        # decision feels; the decision-level measurement is whether the two
+        # argmaxes TDT actually takes (token head, duration head) flip
+        v_tok = cfg.token_head_size
+        for sl in (slice(0, v_tok), slice(v_tok, None)):
+            flips_all.append(logits_qe[:, sl].argmax(-1)
+                             != logits_ref[:, sl].argmax(-1))
 
     em = np.asarray(em_margins)
     bl = np.asarray(bl_margins)
@@ -151,6 +158,11 @@ def main() -> int:
                            "max": float(de.max())},
         "safety_ratio_emission_p5_over_delta_e2e_p95":
             float(np.percentile(em, 5) / np.percentile(de, 95)) if em.size else None,
+        # the decision-level number: fraction of (position, head) argmax
+        # decisions the int8 e2e path flips on the blank-primed predictor
+        # state — the max-over-vocab delta is an upper bound; THIS is what
+        # decode outcomes respond to (see PERFNOTES r3 int8 section)
+        "decision_flip_rate_e2e": float(np.concatenate(flips_all).mean()),
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
