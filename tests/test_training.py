@@ -135,6 +135,36 @@ def test_streaming_encode_train_matches_serving_chunk_loop():
         assert ref.shape[0] == enc_len[i], "flush tail must tile to sub_len"
 
 
+def test_streaming_train_learns(tiny_train):
+    """make_train_step(streaming=True) must LEARN: gradients flow through
+    the chunk scan's ring-buffer scatters and cache state (the r3 gate
+    trains this way for real; this locks the capability at unit scale)."""
+    import jax
+    import optax
+
+    cfg, params, _ = tiny_train
+    rng = np.random.default_rng(1)
+    b, t, u = 2, 130, 3   # several steady chunks + partial tail
+    batch = Batch(
+        feats=rng.standard_normal((b, t, cfg.feat_in)).astype(np.float32),
+        feat_len=np.array([130, 101], np.int32),
+        labels=np.array([[3, 7, 11], [5, 2, 9]], np.int32),
+        label_len=np.full((b,), u, np.int32),
+    )
+    init_opt, train_step = make_train_step(cfg, optax.adam(3e-3),
+                                           streaming=True)
+    train_step = jax.jit(train_step)
+    opt_state = init_opt(params)
+    loss0 = float(np.asarray(
+        training_forward(params, cfg, batch, streaming=True)).mean())
+    last = loss0
+    for _ in range(80):
+        params, opt_state, m = train_step(params, opt_state, batch)
+        last = float(np.asarray(m["loss"]))
+    assert np.isfinite(last)
+    assert last < 0.5 * loss0, f"streaming train stuck: {loss0:.3f} -> {last:.3f}"
+
+
 def test_loss_prefers_correct_labels(tiny_train):
     """Sanity: after training, the NLL of the true labels is much lower
     than of random labels."""
