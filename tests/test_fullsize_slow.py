@@ -98,3 +98,43 @@ def test_full_size_component_oracle_parity(full):
     assert v == int(len_t[0]) == 6
     np.testing.assert_allclose(np.asarray(enc_j)[0, :v], enc_t[0, :v],
                                atol=1e-4, rtol=1e-4)
+
+
+def test_full_size_encoder_graph_exec_parity(full, tmp_path):
+    """The EXECUTABLE encoder.onnx must hold at the real 0.6B dimensions:
+    export at a static 57-frame window, run the 24-layer graph in the
+    pure-numpy interpreter (tools/onnx_exec.py), match offline_encode.
+    Full-size catches head-count/reshape/flatten-order mistakes the tiny
+    config's round numbers can mask."""
+    import os
+    import sys
+
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tools.onnx_exec import run_graph
+
+    from trt_asr_tpu.io.onnx_lite import read_onnx
+    from trt_asr_tpu.io.onnx_weights import export_params_to_onnx
+    from trt_asr_tpu.models.parakeet import offline_encode
+
+    cfg, params = full
+    t_in = 57
+    out = str(tmp_path / "export")
+    export_params_to_onnx(jax.tree.map(np.asarray, params), cfg, out,
+                          external_threshold=1 << 20, encoder_t_in=t_in)
+
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((1, t_in, cfg.feat_in)).astype(np.float32)
+    got = run_graph(read_onnx(os.path.join(out, "encoder.onnx")), {
+        "audio_signal": np.transpose(feats, (0, 2, 1)),
+        "length": np.array([t_in], np.int64)})
+
+    enc, out_len = offline_encode(params, cfg, feats,
+                                  np.array([t_in], np.int32))
+    t_enc = int(np.asarray(out_len)[0])
+    assert got["encoded_lengths"][0] == t_enc
+    np.testing.assert_allclose(
+        got["encoder_output"],
+        np.transpose(np.asarray(enc)[:, :t_enc], (0, 2, 1)),
+        atol=2e-4)  # 24 layers of f32 accumulation-order noise
