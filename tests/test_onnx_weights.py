@@ -315,3 +315,82 @@ def test_attribute_proto3_default_omitted():
     # explicit non-default value still parses
     buf = enc_str(1, "axis") + enc_varint(3, 2) + enc_varint(20, 2)
     assert _parse_attribute(buf, ".") == ("axis", 2)
+
+
+def test_onnx_streaming_encoder_graph_closed_loop(tmp_path, rng):
+    """encoder_streaming.onnx must be an executable cache-aware chunk step:
+    run FIVE closed-loop steady chunks through the pure-numpy interpreter,
+    feeding each step the graph's OWN cache outputs, and match the runtime
+    encoder (encode(state) + state_to_contract) on the encoder output AND
+    every cache tensor at 1e-4 — including pre- and post-saturation of the
+    attention cache (tiny capacity 8 saturates at chunk 3)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import jax
+    import jax.numpy as jnp
+
+    from tools.onnx_exec import run_graph
+
+    from trt_asr_tpu.models.parakeet.encoder import (encode,
+                                                     init_encoder_state,
+                                                     state_to_contract)
+
+    cfg = ModelConfig.tiny(att_cache_size=8)  # saturates within the test
+    params = init_params(cfg, seed=9)
+    out = str(tmp_path / "export")
+    export_params_to_onnx(jax.tree.map(np.asarray, params), cfg, out,
+                          external_threshold=None, encoder_t_in=57)
+    model = read_onnx(os.path.join(out, "encoder_streaming.onnx"))
+    assert model.nodes, "encoder_streaming.onnx must carry compute nodes"
+
+    window = cfg.chunk_size_frames[1] + cfg.pre_encode_cache_size[1]
+    lead = window - cfg.chunk_size_frames[0]
+    shift = cfg.shift_size_frames[1]
+    feats = rng.standard_normal((window + shift * 5, cfg.feat_in)) \
+        .astype(np.float32)
+    fpad = np.pad(feats, ((lead, 0), (0, 0)))
+
+    state = init_encoder_state(cfg, 1)
+    graph_cache = {
+        "cache_last_channel": np.zeros(
+            (1, cfg.num_layers, cfg.att_cache_size, cfg.d_model), np.float32),
+        "cache_last_time": np.zeros(
+            (1, cfg.num_layers, cfg.d_model, cfg.conv_context_size),
+            np.float32),
+        "cache_last_channel_len": np.zeros((1,), np.int64),
+    }
+    for k in range(5):
+        win = fpad[k * shift: k * shift + window]
+        # runtime step (steady-chunk semantics; unified program)
+        enc, out_len, state = encode(
+            params, cfg, jnp.asarray(win[None]),
+            jnp.asarray([window], jnp.int32), state,
+            drop_extra=cfg.drop_extra_pre_encoded,
+            cache_drop=cfg.cache_drop_size, valid_cap=cfg.valid_out_len)
+        want_contract = jax.tree.map(np.asarray, state_to_contract(state))
+
+        got = run_graph(model, {
+            "audio_signal": win.T[None], "length": np.array([window], np.int64),
+            **graph_cache})
+        t_post = int(got["encoded_lengths"][0])
+        np.testing.assert_allclose(
+            got["encoder_output"][0].T, np.asarray(enc)[0, :t_post],
+            atol=1e-4, err_msg=f"chunk {k} encoder output")
+        np.testing.assert_array_equal(
+            got["cache_last_channel_len_out"],
+            np.asarray(want_contract["cache_last_channel_len"]),
+            err_msg=f"chunk {k} cache len")
+        np.testing.assert_allclose(
+            got["cache_last_channel_out"],
+            np.asarray(want_contract["cache_last_channel"]), atol=1e-4,
+            err_msg=f"chunk {k} channel cache")
+        np.testing.assert_allclose(
+            got["cache_last_time_out"],
+            np.asarray(want_contract["cache_last_time"]), atol=1e-4,
+            err_msg=f"chunk {k} time cache")
+        graph_cache = {
+            "cache_last_channel": got["cache_last_channel_out"],
+            "cache_last_time": got["cache_last_time_out"],
+            "cache_last_channel_len": got["cache_last_channel_len_out"],
+        }

@@ -195,6 +195,22 @@ def _eval_node(node: OnnxNode, vals: Dict[str, np.ndarray]) -> List[np.ndarray]:
         return [x * scale + (b2 - m * g / np.sqrt(v + eps)).reshape(shape)]
     if op == "Conv":
         return [_conv(node, ins)]
+    if op == "Where":
+        return [np.where(ins[0], ins[1], ins[2])]
+    if op == "Less":
+        return [np.less(ins[0], ins[1])]
+    if op == "GreaterOrEqual":
+        return [np.greater_equal(ins[0], ins[1])]
+    if op == "Clip":
+        lo = ins[1] if len(ins) > 1 and ins[1] is not None else None
+        hi = ins[2] if len(ins) > 2 and ins[2] is not None else None
+        return [np.clip(ins[0], lo, hi)]
+    if op == "Expand":
+        shape = [int(v) for v in np.asarray(ins[1]).ravel()]
+        return [np.broadcast_to(ins[0], shape)]
+    if op == "GatherElements":
+        ax = int(node.attrs.get("axis", 0))
+        return [np.take_along_axis(ins[0], np.asarray(ins[1], np.int64), axis=ax)]
     raise NotImplementedError(f"op {op}")
 
 

@@ -195,33 +195,37 @@ def export_params_to_onnx(params: Dict[str, Any], cfg: ModelConfig, out_dir: str
     NeMo state-dict names) + model_meta.json (reference schema,
     export.py:970-997).
 
-    encoder.onnx, predictor.onnx and joint.onnx are EXECUTABLE programs
-    (real compute nodes over the same initializers —
-    trt_asr_tpu/io/onnx_graphs.py), restoring the reference export's
-    runnable-outside-the-repo property (its ORT smoke, export.py:819-852).
-    The offline encoder graph is emitted at the STATIC input length
-    ``encoder_t_in`` (None = initializer-only encoder, old behavior);
-    encoder_streaming.onnx remains weight interchange (its ring-cache
-    state contract is this runtime's, not expressible in portable ONNX)."""
+    ALL FOUR component files are EXECUTABLE programs (real compute nodes
+    over the same initializers — trt_asr_tpu/io/onnx_graphs.py), restoring
+    the reference export's runnable-outside-the-repo property (its ORT
+    smoke, export.py:819-852). The offline encoder graph is emitted at the
+    STATIC input length ``encoder_t_in``; encoder_streaming.onnx is one
+    steady cache-aware chunk step at the unified window with the
+    reference's 5-in/5-out contract-layout cache IO. encoder_t_in=None
+    restores the initializer-only (weight-interchange) encoder files."""
     from trt_asr_tpu.io.onnx_graphs import (encoder_graph, joint_graph,
-                                            predictor_graph)
+                                            predictor_graph,
+                                            streaming_encoder_graph)
 
     os.makedirs(out_dir, exist_ok=True)
     paths = {}
     enc_map = encoder_name_map(cfg)
     if encoder_t_in:
         enc_nodes, enc_consts, enc_io = encoder_graph(cfg, encoder_t_in)
+        st_nodes, st_consts, st_io = streaming_encoder_graph(cfg)
     else:
         enc_nodes, enc_consts, enc_io = (), {}, {}
+        st_nodes, st_consts, st_io = (), {}, {}
     pred_nodes, pred_consts, pred_io = predictor_graph(cfg)
     joint_nodes, joint_consts, joint_io = joint_graph(cfg)
+    unpref = [(p, n.split(".", 1)[1], f, b) for p, n, f, b in enc_map]
     comps = {
-        "encoder": ([(p, n.split(".", 1)[1], f, b) for p, n, f, b in enc_map],
-                    ["audio_signal", "length"],
+        "encoder": (unpref, ["audio_signal", "length"],
                     ["encoder_output", "encoded_lengths"],
                     enc_nodes, enc_consts, enc_io),
         "encoder_streaming": (enc_map, STREAMING_ENCODER_INPUTS,
-                              STREAMING_ENCODER_OUTPUTS, (), {}, {}),
+                              STREAMING_ENCODER_OUTPUTS,
+                              st_nodes, st_consts, st_io),
         "predictor": (predictor_name_map(cfg), ["y", "h", "c"],
                       ["g", "h_out", "c_out"], pred_nodes, pred_consts, pred_io),
         "joint": (joint_name_map(cfg), ["encoder_output", "predictor_output"],
