@@ -205,6 +205,38 @@ def _emit_encoder_body(cfg: ModelConfig, t_in: int, c_size: int,
     else:
         x = n("Identity", [x], ["x_enc0"])
 
+    # ---- valid-length arithmetic (hoisted: the streaming masks below need
+    # it). encoded_lengths = subsampled(length) [- drop_extra when
+    # streaming]. Each stride-2 stage is ceil(n/2), emitted as (n+1)/2 —
+    # for n >= 0 this is identical under floor AND truncate-toward-zero
+    # division (ONNX Div is trunc), unlike floor((n-1)/2)+1 which diverges
+    # at n == 0 between the two semantics.
+    ll = "length"
+    for st in range(cfg.stride_stages):
+        a = n("Add", [ll, "__i_1"], [f"len_a{st}"])
+        ll = n("Div", [a, "__i_2"], [f"len_d{st}"])
+    if drop:
+        ds = n("Sub", [ll, "__i_drop"], ["len_dropped"])
+        consts["__i_big"] = np.array([1 << 40], np.int64)
+        ll = n("Clip", [ds, "__zero", "__i_big"], ["len_clipped"])
+
+    if streaming:
+        # ---- short-chunk (flush) masking, mirroring the runtime exactly
+        # (encoder.py time_mask at :240,:362,:370): current steps at or past
+        # the valid post-drop length are (1) zeroed at the layer-stack
+        # input, (2) masked out of every attention softmax, (3) zeroed
+        # before each depthwise conv so the tail lookahead never reads them.
+        # For full windows (every mid-stream chunk) all three are
+        # identities. NOTE the static cache updates still assume a full
+        # window — cache outputs are only meaningful for full chunks, which
+        # is the only case the schedule feeds mid-stream (a short chunk is
+        # always the last, after which the caches are dead).
+        consts["__range_t"] = np.arange(t, dtype=np.int64)
+        cur_ok = n("Less", ["__range_t", ll], ["cur_ok"])            # [t]
+        consts["__cm3_shape"] = np.array([1, t, 1], np.int64)
+        cur_mask3 = n("Reshape", [cur_ok, "__cm3_shape"], ["cur_mask3"])
+        x = n("Where", [cur_mask3, x, "__f_zero"], ["x_masked"])
+
     # shared constants. Pos table built in pure numpy (identical math to
     # ops/attention.py:sinusoidal_pos_table — descending positions, sin
     # even / cos odd) so the exporter never touches a jax device.
@@ -231,10 +263,11 @@ def _emit_encoder_body(cfg: ModelConfig, t_in: int, c_size: int,
     consts["__i_skv"] = np.array([s_kv], np.int64)
     consts["__axes3"] = np.array([3], np.int64)
     if streaming:
-        # softmax mask over the kv axis: slot j attends iff j >= C - len
-        # (right-aligned cache; the trailing t current slots always valid)
-        consts["__range_s"] = np.arange(s_kv, dtype=np.int64)
-        kv_ok = n("GreaterOrEqual", ["__range_s", "cc_shift"], ["kv_ok"])
+        # softmax mask over the kv axis: cache slot j attends iff
+        # j >= C - len (right-aligned cache, "cc_valid" above); current
+        # slot j' attends iff j' < valid post-drop steps ("cur_ok" — all
+        # true except on a short flush chunk)
+        kv_ok = n("Concat", ["cc_valid", "cur_ok"], ["kv_ok"], axis=0)
         consts["__kvm_shape"] = np.array([1, 1, 1, s_kv], np.int64)
         kv_mask = n("Reshape", [kv_ok, "__kvm_shape"], ["kv_mask"])
         consts["__neg_big"] = np.float32(-1e30)
@@ -342,6 +375,10 @@ def _emit_encoder_body(cfg: ModelConfig, t_in: int, c_size: int,
         gs = n("Sigmoid", [g2], [f"{lt}_glu_sg"])
         c = n("Mul", [g1, gs], [f"{lt}_glu"])                        # [1,T,D]
         if streaming:
+            # zero padded steps pre-conv AND pre-cache (encoder.py:240) so
+            # the depthwise tail lookahead never reads invalid steps
+            c = n("Where", ["cur_mask3", c, "__f_zero"], [f"{lt}_glu_m"])
+        if streaming:
             # time cache replaces the left zero-pad (encoder.py:241-243);
             # update keeps the last K of [cache ++ first cache_keep steps]
             kept_c = n("Slice", [c, "__zero", "__i_keep", "__axes1"],
@@ -380,19 +417,6 @@ def _emit_encoder_body(cfg: ModelConfig, t_in: int, c_size: int,
 
     # reference layout [B, D, T_enc]
     n("Transpose", [x], ["encoder_output"], perm=[0, 2, 1])
-    # encoded_lengths = subsampled_length(length) [- drop_extra when
-    # streaming]. Each stride-2 stage is ceil(n/2), emitted as (n+1)/2 —
-    # for n >= 0 this is identical under floor AND truncate-toward-zero
-    # division (ONNX Div is trunc), unlike floor((n-1)/2)+1 which diverges
-    # at n == 0 between the two semantics.
-    ll = "length"
-    for st in range(cfg.stride_stages):
-        a = n("Add", [ll, "__i_1"], [f"len_a{st}"])
-        ll = n("Div", [a, "__i_2"], [f"len_d{st}"])
-    if drop:
-        ds = n("Sub", [ll, "__i_drop"], ["len_dropped"])
-        consts["__i_big"] = np.array([1 << 40], np.int64)
-        ll = n("Clip", [ds, "__zero", "__i_big"], ["len_clipped"])
     n("Identity", [ll], ["encoded_lengths"])
 
     if streaming:

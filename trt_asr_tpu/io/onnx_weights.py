@@ -264,7 +264,25 @@ def export_params_to_onnx(params: Dict[str, Any], cfg: ModelConfig, out_dir: str
         # extra (ours): structural config for exact ModelConfig reconstruction
         "config": {"num_layers": cfg.num_layers, "d_model": cfg.d_model,
                    "n_heads": cfg.n_heads, "vocab_size": cfg.vocab_size,
-                   "pred_hidden": cfg.pred_hidden, "feat_in": cfg.feat_in},
+                   "pred_hidden": cfg.pred_hidden, "feat_in": cfg.feat_in,
+                   "pred_rnn_layers": cfg.pred_rnn_layers,
+                   "conv_context_size": cfg.conv_context_size},
+        # extra (ours): the cache-aware schedule + decode constants a
+        # third-party runtime needs to drive encoder_streaming.onnx closed
+        # loop (the reference kept these in the contract JSON; embedding
+        # them makes the export dir self-contained — tools/onnx_pipeline.py
+        # consumes exactly this section)
+        "streaming": {
+            "chunk_size_frames": list(cfg.chunk_size_frames),
+            "shift_size_frames": list(cfg.shift_size_frames),
+            "pre_encode_cache_size": list(cfg.pre_encode_cache_size),
+            "drop_extra_pre_encoded": cfg.drop_extra_pre_encoded,
+            "cache_drop_size": cfg.cache_drop_size,
+            "valid_out_len": cfg.valid_out_len,
+            "att_cache_size": cfg.att_cache_size,
+            "subsampling_factor": cfg.subsampling_factor,
+            "max_symbols_per_timestep": cfg.max_symbols_per_timestep,
+        },
     }
     with open(os.path.join(out_dir, "model_meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
