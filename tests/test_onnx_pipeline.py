@@ -79,6 +79,41 @@ def test_pipeline_token_exact_vs_session(model, export_dir):
     assert pipe.tokens == want
 
 
+def test_pipeline_trained_gate_model(tmp_path):
+    """The committed WER-gate model (artifacts/models/gate_r3, trained to
+    0% WER on its synthetic task) must transcribe through the pure-ONNX
+    pipeline token-exactly vs the runtime session — trained weights + real
+    text, not just random-parameter parity."""
+    from tools.onnx_pipeline import OnnxStreamingPipeline
+    from tools.train_synthetic_e2e import synth_utterance
+    from trt_asr_tpu.frontend import StreamingLogMel
+
+    model_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                             "artifacts", "models", "gate_r3")
+    model = ParakeetTDT.from_model_dir(model_dir)
+    rng = np.random.default_rng(42)
+    word_ids = [17, 602, 88, 1040, 3]
+    audio = synth_utterance(word_ids, rng)
+
+    sess = StreamingSession(model, RuntimeConfig(suppress_leading_punct=False))
+    sess._sched = ChunkScheduler(model.cfg, unified=True)
+    sess.push_audio(audio)
+    sess.finalize()
+    want = list(sess._tokens)
+    assert len(want) == len(word_ids), \
+        f"gate model regressed: {sess.text!r} for words {word_ids}"
+
+    out = str(tmp_path / "gate_export")
+    export_params_to_onnx(jax.tree.map(np.asarray, model.params), model.cfg,
+                          out, external_threshold=None, encoder_t_in=57)
+    feats = StreamingLogMel(model.frontend).push(audio)
+    pipe = OnnxStreamingPipeline(out, prompt_ids=model.prompt_ids)
+    pipe.push_features(np.asarray(feats))
+    pipe.finalize()
+    assert pipe.tokens == want
+    assert model.tokenizer.decode(pipe.tokens) == sess.text
+
+
 def test_pipeline_flush_masking_matters(model, export_dir):
     """The short-flush in-graph masking must actually be load-bearing:
     feeding the flush window with length=window (pretending the zero-padded
