@@ -280,6 +280,28 @@ def test_onnx_encoder_graph_exec_parity(tmp_path, rng):
         np.transpose(np.asarray(enc)[:, :t_enc], (0, 2, 1)),
         atol=1e-4)
 
+    # length-exactness (batch-padding semantics, as a fixed-shape TRT
+    # profile serves short utterances): a SHORTER utterance zero-padded to
+    # the static t_in with the true length passed must match offline_encode
+    # given the SAME padded input and length — the in-graph masking mirrors
+    # the runtime's time_mask (encoder.py:240,:362,:370). short=70 makes an
+    # intermediate subsample length odd, the case where the pre-encode
+    # boundary actually reads a padded frame.
+    short = 70
+    feats_s = np.zeros_like(feats)
+    feats_s[:, :short] = feats[:, :short]
+    got_s = run_graph(model, {
+        "audio_signal": np.transpose(feats_s, (0, 2, 1)),
+        "length": np.array([short], np.int64)})
+    enc_s, out_len_s = offline_encode(params, cfg, feats_s,
+                                      np.array([short], np.int32))
+    t_s = int(np.asarray(out_len_s)[0])
+    assert int(got_s["encoded_lengths"][0]) == t_s
+    np.testing.assert_allclose(
+        got_s["encoder_output"][:, :, :t_s],
+        np.transpose(np.asarray(enc_s)[:, :t_s], (0, 2, 1)),
+        atol=1e-4)
+
 
 def test_attribute_proto3_default_omitted():
     """proto3 serializers (onnx, torch.onnx) OMIT scalar attribute values

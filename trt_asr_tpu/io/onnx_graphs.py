@@ -72,8 +72,11 @@ def encoder_graph(cfg: ModelConfig, t_in: int) -> Tuple[List[OnnxNode],
     residual) -> rel-pos MHA (Transformer-XL shift via Pad/Reshape/Slice,
     exactly ops/attention.py:93-96) -> conv module (GLU, depthwise k=9
     over a zero-padded window, BatchNorm inference, silu) -> FFN2 ->
-    LayerNorm]. Unmasked: the static graph assumes all t_in frames valid
-    (feed full windows; `length` only drives encoded_lengths).
+    LayerNorm]. `length` drives the same valid-step masking the runtime
+    applies (attention-key mask + input/pre-conv zeroing — encoder.py
+    :240,:362,:370), so inputs shorter than the static t_in are
+    length-exact: zero-pad to t_in and pass the true length, exactly like
+    a fixed-shape TRT profile.
 
     Initializers keep the unprefixed NeMo state-dict names/layouts of the
     weight-interchange export; layout adaptation (torch [out,in] linear
@@ -220,22 +223,24 @@ def _emit_encoder_body(cfg: ModelConfig, t_in: int, c_size: int,
         consts["__i_big"] = np.array([1 << 40], np.int64)
         ll = n("Clip", [ds, "__zero", "__i_big"], ["len_clipped"])
 
-    if streaming:
-        # ---- short-chunk (flush) masking, mirroring the runtime exactly
-        # (encoder.py time_mask at :240,:362,:370): current steps at or past
-        # the valid post-drop length are (1) zeroed at the layer-stack
-        # input, (2) masked out of every attention softmax, (3) zeroed
-        # before each depthwise conv so the tail lookahead never reads them.
-        # For full windows (every mid-stream chunk) all three are
-        # identities. NOTE the static cache updates still assume a full
-        # window — cache outputs are only meaningful for full chunks, which
-        # is the only case the schedule feeds mid-stream (a short chunk is
-        # always the last, after which the caches are dead).
-        consts["__range_t"] = np.arange(t, dtype=np.int64)
-        cur_ok = n("Less", ["__range_t", ll], ["cur_ok"])            # [t]
-        consts["__cm3_shape"] = np.array([1, t, 1], np.int64)
-        cur_mask3 = n("Reshape", [cur_ok, "__cm3_shape"], ["cur_mask3"])
-        x = n("Where", [cur_mask3, x, "__f_zero"], ["x_masked"])
+    # ---- valid-length masking, mirroring the runtime exactly (encoder.py
+    # time_mask at :240,:362,:370 — applied OFFLINE too: offline_encode
+    # masks padded frames the same way, so encoder.onnx honors `length`
+    # like a real NeMo export): steps at or past the valid post-drop
+    # length are (1) zeroed at the layer-stack input, (2) masked out of
+    # every attention softmax, (3) zeroed before each depthwise conv so
+    # the tail lookahead never reads them. For full windows / full-length
+    # inputs all three are identities. NOTE the streaming graph's static
+    # cache updates still assume a full window — cache outputs are only
+    # meaningful for full chunks, which is the only case the schedule
+    # feeds mid-stream (a short chunk is always the last, after which the
+    # caches are dead).
+    consts["__f_zero"] = np.float32(0.0)
+    consts["__range_t"] = np.arange(t, dtype=np.int64)
+    cur_ok = n("Less", ["__range_t", ll], ["cur_ok"])                # [t]
+    consts["__cm3_shape"] = np.array([1, t, 1], np.int64)
+    cur_mask3 = n("Reshape", [cur_ok, "__cm3_shape"], ["cur_mask3"])
+    x = n("Where", [cur_mask3, x, "__f_zero"], ["x_masked"])
 
     # shared constants. Pos table built in pure numpy (identical math to
     # ops/attention.py:sinusoidal_pos_table — descending positions, sin
@@ -262,15 +267,16 @@ def _emit_encoder_body(cfg: ModelConfig, t_in: int, c_size: int,
     consts["__i_t"] = np.array([t], np.int64)
     consts["__i_skv"] = np.array([s_kv], np.int64)
     consts["__axes3"] = np.array([3], np.int64)
+    # softmax mask over the kv axis: current slot j' attends iff j' < valid
+    # post-drop steps ("cur_ok"); streaming prepends the cache slots, where
+    # slot j attends iff j >= C - len (right-aligned cache, "cc_valid")
     if streaming:
-        # softmax mask over the kv axis: cache slot j attends iff
-        # j >= C - len (right-aligned cache, "cc_valid" above); current
-        # slot j' attends iff j' < valid post-drop steps ("cur_ok" — all
-        # true except on a short flush chunk)
         kv_ok = n("Concat", ["cc_valid", "cur_ok"], ["kv_ok"], axis=0)
-        consts["__kvm_shape"] = np.array([1, 1, 1, s_kv], np.int64)
-        kv_mask = n("Reshape", [kv_ok, "__kvm_shape"], ["kv_mask"])
-        consts["__neg_big"] = np.float32(-1e30)
+    else:
+        kv_ok = "cur_ok"                                  # s_kv == t offline
+    consts["__kvm_shape"] = np.array([1, 1, 1, s_kv], np.int64)
+    kv_mask = n("Reshape", [kv_ok, "__kvm_shape"], ["kv_mask"])
+    consts["__neg_big"] = np.float32(-1e30)
 
     def ln(xi, g, b, out):
         return n("LayerNormalization", [xi, g, b], [out], axis=-1,
@@ -343,8 +349,7 @@ def _emit_encoder_body(cfg: ModelConfig, t_in: int, c_size: int,
                [f"{lt}_bd"])                                         # [1,H,T,S]
         sc = n("Add", [ac, bd], [f"{lt}_sc"])
         sc = n("Mul", [sc, "__att_scale"], [f"{lt}_scs"])
-        if streaming:
-            sc = n("Where", [kv_mask, sc, "__neg_big"], [f"{lt}_scm"])
+        sc = n("Where", [kv_mask, sc, "__neg_big"], [f"{lt}_scm"])
         at = n("Softmax", [sc], [f"{lt}_sm"], axis=3)
         av = n("MatMul", [at, v4], [f"{lt}_av"])                     # [1,H,T,dh]
         av = n("Transpose", [av], [f"{lt}_avt"], perm=[0, 2, 1, 3])
@@ -374,10 +379,9 @@ def _emit_encoder_body(cfg: ModelConfig, t_in: int, c_size: int,
         nodes.append(_n("Split", [c], [g1, g2], axis=2, num_outputs=2))
         gs = n("Sigmoid", [g2], [f"{lt}_glu_sg"])
         c = n("Mul", [g1, gs], [f"{lt}_glu"])                        # [1,T,D]
-        if streaming:
-            # zero padded steps pre-conv AND pre-cache (encoder.py:240) so
-            # the depthwise tail lookahead never reads invalid steps
-            c = n("Where", ["cur_mask3", c, "__f_zero"], [f"{lt}_glu_m"])
+        # zero padded steps pre-conv AND pre-cache (encoder.py:240) so the
+        # depthwise tail lookahead never reads invalid steps
+        c = n("Where", ["cur_mask3", c, "__f_zero"], [f"{lt}_glu_m"])
         if streaming:
             # time cache replaces the left zero-pad (encoder.py:241-243);
             # update keeps the last K of [cache ++ first cache_keep steps]
