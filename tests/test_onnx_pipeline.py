@@ -37,7 +37,8 @@ def model():
 def export_dir(model, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("onnx_export"))
     export_params_to_onnx(jax.tree.map(np.asarray, model.params), model.cfg,
-                          out, external_threshold=None, encoder_t_in=57)
+                          out, external_threshold=None, encoder_t_in=57,
+                          prompt_ids=model.prompt_ids)
     return out
 
 
@@ -65,7 +66,9 @@ def test_pipeline_token_exact_vs_session(model, export_dir):
                            [(0, 100), (100, 130), (130, total)])
     assert want, "degenerate test: session emitted nothing"
 
-    pipe = OnnxStreamingPipeline(export_dir, prompt_ids=model.prompt_ids)
+    # no prompt_ids argument: the pipeline must pick them up from the
+    # export's model_meta (self-contained-dir claim)
+    pipe = OnnxStreamingPipeline(export_dir)
     # different push granularity: the transcript must be invariant to it
     for s in range(0, total, 53):
         pipe.push_features(feats[s: s + 53])
@@ -74,6 +77,32 @@ def test_pipeline_token_exact_vs_session(model, export_dir):
 
     # reset() must give an identical second utterance (state fully cleared)
     pipe.reset()
+    pipe.push_features(feats)
+    pipe.finalize()
+    assert pipe.tokens == want
+
+
+def test_pipeline_shift_smaller_than_pre_encode(tmp_path):
+    """Regimes where shift < pre_encode context (the NeMo-default regime
+    has shift 8 < pre 9) make the steady slice start negative — the
+    pipeline must left-pad zeros like the runtime's extract_chunk instead
+    of wrapping a negative python index (r3 review finding)."""
+    from tools.onnx_pipeline import OnnxStreamingPipeline
+
+    cfg = ModelConfig.tiny(att_cache_size=8, shift_size_frames=(8, 8),
+                           valid_out_len=1, cache_drop_size=5)
+    model = ParakeetTDT.random(cfg, seed=33)
+    rng = np.random.default_rng(9)
+    total = cfg.chunk_size_frames[0] + 5 * cfg.shift_size_frames[1] + 5
+    feats = rng.standard_normal((total, cfg.feat_in)).astype(np.float32)
+
+    want = _session_tokens(model, feats, [(0, total)])
+
+    out = str(tmp_path / "export")
+    export_params_to_onnx(jax.tree.map(np.asarray, model.params), cfg, out,
+                          external_threshold=None, encoder_t_in=57,
+                          prompt_ids=model.prompt_ids)
+    pipe = OnnxStreamingPipeline(out)
     pipe.push_features(feats)
     pipe.finalize()
     assert pipe.tokens == want
@@ -105,9 +134,10 @@ def test_pipeline_trained_gate_model(tmp_path):
 
     out = str(tmp_path / "gate_export")
     export_params_to_onnx(jax.tree.map(np.asarray, model.params), model.cfg,
-                          out, external_threshold=None, encoder_t_in=57)
+                          out, external_threshold=None, encoder_t_in=57,
+                          prompt_ids=model.prompt_ids)
     feats = StreamingLogMel(model.frontend).push(audio)
-    pipe = OnnxStreamingPipeline(out, prompt_ids=model.prompt_ids)
+    pipe = OnnxStreamingPipeline(out)
     pipe.push_features(np.asarray(feats))
     pipe.finalize()
     assert pipe.tokens == want

@@ -27,7 +27,8 @@ def main() -> int:
 
     model = ParakeetTDT.from_model_dir(args.model_dir)
     paths = export_params_to_onnx(model.params, model.cfg, args.outdir,
-                                  external_threshold=args.external_threshold)
+                                  external_threshold=args.external_threshold,
+                                  prompt_ids=model.prompt_ids)
     for comp, p in paths.items():
         if args.component not in ("all", comp):
             os.remove(p)

@@ -14,6 +14,7 @@ same-author-oracle risk.
 Supported op set = exactly what trt_asr_tpu/io/onnx_graphs.py emits:
 MatMul, Add, Sub, Mul, Div, Relu, Sigmoid, Softmax, Transpose, Gather,
 Split, Concat, Unsqueeze, Squeeze, Slice, Reshape, Pad, Identity,
+Where, Less, GreaterOrEqual, Clip, Expand, GatherElements,
 Conv (1D/2D, strides/pads/group incl. depthwise), BatchNormalization,
 LayerNormalization, LSTM (forward, default activations, iofc gate order
 per the ONNX spec).

@@ -64,7 +64,11 @@ class OnnxStreamingPipeline:
         self.duration_values = [int(d) for d in meta["duration_values"]]
         self.token_head_size = int(meta["joint_vocab_size"]) - len(self.duration_values)
         self.blank_penalty = float(blank_penalty)
-        self.prompt_ids = list(prompt_ids or [])
+        # prompt priming must match the producing runtime (model.py:112-120)
+        # — the export records the model's prompt ids; an explicit argument
+        # overrides
+        self.prompt_ids = list(st.get("prompt_ids", [])
+                               if prompt_ids is None else prompt_ids)
 
         cfgm = meta["config"]
         self.n_mels = int(meta["features"]["n_mels"])
@@ -167,9 +171,11 @@ class OnnxStreamingPipeline:
                 self._run_chunk(x, self.lead + got, is_last=True)
         elif avail > self._start:
             s0 = self._start - self.pre_encode[1]
+            lo = max(s0, 0)          # see _next_ready: shift < pre regimes
+            seg = self._buf[lo: avail]
             x = np.zeros((self.window, self.n_mels), np.float32)
-            x[: avail - s0] = self._buf[s0: avail]
-            self._run_chunk(x, avail - s0, is_last=True)
+            x[lo - s0: lo - s0 + len(seg)] = seg
+            self._run_chunk(x, (lo - s0) + len(seg), is_last=True)
         self._finalized = True
 
     # -- internals ----------------------------------------------------------
@@ -192,7 +198,13 @@ class OnnxStreamingPipeline:
         s1 = self._start + self.chunk_sizes[1]
         if avail < s1:
             return None
-        x = self._buf[s0:s1]
+        # s0 < 0 happens in regimes with shift < pre_encode (e.g. the
+        # NeMo-default 8-frame shift): left-pad zeros, exactly like the
+        # runtime's extract_chunk (streaming/schedule.py:182-194)
+        lo = max(s0, 0)
+        x = self._buf[lo:s1]
+        if lo > s0:
+            x = np.pad(x, ((lo - s0, 0), (0, 0)))
         self._idx += 1
         self._start += self.shift_sizes[1]
         return x, self.window

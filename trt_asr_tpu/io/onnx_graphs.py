@@ -137,6 +137,10 @@ def _emit_encoder_body(cfg: ModelConfig, t_in: int, c_size: int,
         "__i_1": np.array([1], np.int64),
         "__i_2": np.array([2], np.int64),
         "__zero": np.array([0], np.int64),
+        # Clip min/max must be SCALARS (empty shape) per the ONNX-13 spec —
+        # shape-[1] bounds are rejected by strict checkers
+        "__s0": np.int64(0),
+        "__s_t": np.int64(t),
     }
 
     def n(op, ins, outs, **attrs):
@@ -149,11 +153,17 @@ def _emit_encoder_body(cfg: ModelConfig, t_in: int, c_size: int,
         # RIGHT-aligned. right[j] = left[j - (C - len)] for j >= C - len.
         consts["__c_cap"] = np.array([c_size], np.int64)
         consts["__range_c"] = np.arange(c_size, dtype=np.int64)       # [C]
-        consts["__c_m1"] = np.array([c_size - 1], np.int64)
+        consts["__s_cm1"] = np.int64(c_size - 1)
+        consts["__s_cap"] = np.int64(c_size)
+        # cache-update slice bounds (graph-wide: every layer keeps the same
+        # first cache_keep current steps)
+        consts["__i_keep"] = np.array([cache_keep], np.int64)
+        consts["__i_keep_c"] = np.array([cache_keep + c_size], np.int64)
+        consts["__i_keep_k"] = np.array([cache_keep + k_ctx], np.int64)
         consts["__cch_shape"] = np.array([1, n_l, c_size, d], np.int64)
         shift = n("Sub", ["__c_cap", "cache_last_channel_len"], ["cc_shift"])
         idx = n("Sub", ["__range_c", shift], ["cc_idx_raw"])          # [C]
-        idx = n("Clip", [idx, "__zero", "__c_m1"], ["cc_idx"])
+        idx = n("Clip", [idx, "__s0", "__s_cm1"], ["cc_idx"])
         idx4 = n("Reshape", [idx, "__cc_idx_shape"], ["cc_idx4"])
         consts["__cc_idx_shape"] = np.array([1, 1, c_size, 1], np.int64)
         idx4 = n("Expand", [idx4, "__cch_shape"], ["cc_idx_exp"])
@@ -161,7 +171,6 @@ def _emit_encoder_body(cfg: ModelConfig, t_in: int, c_size: int,
                   ["cc_gathered"], axis=2)
         valid = n("GreaterOrEqual", ["__range_c", shift], ["cc_valid"])  # [C]
         vm = n("Reshape", [valid, "__cc_idx_shape"], ["cc_valid4"])
-        consts["__f_zero"] = np.float32(0.0)
         right_all = n("Where", [vm, g_all, "__f_zero"], ["cc_right"])
         for li in range(n_l):
             consts[f"__li{li}"] = np.array([li], np.int64)
@@ -219,9 +228,11 @@ def _emit_encoder_body(cfg: ModelConfig, t_in: int, c_size: int,
         a = n("Add", [ll, "__i_1"], [f"len_a{st}"])
         ll = n("Div", [a, "__i_2"], [f"len_d{st}"])
     if drop:
-        ds = n("Sub", [ll, "__i_drop"], ["len_dropped"])
-        consts["__i_big"] = np.array([1 << 40], np.int64)
-        ll = n("Clip", [ds, "__zero", "__i_big"], ["len_clipped"])
+        ll = n("Sub", [ll, "__i_drop"], ["len_dropped"])
+    # clamp to [0, T_enc]: the drop can push a tiny flush negative, and an
+    # over-length input must not report more steps than the static output
+    # carries (runtime: min(sub_len, steps) — encoder.py:437)
+    ll = n("Clip", [ll, "__s0", "__s_t"], ["len_final"])
 
     # ---- valid-length masking, mirroring the runtime exactly (encoder.py
     # time_mask at :240,:362,:370 — applied OFFLINE too: offline_encode
@@ -359,12 +370,10 @@ def _emit_encoder_body(cfg: ModelConfig, t_in: int, c_size: int,
         if streaming:
             # channel-cache update: keep last C of [cache ++ first
             # cache_keep current u] (right-aligned; encoder.py:199)
-            consts["__i_keep"] = np.array([cache_keep], np.int64)
             kept = n("Slice", [u, "__zero", "__i_keep", "__axes1"],
                      [f"{lt}_u_kept"])
             cat = n("Concat", [cache_u_in[li], kept], [f"{lt}_cu_cat"],
                     axis=1)                                  # [1,C+keep,D]
-            consts["__i_keep_c"] = np.array([cache_keep + c_size], np.int64)
             cache_u_out.append(n("Slice", [cat, "__i_keep", "__i_keep_c",
                                            "__axes1"], [f"{lt}_cu_new"]))
 
@@ -389,7 +398,6 @@ def _emit_encoder_body(cfg: ModelConfig, t_in: int, c_size: int,
                        [f"{lt}_c_kept"])
             tcat = n("Concat", [time_in[li], kept_c], [f"{lt}_tc_cat"],
                      axis=1)                                 # [1,K+keep,D]
-            consts["__i_keep_k"] = np.array([cache_keep + k_ctx], np.int64)
             time_out.append(n("Slice", [tcat, "__i_keep", "__i_keep_k",
                                         "__axes1"], [f"{lt}_tc_new"]))
             left_pad = time_in[li]
@@ -430,7 +438,7 @@ def _emit_encoder_body(cfg: ModelConfig, t_in: int, c_size: int,
         # suffix).
         len_out = n("Add", ["cache_last_channel_len", "__i_keep"],
                     ["len_plus"])
-        len_out = n("Clip", [len_out, "__zero", "__c_cap"],
+        len_out = n("Clip", [len_out, "__s0", "__s_cap"],
                     ["cache_last_channel_len_out"])
         stk = []
         for li in range(n_l):
@@ -440,7 +448,7 @@ def _emit_encoder_body(cfg: ModelConfig, t_in: int, c_size: int,
         shift_o = n("Sub", ["__c_cap", "cache_last_channel_len_out"],
                     ["cc_shift_out"])
         idx_o = n("Add", ["__range_c", shift_o], ["cc_oidx_raw"])
-        idx_o = n("Clip", [idx_o, "__zero", "__c_m1"], ["cc_oidx"])
+        idx_o = n("Clip", [idx_o, "__s0", "__s_cm1"], ["cc_oidx"])
         idx_o = n("Reshape", [idx_o, "__cc_idx_shape"], ["cc_oidx4"])
         idx_o = n("Expand", [idx_o, "__cch_shape"], ["cc_oidx_exp"])
         g_o = n("GatherElements", [right_out, idx_o], ["cc_out_gath"],
@@ -470,11 +478,15 @@ def streaming_encoder_graph(cfg: ModelConfig) -> Tuple[List[OnnxNode],
     runtime serves, schedule.py); drop_extra applied in-graph; cache IO in
     the contract's left-aligned chronological layout
     (encoder.py:state_to_contract), converted internally to right-aligned
-    static-shape math. The graph assumes full windows (steady chunks) —
-    `length` drives encoded_lengths only; the runtime handles short flush
-    chunks. Parity: tests/test_onnx_weights.py::
-    test_onnx_streaming_encoder_graph_closed_loop (closed loop vs
-    encode(state) through state_to_contract)."""
+    static-shape math. `length` drives BOTH encoded_lengths and the
+    in-graph valid-step masking (the runtime's time_mask), so a short
+    flush chunk zero-padded to the window is exact on its emitted steps;
+    only the cache OUTPUTS assume a full window (the sole mid-stream case
+    — after a short chunk the stream ends and caches are dead). Parity:
+    tests/test_onnx_weights.py::test_onnx_streaming_encoder_graph_closed_loop
+    (closed loop vs encode(state) through state_to_contract) and
+    tests/test_onnx_pipeline.py (short-flush numeric + token-exact
+    end-to-end)."""
     window = cfg.chunk_size_frames[1] + cfg.pre_encode_cache_size[1]
     nodes, consts = _emit_encoder_body(cfg, window,
                                        c_size=cfg.att_cache_size,

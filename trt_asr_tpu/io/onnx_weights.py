@@ -188,7 +188,8 @@ STREAMING_ENCODER_OUTPUTS = ["encoder_output", "encoded_lengths",
 
 def export_params_to_onnx(params: Dict[str, Any], cfg: ModelConfig, out_dir: str,
                           external_threshold: Optional[int] = 1 << 20,
-                          encoder_t_in: Optional[int] = 256) -> Dict[str, str]:
+                          encoder_t_in: Optional[int] = 256,
+                          prompt_ids: Optional[List[int]] = None) -> Dict[str, str]:
     """Write the reference export's component layout: encoder.onnx (offline,
     unprefixed names) + encoder_streaming.onnx (5-in/5-out cache IO,
     'encoder.'-prefixed names) + predictor.onnx + joint.onnx (torch layouts,
@@ -282,6 +283,10 @@ def export_params_to_onnx(params: Dict[str, Any], cfg: ModelConfig, out_dir: str
             "att_cache_size": cfg.att_cache_size,
             "subsampling_factor": cfg.subsampling_factor,
             "max_symbols_per_timestep": cfg.max_symbols_per_timestep,
+            # predictor priming tokens the producing runtime uses
+            # (model.py prompt_ids; empty -> NeMo blank-priming fallback) —
+            # a consumer that skips these decodes a DIFFERENT transcript
+            "prompt_ids": [int(t) for t in (prompt_ids or [])],
         },
     }
     with open(os.path.join(out_dir, "model_meta.json"), "w") as f:
