@@ -34,6 +34,38 @@ import numpy as np
 BASELINE_PER_240MS_MS = 9.4
 
 
+def _wait_for_device(max_wait_s: float) -> None:
+    """Probe the axon TPU tunnel in a SUBPROCESS until it answers or the
+    budget runs out. The tunnel has multi-hour outages during which a bare
+    jax.devices() HANGS in-process (docs/DEBUGGING.md trap #4) — probing
+    out-of-process with a timeout keeps this process recoverable, so a
+    transient flap at bench time doesn't cost the run."""
+    import os
+    import subprocess
+    import time as _t
+
+    deadline = _t.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=180, capture_output=True, env=os.environ.copy())
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"device up after {attempt} probes", file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if _t.monotonic() >= deadline:
+            print(f"device probe failed for {max_wait_s:.0f}s "
+                  f"({attempt} attempts) — tunnel down", file=sys.stderr)
+            raise SystemExit(3)
+        print(f"device probe {attempt} failed; retrying", file=sys.stderr)
+        _t.sleep(min(60.0, max(deadline - _t.monotonic(), 1.0)))
+
+
 def _measure(step, make_state, feats0, iters: int) -> float:
     """Chained varied-input loop, one final block: aggregate wall / N.
 
@@ -126,6 +158,11 @@ def main() -> int:
                   f"--f32-precision {args.f32_precision}", file=sys.stderr)
         os.environ["TRT_ASR_F32_PRECISION"] = args.f32_precision
         print(f"effective f32 precision: {args.f32_precision}", file=sys.stderr)
+
+    import os
+
+    # bounded tunnel-outage tolerance (TRT_ASR_BENCH_WAIT_S=0 disables)
+    _wait_for_device(float(os.environ.get("TRT_ASR_BENCH_WAIT_S", "900")))
 
     import jax
     import jax.numpy as jnp
