@@ -45,6 +45,26 @@ def test_streaming_parity_passes(goldens, tmp_path):
         assert s["encoder_output_error_distribution"]["max"] < 1e-4
 
 
+def test_streaming_parity_onnx_engine(goldens, tmp_path):
+    """--engine onnx: the EXPORTED encoder_streaming.onnx executed by the
+    pure-numpy interpreter against the torch-oracle goldens — the
+    third-implementation parity run (the reference's ORT-harness role,
+    tools/onnxruntime/onnx_streaming_parity.py). Must clear the strictest
+    contract rung in closed loop."""
+    for mode in ("functional", "closedloop"):
+        summary = str(tmp_path / f"onnx_{mode}.json")
+        out = _run([os.path.join(REPO, "tools/parity/streaming_parity.py"),
+                    "--goldens", os.path.join(goldens, "streaming_encoder_reference.jsonl"),
+                    "--mode", mode, "--config", "tiny", "--seed", "1",
+                    "--engine", "onnx", "--summary", summary])
+        assert out.returncode == 0, out.stdout + out.stderr[-1000:]
+        with open(summary) as f:
+            s = json.load(f)
+        assert s["engine"] == "onnx"
+        assert s["pass_rate"] == 1.0
+        assert s["best_rung"] == "ort_f32"
+
+
 def test_streaming_parity_detects_mismatch(goldens, tmp_path):
     """Wrong seed -> different weights -> harness must FAIL (exit 1)."""
     out = _run([os.path.join(REPO, "tools/parity/streaming_parity.py"),
