@@ -3,9 +3,10 @@
 #
 # Profile: 1120-word vocabulary, 8-12-word utterances (>=5 s of audio,
 # many steady chunks, attention-cache saturation), 50 held-out
-# utterances, three serving surfaces (python StreamingSession, lockstep
+# utterances, four serving surfaces (python StreamingSession, lockstep
 # BatchStreamingEngine with staggered attach/finalize, native C++ CLI in
-# fast mode), granularity sweep, noise condition — then the sensitivity
+# fast mode, pure-numpy exported-ONNX pipeline), granularity sweep,
+# noise condition — then the sensitivity
 # proof: the SAME model must FAIL the gate on every surface under the
 # drop_time_carry fault injection.
 #
@@ -42,6 +43,11 @@ if [ "$SAB_RC" -eq 0 ]; then
   echo "ERROR: sabotage run PASSED the gate — sensitivity proof failed" >&2
   exit 1
 fi
+
+# 4th surface: the pure-numpy exported-ONNX-graph pipeline (clean +
+# sabotage inside the tool; exits nonzero if either half misbehaves)
+python tools/gate_onnx_surface.py --model-dir "$OUT/model" \
+  --out artifacts/e2e_wer_gate_onnx_pipeline.json 2>&1 | tee "$OUT/onnx.log"
 
 python - "$OUT" <<'EOF'
 import json, sys, os
