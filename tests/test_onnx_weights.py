@@ -416,3 +416,45 @@ def test_onnx_streaming_encoder_graph_closed_loop(tmp_path, rng):
             "cache_last_time": got["cache_last_time_out"],
             "cache_last_channel_len": got["cache_last_channel_len_out"],
         }
+
+
+def test_cache_provenance_tracer(tmp_path, rng, capsys):
+    """tools/inspect_onnx/trace_cache_provenance.py (reference
+    tools/onnxruntime/inspect_streaming_cache_graph.py:49-104): every cache
+    output of the exported streaming graph must transitively depend on the
+    fresh chunk AND its carried-in cache tensor. Positive case on a real
+    tiny export; negative case on a tampered graph whose time cache is a
+    pass-through Identity (the reference's frozen-cache failure mode)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from trt_asr_tpu.io.onnx_lite import OnnxNode
+    from tools.inspect_onnx.trace_cache_provenance import main as trace_main
+
+    cfg = ModelConfig.tiny(att_cache_size=8)
+    params = init_params(cfg, seed=3)
+    out = str(tmp_path / "export")
+    export_params_to_onnx(params, cfg, out, external_threshold=None,
+                          encoder_t_in=57)
+
+    argv = sys.argv
+    try:
+        sys.argv = ["x", out, "--quiet"]
+        assert trace_main() == 0
+        capsys.readouterr()
+
+        # tamper: cache_last_time_out becomes Identity(cache_last_time)
+        good = read_onnx(os.path.join(out, "encoder_streaming.onnx"))
+        keep = [n for n in good.nodes
+                if "cache_last_time_out" not in n.outputs]
+        keep.append(OnnxNode("Identity", ["cache_last_time"],
+                             ["cache_last_time_out"], "frozen_tc"))
+        bad = str(tmp_path / "bad.onnx")
+        write_onnx(bad, "enc_stream_bad",
+                   {k: v.array for k, v in good.initializers.items()},
+                   inputs=good.inputs, outputs=good.outputs, nodes=keep)
+        sys.argv = ["x", bad, "--quiet"]
+        assert trace_main() == 1
+        assert "does not depend on audio_signal" in capsys.readouterr().out
+    finally:
+        sys.argv = argv
