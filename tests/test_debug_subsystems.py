@@ -219,3 +219,40 @@ def test_blank_scan_summary(capfd):
     err = capfd.readouterr().err
     assert "blank_scan: steps=" in err and "blank_pref=" in err
     assert sess_b.text == sess_a.text
+
+
+def test_compare_snapshots_tool(tmp_path):
+    """tools/parity/compare_snapshots.py (reference
+    tools/onnxruntime/compare_encoder_step0.py role, generalized to all
+    chunks): identical runs compare clean; a perturbed run (the
+    two-backends-drifting scenario the tool exists for) must surface as
+    cache/predictor-state divergence with a first-divergence chunk."""
+    model = ParakeetTDT.random(ModelConfig.tiny(), seed=5)
+    t = np.arange(32000)
+    audio = (0.4 * np.sin(2 * np.pi * 300 * t / 16000)
+             + 0.1 * np.sin(2 * np.pi * 1100 * t / 16000)).astype(np.float32)
+
+    def run(name, wav, **rt_kw):
+        d = str(tmp_path / name)
+        sess = StreamingSession(model, RuntimeConfig(snapshot_dir=d, **rt_kw))
+        sess.push_audio(wav)
+        sess.finalize()
+        return d
+
+    a = run("a", audio)
+    b = run("b", audio)
+    sab = run("sab", audio * 1.01)
+
+    tool = os.path.join(REPO, "tools", "parity", "compare_snapshots.py")
+    same = subprocess.run(
+        [sys.executable, tool, a, b, "--summary", str(tmp_path / "s.json")],
+        capture_output=True, text=True)
+    assert same.returncode == 0, same.stdout + same.stderr
+    assert "PASS" in same.stdout
+    summary = json.load(open(tmp_path / "s.json"))
+    assert summary["pass"] and summary["chunks_compared"] >= 2
+
+    diff = subprocess.run([sys.executable, tool, a, sab],
+                          capture_output=True, text=True)
+    assert diff.returncode == 1, diff.stdout + diff.stderr
+    assert "FAIL" in diff.stdout and "FIRST BAD chunk_" in diff.stdout
