@@ -44,6 +44,8 @@ def _wait_for_device(max_wait_s: float) -> None:
     import subprocess
     import time as _t
 
+    if max_wait_s <= 0:
+        return
     deadline = _t.monotonic() + max_wait_s
     attempt = 0
     while True:
@@ -51,7 +53,8 @@ def _wait_for_device(max_wait_s: float) -> None:
         try:
             r = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=180, capture_output=True, env=os.environ.copy())
+                timeout=max(1.0, min(180.0, deadline - _t.monotonic())),
+                capture_output=True, env=os.environ.copy())
             if r.returncode == 0:
                 if attempt > 1:
                     print(f"device up after {attempt} probes", file=sys.stderr)

@@ -456,5 +456,19 @@ def test_cache_provenance_tracer(tmp_path, rng, capsys):
         sys.argv = ["x", bad, "--quiet"]
         assert trace_main() == 1
         assert "does not depend on audio_signal" in capsys.readouterr().out
+
+        # tamper: len output frozen to a pass-through of the len input —
+        # still "depends on" it, so only the computed-ops check catches it
+        keep2 = [n for n in good.nodes
+                 if "cache_last_channel_len_out" not in n.outputs]
+        keep2.append(OnnxNode("Identity", ["cache_last_channel_len"],
+                              ["cache_last_channel_len_out"], "frozen_len"))
+        bad2 = str(tmp_path / "bad_len.onnx")
+        write_onnx(bad2, "enc_stream_bad_len",
+                   {k: v.array for k, v in good.initializers.items()},
+                   inputs=good.inputs, outputs=good.outputs, nodes=keep2)
+        sys.argv = ["x", bad2, "--quiet"]
+        assert trace_main() == 1
+        assert "pure pass-through" in capsys.readouterr().out
     finally:
         sys.argv = argv

@@ -34,7 +34,7 @@ REPO = __file__.rsplit("/tools/", 1)[0]
 sys.path.insert(0, REPO)
 
 from tools.onnx_pipeline import OnnxStreamingPipeline  # noqa: E402
-from tools.train_synthetic_e2e import make_words, synth_utterance  # noqa: E402
+from tools.train_synthetic_e2e import make_set, make_words  # noqa: E402
 
 
 class _DropTimeCarryPipeline(OnnxStreamingPipeline):
@@ -73,15 +73,9 @@ def main() -> int:
     model = ParakeetTDT.from_model_dir(args.model_dir)
     words = make_words(model.cfg.vocab_size)
 
-    # the r3 gate's held-out set: make_set(n, seed=2) geometry
+    # the r3 gate's held-out set — the SAME make_set the other surfaces use
     w_lo, w_hi = (int(x) for x in args.words_per_utt.split(","))
-    r = np.random.default_rng(2)
-    evals = []
-    for i in range(args.eval_utts):
-        k = int(r.integers(w_lo, w_hi))
-        forced = (i * 3) % len(words)
-        ids = [forced] + list(r.integers(0, len(words), size=k - 1))
-        evals.append((ids, synth_utterance(ids, r)))
+    evals = make_set(args.eval_utts, 2, words, w_lo, w_hi)
 
     export_dir = tempfile.mkdtemp(prefix="gate_onnx_")
     from trt_asr_tpu.io.onnx_weights import export_params_to_onnx
@@ -90,12 +84,17 @@ def main() -> int:
                           export_dir, encoder_t_in=57,
                           prompt_ids=model.prompt_ids)
 
+    # features computed ONCE for both passes (the surface under test is the
+    # exported-graph model compute path, not the frontend)
+    feat_sets = [np.asarray(StreamingLogMel(model.frontend).push(audio))
+                 for _, audio in evals]
+
     def run(pipeline_cls):
         refs, hyps = [], []
+        pipe = pipeline_cls(export_dir)   # one graph parse; reset per utt
         t0 = time.perf_counter()
-        for ids, audio in evals:
-            feats = np.asarray(StreamingLogMel(model.frontend).push(audio))
-            pipe = pipeline_cls(export_dir)
+        for (ids, _), feats in zip(evals, feat_sets):
+            pipe.reset()
             pipe.push_features(feats)
             pipe.finalize()
             refs.append(" ".join(words[k] for k in ids))

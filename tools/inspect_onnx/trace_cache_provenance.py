@@ -8,8 +8,9 @@ output turned out not to depend on the current chunk). This version adds an
 automated verdict on top of the trace: every cache output must transitively
 depend BOTH on the fresh chunk content (`audio_signal`) and on its own
 carried-in cache tensor, and the length bookkeeping output must derive from
-the length input — the exact invariants whose violation produced the
-reference's frozen-cache failure mode.
+the length input through real arithmetic (a pure Identity/Reshape
+pass-through — a len that never advances — fails) — the exact invariants
+whose violation produced the reference's frozen-cache failure mode.
 
     python tools/inspect_onnx/trace_cache_provenance.py <export_dir_or_onnx>
         [--depth 6] [--quiet]
@@ -34,6 +35,11 @@ REQUIRED_DEPS = {
     "cache_last_channel_len_out": ("cache_last_channel_len",),
 }
 
+# ops that merely move data; a trace made ONLY of these is a frozen
+# pass-through, not an update
+PASSTHROUGH_OPS = frozenset(
+    {"Identity", "Cast", "Reshape", "Squeeze", "Unsqueeze", "Transpose"})
+
 
 def _producer_map(m):
     prod = {}
@@ -54,10 +60,11 @@ def _preview(t):
 
 
 def trace(name, prod, inits, graph_inputs, max_depth, quiet):
-    """Depth-limited BFS print + full-depth reachable-input collection."""
+    """Depth-limited BFS print + full-depth reachable-input/op collection."""
     if not quiet:
         print(f"\n=== {name} (printed to depth {max_depth}) ===")
     reached_inputs = set()
+    ops_seen = set()
     seen = set()
     q = deque([(name, 0)])
     while q:
@@ -85,10 +92,11 @@ def trace(name, prod, inits, graph_inputs, max_depth, quiet):
         if cur in seen:
             continue
         seen.add(cur)
+        ops_seen.add(node.op_type)
         for inp in node.inputs:
             if inp:
                 q.append((inp, depth + 1))
-    return reached_inputs
+    return reached_inputs, ops_seen
 
 
 def main() -> int:
@@ -111,8 +119,8 @@ def main() -> int:
         if out_name not in m.outputs:
             failures.append(f"{out_name}: not a graph output")
             continue
-        reached = trace(out_name, prod, m.initializers, graph_inputs,
-                        args.depth, args.quiet)
+        reached, ops_seen = trace(out_name, prod, m.initializers,
+                                  graph_inputs, args.depth, args.quiet)
         for need in required:
             status = "ok" if need in reached else "MISSING"
             print(f"{out_name}: depends on {need}: {status}")
@@ -120,6 +128,14 @@ def main() -> int:
                 failures.append(f"{out_name} does not depend on {need} — "
                                 "cache carryover/update is broken in the "
                                 "exported graph")
+        if out_name == "cache_last_channel_len_out":
+            real_ops = ops_seen - PASSTHROUGH_OPS
+            status = "ok" if real_ops else "MISSING"
+            print(f"{out_name}: computed (non-pass-through ops): {status}")
+            if not real_ops:
+                failures.append(f"{out_name} is a pure pass-through "
+                                f"({sorted(ops_seen)}) — the cache length "
+                                "never advances")
 
     if failures:
         for f in failures:

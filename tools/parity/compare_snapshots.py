@@ -56,7 +56,7 @@ def main() -> int:
 
     chunks_a = sorted(x for x in os.listdir(args.dir_a)
                       if x.startswith("chunk_"))
-    chunks_b = set(os.listdir(args.dir_b))
+    chunks_b = {x for x in os.listdir(args.dir_b) if x.startswith("chunk_")}
     common = [c for c in chunks_a if c in chunks_b]
     if not common:
         print("no common chunk_* dirs")

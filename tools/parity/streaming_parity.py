@@ -133,10 +133,6 @@ def main() -> int:
         if not onnx_model.nodes:
             raise SystemExit("encoder_streaming.onnx carries no compute nodes")
         window = cfg.chunk_size_frames[1] + cfg.pre_encode_cache_size[1]
-        tq_static = window
-        for _ in range(cfg.stride_stages):
-            tq_static = (tq_static - 1) // 2 + 1
-        tq_static -= cfg.drop_extra_pre_encoded
         onnx_cache = None
 
     records = list(read_jsonl(args.goldens))
@@ -188,8 +184,11 @@ def main() -> int:
                 "length": np.array([length], np.int64), **onnx_cache})
             ms = (time.perf_counter() - t0) * 1e3
             t_post = int(g_out["encoded_lengths"][0])
+            # steady-chunk valid length is the contract's valid_out_len
+            # (cross-field-validated: steady window subsampled minus
+            # cache_drop, contract.py) — same read onnx_pipeline.py:223 uses
             out_len_v = t_post if rec["is_last"] \
-                else min(t_post, tq_static - cfg.cache_drop_size)
+                else min(t_post, cfg.valid_out_len)
             enc = np.transpose(g_out["encoder_output"], (0, 2, 1))
             got_lc = g_out["cache_last_channel_out"]
             got_lt = g_out["cache_last_time_out"]

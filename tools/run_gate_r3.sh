@@ -54,20 +54,25 @@ import json, sys, os
 out = sys.argv[1]
 clean = json.load(open(os.path.join(out, "gate_clean.json")))
 sab = json.load(open(os.path.join(out, "gate_sabotage.json")))
+onnx = json.load(open("artifacts/e2e_wer_gate_onnx_pipeline.json"))
+bar = clean["config"]["gate_wer"]
 merged = {
     "profile": {
         "vocab_size": clean["vocab_size"], "words_per_utt": "8,13",
         "eval_utts": clean["config"]["eval_utts"],
-        "gate_wer": clean["config"]["gate_wer"],
-        "surfaces": clean["config"]["surfaces"],
+        "gate_wer": bar,
+        "surfaces": clean["config"]["surfaces"] + ",onnx_pipeline",
     },
     "clean": clean,
     "sabotage_drop_time_carry": sab,
+    "onnx_pipeline": onnx,
     "verdict": {
         "clean_pass_all_surfaces": all(
-            g["pass"] for g in clean["gate_per_surface"].values()),
+            g["pass"] for g in clean["gate_per_surface"].values())
+            and onnx["clean"]["wer"] <= bar,
         "sabotage_fails_all_surfaces": all(
-            not g["pass"] for g in sab["gate_per_surface"].values()),
+            not g["pass"] for g in sab["gate_per_surface"].values())
+            and onnx["sabotage_drop_time_carry"]["wer"] > bar,
     },
 }
 path = "artifacts/e2e_wer_gate_r3.json"

@@ -90,6 +90,22 @@ def synth_utterance(word_ids, rng, sr=16000, tail_s=0.6) -> np.ndarray:
     return np.concatenate(parts)
 
 
+def make_set(n, seed, words, w_lo, w_hi):
+    """Deterministic utterance set; seed=1 is the training set, seed=2 the
+    held-out eval set. Shared with tools/gate_onnx_surface.py so the 4th
+    gate surface replays the EXACT same held-out utterances — any change to
+    the sampling here changes all surfaces together."""
+    r = np.random.default_rng(seed)
+    utts = []
+    for i in range(n):
+        k = int(r.integers(w_lo, w_hi))
+        # guarantee full vocabulary coverage across the training set
+        forced = (i * 3) % len(words)
+        ids = [forced] + list(r.integers(0, len(words), size=k - 1))
+        utts.append((ids, synth_utterance(ids, r)))
+    return utts
+
+
 def add_noise(audio: np.ndarray, snr_db: float, rng) -> np.ndarray:
     """Additive white noise at the given SNR."""
     p_sig = float(np.mean(audio ** 2)) + 1e-12
@@ -203,19 +219,8 @@ def main() -> int:
     # ---- dataset ----
     w_lo, w_hi = (int(x) for x in args.words_per_utt.split(","))
 
-    def make_set(n, seed):
-        r = np.random.default_rng(seed)
-        utts = []
-        for i in range(n):
-            k = int(r.integers(w_lo, w_hi))
-            # guarantee full vocabulary coverage across the training set
-            forced = (i * 3) % len(words)
-            ids = [forced] + list(r.integers(0, len(words), size=k - 1))
-            utts.append((ids, synth_utterance(ids, r)))
-        return utts
-
-    train = make_set(args.train_utts, 1)
-    evals = make_set(args.eval_utts, 2)
+    train = make_set(args.train_utts, 1, words, w_lo, w_hi)
+    evals = make_set(args.eval_utts, 2, words, w_lo, w_hi)
     if args.train_noise_snr_db > 0:
         # augment by APPENDING noisy copies — replacing half the clean set
         # in place pushed the tiny model into memorization (train loss 0.11
