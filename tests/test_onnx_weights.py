@@ -458,7 +458,7 @@ def test_cache_provenance_tracer(tmp_path, rng, capsys):
         assert "does not depend on audio_signal" in capsys.readouterr().out
 
         # tamper: len output frozen to a pass-through of the len input —
-        # still "depends on" it, so only the computed-ops check catches it
+        # still "depends on" it, so only the advancing-ops check catches it
         keep2 = [n for n in good.nodes
                  if "cache_last_channel_len_out" not in n.outputs]
         keep2.append(OnnxNode("Identity", ["cache_last_channel_len"],
@@ -469,6 +469,27 @@ def test_cache_provenance_tracer(tmp_path, rng, capsys):
                    inputs=good.inputs, outputs=good.outputs, nodes=keep2)
         sys.argv = ["x", bad2, "--quiet"]
         assert trace_main() == 1
-        assert "pure pass-through" in capsys.readouterr().out
+        assert "no advancing arithmetic" in capsys.readouterr().out
+
+        # tamper: len output is Clip(len_in) — a bounding op that still
+        # never advances the length; a non-pass-through-only check would
+        # wrongly certify this as healthy
+        len_clip = [n for n in good.nodes
+                    if "cache_last_channel_len_out" not in n.outputs]
+        cap = np.asarray([cfg.att_cache_size], dtype=np.int64)
+        len_clip.append(OnnxNode("Clip",
+                                 ["cache_last_channel_len", "len_zero_c",
+                                  "len_cap_c"],
+                                 ["cache_last_channel_len_out"],
+                                 "bounded_frozen_len"))
+        inits3 = {k: v.array for k, v in good.initializers.items()}
+        inits3["len_zero_c"] = np.asarray([0], dtype=np.int64)
+        inits3["len_cap_c"] = cap
+        bad3 = str(tmp_path / "bad_len_clip.onnx")
+        write_onnx(bad3, "enc_stream_bad_len_clip", inits3,
+                   inputs=good.inputs, outputs=good.outputs, nodes=len_clip)
+        sys.argv = ["x", bad3, "--quiet"]
+        assert trace_main() == 1
+        assert "no advancing arithmetic" in capsys.readouterr().out
     finally:
         sys.argv = argv

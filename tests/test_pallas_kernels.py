@@ -413,3 +413,33 @@ class TestFlashAttention:
             np.testing.assert_allclose(np.asarray(got)[i, :n],
                                        np.asarray(want)[i, :n],
                                        atol=5e-5, rtol=1e-4)
+
+
+def test_flash_fallback_warns_and_counts(rng):
+    """use_flash with unmet static gating (tq != tkv) must warn at trace
+    time and leave flash_trace_counts 'taken' unchanged — a perf row
+    labelled 'flash' can then be detected as an XLA-path measurement."""
+    import warnings as _warnings
+
+    import jax.numpy as jnp
+
+    from trt_asr_tpu.ops import attention as att
+
+    b, tq, tkv, h, dh = 1, 4, 6, 2, 8
+    q = jnp.asarray(rng.standard_normal((b, tq, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, tkv, h, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, tkv, h, dh)), jnp.float32)
+    pp = jnp.asarray(rng.standard_normal((tq + tkv - 1, h, dh)), jnp.float32)
+    bu = jnp.zeros((h, dh), jnp.float32)
+    wo = jnp.eye(h * dh, dtype=jnp.float32)
+
+    before = dict(att.flash_trace_counts)
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        out = att.rel_pos_attention_kv(q, k, v, pp, bu, bu, wo,
+                                       use_flash=True)
+    assert out.shape == (b, tq, h * dh)
+    assert att.flash_trace_counts["requested"] == before["requested"] + 1
+    assert att.flash_trace_counts["taken"] == before["taken"]
+    assert any("use_flash requested but unavailable" in str(w.message)
+               for w in rec)

@@ -202,3 +202,31 @@ def test_trace_topk_fields(tmp_path):
     # topk[0] must be the argmax the decode actually took
     assert all(r["topk"][0][0] == r["best_tok"] or r["is_blank"]
                for r in steps)
+
+
+def test_perf_sweep_tiny_smoke(tmp_path):
+    """tools/perf_sweep.py code paths under TRT_ASR_SWEEP_TINY (CPU, tiny
+    model): (a) bucketed corpus mode measures every batch and records the
+    measured-wall methodology; (b) offline --flash-att rows carry the
+    flash_active trace verdict so a silent XLA fallback can't masquerade
+    as a flash measurement."""
+    env = {**os.environ, "PYTHONPATH": REPO, "TRT_ASR_SWEEP_TINY": "1"}
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/perf_sweep.py"),
+         "--bucket-secs", "2,4", "--batches", "2",
+         "--out", str(tmp_path / "b1_sweep.json")],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    art = json.load(open(tmp_path / "offline_bucketed.json"))
+    row = art["configs"]["bucketed"]
+    assert row["bucketed"]["wall_s"] > 0 and row["pad_to_max"]["wall_s"] > 0
+    assert "every batch measured" in row["methodology"]
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/perf_sweep.py"),
+         "--offline", "2", "--batches", "2", "--flash-att",
+         "--out", str(tmp_path / "b1_sweep2.json")],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    art = json.load(open(tmp_path / "offline_sweep2.json"))
+    assert art["configs"]["b2_flash"]["flash_active"] is True

@@ -8,8 +8,9 @@ output turned out not to depend on the current chunk). This version adds an
 automated verdict on top of the trace: every cache output must transitively
 depend BOTH on the fresh chunk content (`audio_signal`) and on its own
 carried-in cache tensor, and the length bookkeeping output must derive from
-the length input through real arithmetic (a pure Identity/Reshape
-pass-through — a len that never advances — fails) — the exact invariants
+the length input through ADVANCING arithmetic (Add/Sub/Sum; a pure
+Identity/Reshape pass-through OR a bounding-only Clip/Min/Max of the
+carried len — a len that never advances — fails) — the exact invariants
 whose violation produced the reference's frozen-cache failure mode.
 
     python tools/inspect_onnx/trace_cache_provenance.py <export_dir_or_onnx>
@@ -35,10 +36,12 @@ REQUIRED_DEPS = {
     "cache_last_channel_len_out": ("cache_last_channel_len",),
 }
 
-# ops that merely move data; a trace made ONLY of these is a frozen
-# pass-through, not an update
-PASSTHROUGH_OPS = frozenset(
-    {"Identity", "Cast", "Reshape", "Squeeze", "Unsqueeze", "Transpose"})
+# ops that can actually ADVANCE the length value. Bounding ops (Clip /
+# Min / Max) and data movers (Identity / Cast / Reshape / ...) cannot: a
+# len_out of Clip(len_in, 0, C) is exactly the never-advancing frozen-cache
+# failure mode and must FAIL, so the check requires at least one op from
+# this set rather than merely one op outside a pass-through set.
+ADVANCING_OPS = frozenset({"Add", "Sub", "Sum"})
 
 
 def _producer_map(m):
@@ -129,13 +132,14 @@ def main() -> int:
                                 "cache carryover/update is broken in the "
                                 "exported graph")
         if out_name == "cache_last_channel_len_out":
-            real_ops = ops_seen - PASSTHROUGH_OPS
-            status = "ok" if real_ops else "MISSING"
-            print(f"{out_name}: computed (non-pass-through ops): {status}")
-            if not real_ops:
-                failures.append(f"{out_name} is a pure pass-through "
-                                f"({sorted(ops_seen)}) — the cache length "
-                                "never advances")
+            adv_ops = ops_seen & ADVANCING_OPS
+            status = "ok" if adv_ops else "MISSING"
+            print(f"{out_name}: advancing arithmetic "
+                  f"({sorted(adv_ops) or sorted(ops_seen)}): {status}")
+            if not adv_ops:
+                failures.append(f"{out_name} has no advancing arithmetic "
+                                f"(only {sorted(ops_seen)}) — the cache "
+                                "length never advances")
 
     if failures:
         for f in failures:

@@ -71,8 +71,14 @@ def main() -> int:
     from trt_asr_tpu.streaming.batch_engine import _batch_step
     from trt_asr_tpu.streaming.session import _session_step
 
+    # CPU smoke knob: tiny model on the CPU backend so the sweep code
+    # paths (incl. bucketed corpus measurement) are testable without the
+    # TPU tunnel; numbers produced this way are NOT perf artifacts
+    tiny = os.environ.get("TRT_ASR_SWEEP_TINY") == "1"
+    if tiny:
+        jax.config.update("jax_platforms", "cpu")
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
-    cfg = ModelConfig()
+    cfg = ModelConfig.tiny() if tiny else ModelConfig()
     t0 = time.time()
     params_np = init_params(cfg, seed=0)
     print(f"init: {time.time()-t0:.0f}s", file=sys.stderr)
@@ -400,10 +406,22 @@ def _offline_sweep(args, cfg, params) -> int:
         feats0 = jnp.asarray(
             rng.standard_normal((b, frames, cfg.feat_in)).astype(np.float32))
         t0 = time.time()
+        flash_active = {}
+        from trt_asr_tpu.ops import attention as _att
         for fl in variants:
+            before = dict(_att.flash_trace_counts)
             toks, _ = run(params, feats0, b, frames, flash=fl)
             _ = np.asarray(toks)
             _ = np.asarray(enc_only(params, feats0, b, frames, flash=fl)[..., -1:])
+            after = _att.flash_trace_counts
+            # static gating can silently fall back to the XLA path; a row
+            # labelled "flash" that measured the XLA kernel is fabricated
+            flash_active[fl] = (not fl) or after["taken"] > before["taken"] \
+                or after["requested"] == before["requested"]  # cached program
+            if fl and not flash_active[fl]:
+                print(f"WARNING: B={b} flash variant fell back to the XLA "
+                      "path at trace time — row marked flash_active=false",
+                      file=sys.stderr)
         print(f"B={b} compile+first: {time.time()-t0:.0f}s", file=sys.stderr)
         flops = encoder_flops(cfg, b, frames)
         walls = _measure_bf(b, frames, feats0, variants)
@@ -420,6 +438,8 @@ def _offline_sweep(args, cfg, params) -> int:
                 "encoder_wall_ms": round(best_enc * 1e3, 1),
                 "encoder_gflop_analytic": round(flops / 1e9, 1),
                 "encoder_mfu_pct_bf16_peak": round(mfu * 100, 1)}
+            if fl:
+                results["configs"][tag]["flash_active"] = flash_active[fl]
     out = args.out.replace("b1_sweep", "offline_sweep")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
@@ -433,7 +453,9 @@ def _bucketed_sweep(args, cfg, params, results, run, enc_only, rng) -> int:
     a corpus of utterances with durations log-uniform across the bucket
     range, pad each only to its bucket's duration, and process bucket by
     bucket — vs the naive pad-everything-to-max baseline. One compiled
-    program per (bucket, B); RTFx is REAL audio seconds over wall."""
+    program per (bucket, B); RTFx is REAL audio seconds over a MEASURED
+    corpus wall (every batch executed, partial final batches padded to
+    full B; min over two interleaved corpus rounds)."""
     import jax.numpy as jnp
 
     buckets = sorted(float(s) for s in args.bucket_secs.split(","))
@@ -445,22 +467,32 @@ def _bucketed_sweep(args, cfg, params, results, run, enc_only, rng) -> int:
               else buckets[-1] for d in durs]
     real_audio = float(np.sum(durs))
 
-    def process(groups):
-        """groups: list of (frames, count). Returns fenced wall seconds."""
-        total = 0.0
-        for frames, count in groups:
-            feats0 = jnp.asarray(rng.standard_normal(
+    feats_cache = {}
+
+    def _feats(frames):
+        if frames not in feats_cache:
+            feats_cache[frames] = jnp.asarray(rng.standard_normal(
                 (b, frames, cfg.feat_in)).astype(np.float32))
-            toks, _ = run(params, feats0, b, frames)     # compile / cache hit
+            toks, _ = run(params, feats_cache[frames], b, frames)  # compile
             _ = np.asarray(toks)
-            n_batches = int(np.ceil(count / b))
-            best = 1e9
-            for salt in (0.03, 0.11):
+        return feats_cache[frames]
+
+    def corpus_pass(groups, salt0):
+        """groups: list of (frames, count). Runs EVERY batch of the corpus
+        (partial final batches execute padded to full B — the real cost of
+        one static program per bucket), inputs salted per batch so the
+        tunnel cannot memoize, fenced via np.asarray. Returns the summed
+        measured wall — no per-batch extrapolation."""
+        total, k = 0.0, 0
+        for frames, count in groups:
+            feats0 = _feats(frames)
+            for _i in range(int(np.ceil(count / b))):
+                k += 1
                 t0 = time.perf_counter()
-                toks, _ = run(params, feats0 * (1 + salt), b, frames)
+                toks, _ = run(params, feats0 * (1 + salt0 + 0.013 * k),
+                              b, frames)
                 _ = np.asarray(toks)
-                best = min(best, time.perf_counter() - t0)
-            total += best * n_batches
+                total += time.perf_counter() - t0
         return total
 
     bucket_groups = []
@@ -468,8 +500,13 @@ def _bucketed_sweep(args, cfg, params, results, run, enc_only, rng) -> int:
         count = sum(1 for a in assign if a == s)
         if count:
             bucket_groups.append((int(s * 100), count))
-    wall_bucketed = process(bucket_groups)
-    wall_padmax = process([(int(buckets[-1] * 100), n_utts)])
+    padmax_groups = [(int(buckets[-1] * 100), n_utts)]
+    # two interleaved corpus rounds (bucketed then padmax within each) so
+    # the comparison stays inside one tunnel-speed window; min over rounds
+    wall_bucketed = wall_padmax = 1e9
+    for salt0 in (0.03, 0.11):
+        wall_bucketed = min(wall_bucketed, corpus_pass(bucket_groups, salt0))
+        wall_padmax = min(wall_padmax, corpus_pass(padmax_groups, salt0))
 
     out_cfg = {
         "n_utts": n_utts, "batch": b, "buckets_s": buckets,
@@ -480,6 +517,8 @@ def _bucketed_sweep(args, cfg, params, results, run, enc_only, rng) -> int:
         "pad_to_max": {"wall_s": round(wall_padmax, 3),
                        "rtfx_real_audio": round(real_audio / wall_padmax, 1)},
         "bucketing_speedup": round(wall_padmax / wall_bucketed, 2),
+        "methodology": "every batch measured (partial finals padded to B); "
+                       "min over 2 interleaved corpus rounds",
     }
     results["configs"]["bucketed"] = out_cfg
     print(f"bucketed: {wall_bucketed*1e3:.0f} ms vs pad-to-max "

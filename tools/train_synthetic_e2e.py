@@ -343,6 +343,10 @@ def _evaluate(args, words, evals, mdir) -> int:
     surfaces = [s.strip() for s in args.surfaces.split(",") if s.strip()]
     native_env = {"TRT_ASR_QUANT": "all", "TRT_ASR_PALLAS_ATT": "1"}
     matrix = {}
+    # per-surface gate row: "base" when run, else the surface's first
+    # variant — a --variants list without "base" must still produce a
+    # gate verdict (and the artifact), not a KeyError after hours of work
+    gate_variants = {}
     for surface in surfaces:
         surf_tags = manifests if surface == "python" else {
             "clean": manifests["clean"]}
@@ -361,6 +365,8 @@ def _evaluate(args, words, evals, mdir) -> int:
                 man_n = os.path.join(args.out_dir, "eval_clean_native.tsv")
                 write_manifest(man_n, sub)
                 surf_tags = {"clean": man_n}
+        gate_variants[surface] = ("base" if "base" in surf_variants
+                                  else surf_variants[0])
         try:
             for tag, man in surf_tags.items():
                 for sim in surf_sims:
@@ -390,21 +396,24 @@ def _evaluate(args, words, evals, mdir) -> int:
                 else:
                     os.environ[k] = v
 
-    gates = {s: matrix[f"{s}/clean/base/sim{sims[0]}"] for s in surfaces}
+    gates = {s: matrix[f"{s}/clean/{gate_variants[s]}/sim{sims[0]}"]
+             for s in surfaces}
     # streaming-granularity invariance across sims (python surface)
-    sim_wers = [matrix[f"python/clean/base/sim{s}"]["wer"] for s in sims] \
-        if "python" in surfaces else []
+    sim_wers = ([matrix[f"python/clean/{gate_variants['python']}/sim{s}"]["wer"]
+                 for s in sims] if "python" in surfaces else [])
     if args.artifact:
         with open(args.artifact, "w") as f:
             json.dump({"config": vars(args), "vocab_size": len(words),
                        "matrix": matrix,
                        "gate_per_surface": {
                            s: {"wer": g["wer"],
+                               "variant": gate_variants[s],
                                "pass": g["wer"] <= args.gate_wer}
                            for s, g in gates.items()}}, f, indent=1)
         print(f"wrote {args.artifact}")
     for s, g in gates.items():
-        print(f"HELD-OUT WER ({s}/clean/base): {g['wer']*100:.2f}%")
+        print(f"HELD-OUT WER ({s}/clean/{gate_variants[s]}): "
+              f"{g['wer']*100:.2f}%")
     if sim_wers:
         print(f"granularity sweep: {[f'{w*100:.2f}%' for w in sim_wers]}")
     fails = {s: g["wer"] for s, g in gates.items() if g["wer"] > args.gate_wer}

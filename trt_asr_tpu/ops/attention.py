@@ -24,6 +24,7 @@ TPU-first design notes:
 from __future__ import annotations
 
 import math
+import warnings
 from typing import Dict, Optional
 
 import jax
@@ -31,6 +32,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from trt_asr_tpu.ops.common import einsum, matmul
+
+# Trace-time accounting: the flash gating below is static (shapes /
+# rel_idx None-ness), so a program compiled with use_flash=True may
+# silently contain the XLA path. Perf harnesses snapshot these counters
+# around compilation to verify a row labelled "flash" actually took the
+# kernel (tools/perf_sweep.py).
+flash_trace_counts = {"requested": 0, "taken": 0}
 
 
 def sinusoidal_pos_table(tq: int, tkv: int, d_model: int, dtype=jnp.float32) -> jnp.ndarray:
@@ -98,13 +106,24 @@ def rel_pos_attention_kv(
         bd = jnp.take_along_axis(pd, rel_idx[:, None].astype(jnp.int32),
                                  axis=-1)
 
-    if use_flash and rel_idx is None and tq == tkv and dh <= 128:
-        from trt_asr_tpu.ops.pallas.flash_att_kernel import flash_bias_attention
+    if use_flash:
+        flash_trace_counts["requested"] += 1
+        if rel_idx is None and tq == tkv and dh <= 128:
+            from trt_asr_tpu.ops.pallas.flash_att_kernel import \
+                flash_bias_attention
 
-        mask = kv_mask if kv_mask is not None \
-            else jnp.ones((b, tkv), bool)
-        out = flash_bias_attention(q_u, k, v, bd, mask)
-        return matmul(out.astype(q.dtype), wo)
+            flash_trace_counts["taken"] += 1
+            mask = kv_mask if kv_mask is not None \
+                else jnp.ones((b, tkv), bool)
+            out = flash_bias_attention(q_u, k, v, bd, mask)
+            return matmul(out.astype(q.dtype), wo)
+        reason = ("cached/ring kv (rel_idx given)" if rel_idx is not None
+                  else f"tq={tq} != tkv={tkv}" if tq != tkv
+                  else f"head_dim={dh} > 128")
+        warnings.warn(f"use_flash requested but unavailable ({reason}); "
+                      "falling back to the XLA attention path — do not "
+                      "label this program 'flash' in perf artifacts",
+                      stacklevel=2)
 
     ac = einsum("bthd,bshd->bhts", q_u, k)                       # [B,H,Tq,Tkv]
     scores = (ac + bd).astype(jnp.float32) / math.sqrt(dh)
