@@ -4,17 +4,23 @@
 #include "backend.h"
 
 #include <deque>
+#include <mutex>
 #include <string>
 
 namespace trt_asr {
 
 namespace {
 
+// Event queue is mutex-guarded like the reference's ParakeetSession queue
+// (parakeet_trt.cpp:1649-1650): a daemon embedding the C ABI may poll from
+// a different thread than the one pushing features. The Python backend gets
+// the same serialization from the GIL; this one needs it explicitly.
 class MockBackend final : public Backend {
   public:
     bool init(const std::string&, std::string&) override { return true; }
 
     void reset_utterance() override {
+        std::lock_guard<std::mutex> lk(mu_);
         total_frames_ = 0;
         partial_sent_ = false;
         segment_++;
@@ -22,6 +28,7 @@ class MockBackend final : public Backend {
     }
 
     bool push_features(const float*, size_t frames, std::string&) override {
+        std::lock_guard<std::mutex> lk(mu_);
         total_frames_ += frames;
         if (total_frames_ >= 100 && !partial_sent_) {
             partial_sent_ = true;
@@ -33,6 +40,7 @@ class MockBackend final : public Backend {
     }
 
     bool finalize(std::string&) override {
+        std::lock_guard<std::mutex> lk(mu_);
         events_.push_back({1, segment_,
                            "Mock transcription for " + std::to_string(total_frames_) +
                                " frames", ""});
@@ -40,6 +48,7 @@ class MockBackend final : public Backend {
     }
 
     bool poll(BackendEvent& ev) override {
+        std::lock_guard<std::mutex> lk(mu_);
         if (events_.empty()) return false;
         ev = events_.front();
         events_.pop_front();
@@ -50,6 +59,7 @@ class MockBackend final : public Backend {
     int n_mels() const override { return 128; }
 
   private:
+    std::mutex mu_;
     size_t total_frames_ = 0;
     bool partial_sent_ = false;
     int segment_ = 0;

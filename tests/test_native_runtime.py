@@ -242,3 +242,13 @@ def test_python_backend_fast_mode_env(built, tmp_path):
     assert fast.stdout.splitlines()[-1].startswith("Transcript:")
     # int8 on this tone-model keeps the transcript identical
     assert fast.stdout.splitlines()[-1] == base.stdout.splitlines()[-1]
+
+
+def test_abi_thread_smoke(built):
+    """cpp/tools/abi_thread_smoke: pusher thread + poller thread over the
+    C ABI (mock backend, mutex-guarded event queue — reference
+    parakeet_trt.cpp:1649-1650 parity). TSan-verified race-free."""
+    out = subprocess.run([os.path.join(BUILD, "abi_thread_smoke")],
+                         capture_output=True, text=True, timeout=60)
+    assert out.returncode == 0, out.stderr
+    assert "abi_thread_smoke ok" in out.stdout

@@ -168,3 +168,50 @@ def test_fast_mode_production_invariants(model):
         sess.push_audio(audio[16000:])
         sess.finalize()
     assert sess2._tokens == sess1._tokens == a._tokens
+
+
+def test_concurrent_push_poll(model):
+    """Event queue under a producer/consumer thread pair — the daemon
+    embedding pattern the reference serves with its mutex-guarded queue
+    (parakeet_trt.cpp:1649-1650). The poller drains WHILE the pusher
+    streams; the final transcript must equal the serial run's and every
+    polled event must be well-formed."""
+    import threading
+
+    audio = _audio()
+    _, serial_events = _run(model, audio, 8000)
+    serial_final = serial_events[-1].text
+
+    sess = StreamingSession(model, RuntimeConfig())
+    done = threading.Event()
+    push_err = []
+
+    def pusher():
+        try:
+            for s in range(0, len(audio), 8000):
+                sess.push_audio(audio[s : s + 8000])
+            sess.finalize()
+        except Exception as e:  # noqa: BLE001
+            push_err.append(e)
+        finally:
+            done.set()
+
+    events = []
+    t = threading.Thread(target=pusher)
+    t.start()
+    while not (done.is_set() and not push_err):
+        ev = sess.poll_event()
+        if ev is None:
+            if done.is_set():
+                break
+            continue
+        assert ev.type in (EventType.PARTIAL_TEXT, EventType.FINAL_TEXT,
+                           EventType.ERROR)
+        events.append(ev)
+    t.join()
+    assert not push_err, push_err
+    while (ev := sess.poll_event()) is not None:
+        events.append(ev)
+    finals = [e for e in events if e.type == EventType.FINAL_TEXT]
+    assert finals and finals[-1].text == serial_final
+    assert not any(e.type == EventType.ERROR for e in events)
