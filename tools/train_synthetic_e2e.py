@@ -181,6 +181,14 @@ def main() -> int:
                          "drop_time_carry): the gate must FAIL under it")
     ap.add_argument("--artifact", default="",
                     help="write the full suite-matrix JSON here")
+    ap.add_argument("--train-state-every", type=int, default=0,
+                    help="checkpoint params+optimizer to <out-dir>/"
+                         "train_state every N steps (0=off); resume a "
+                         "killed run with --resume-train-state")
+    ap.add_argument("--resume-train-state", action="store_true",
+                    help="resume from <out-dir>/train_state if present "
+                         "(bitwise: the batch-selection rng stream is "
+                         "fast-forwarded to the saved step)")
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse <out-dir>/model from a previous run (for "
                          "sabotage/ablation passes)")
@@ -287,10 +295,23 @@ def main() -> int:
         s=args.streaming_train))
 
     t0 = time.time()
-    for i in range(args.steps):
+    state_dir = os.path.join(args.out_dir, "train_state")
+    start = 0
+    if args.resume_train_state and \
+            os.path.exists(os.path.join(state_dir, "train_manifest.json")):
+        from trt_asr_tpu.train.checkpoint import load_train_state
+        params, opt_state, start = load_train_state(state_dir,
+                                                    init_opt(params))
+        for _ in range(start):  # re-align the batch-selection rng stream
+            rng.integers(0, b_all, size=bs)
+        print(f"resumed train state at step {start}", flush=True)
+    for i in range(start, args.steps):
         sel = rng.integers(0, b_all, size=bs)
         batch = Batch(feats[sel], feat_len[sel], labels[sel], label_len[sel])
         params, opt_state, m = step(params, opt_state, batch)
+        if args.train_state_every and (i + 1) % args.train_state_every == 0:
+            from trt_asr_tpu.train.checkpoint import save_train_state
+            save_train_state(state_dir, params, opt_state, step=i + 1)
         if i % max(args.steps // 10, 1) == 0 or i == args.steps - 1:
             hl = float(np.asarray(eval_loss(params, ev_batch)))
             print(f"step {i:4d}: loss {float(np.asarray(m['loss'])):8.4f} "
