@@ -128,6 +128,7 @@ int main(int argc, char** argv) {
     double stream_sim = 0.0;
     int n_mels = 0;  // 0 = from sidecar (replay) or 128 default
     bool raw_pcm = false, features_input = false, mock = false, no_sleep = false;
+    bool timestamps = false;
     std::string last_final;
 
     for (int i = 1; i < argc; ++i) {
@@ -142,6 +143,7 @@ int main(int argc, char** argv) {
         else if (a == "--dump-features") dump_features = next();
         else if (a == "--mock") mock = true;
         else if (a == "--no-sleep") no_sleep = true;
+        else if (a == "--timestamps") timestamps = true;
         else if (a[0] != '-') input = a;
         else {
             std::fprintf(stderr, "unknown flag %s\n", a.c_str());
@@ -152,7 +154,8 @@ int main(int argc, char** argv) {
         std::fprintf(stderr,
                      "usage: trt_asr_cli <input> --model-dir DIR [--stream-sim S] "
                      "[--raw-pcm] [--features-input] [--feature-norm none|per_feature] "
-                     "[--n-mels N] [--dump-features PATH] [--mock] [--no-sleep]\n");
+                     "[--n-mels N] [--dump-features PATH] [--mock] [--no-sleep] "
+                     "[--timestamps]\n");
         return 2;
     }
 
@@ -278,6 +281,23 @@ int main(int argc, char** argv) {
         }
     }
     std::printf("Transcript: %s\n", last_final.c_str());
+    if (timestamps) {
+        // "Word: [start end] word" lines, same surface as the Python CLI
+        std::string tsv = trt_asr_word_timestamps(sess);
+        size_t pos = 0;
+        while (pos < tsv.size()) {
+            size_t eol = tsv.find('\n', pos);
+            if (eol == std::string::npos) eol = tsv.size();
+            const std::string line = tsv.substr(pos, eol - pos);
+            pos = eol + 1;
+            const size_t t1 = line.find('\t');
+            const size_t t2 = line.find('\t', t1 + 1);
+            if (t1 == std::string::npos || t2 == std::string::npos) continue;
+            std::printf("Word: [%s %s] %s\n", line.substr(0, t1).c_str(),
+                        line.substr(t1 + 1, t2 - t1 - 1).c_str(),
+                        line.substr(t2 + 1).c_str());
+        }
+    }
     parakeet_destroy_session(sess);
     return 0;
 }

@@ -92,6 +92,13 @@ const char* trt_asr_runtime_info(ParakeetSession* session);
  * not a caller guess). Returns <=0 if unknown. */
 int trt_asr_n_mels(ParakeetSession* session);
 
+/* Word-level timestamps for the utterance so far, as TSV lines
+ * "start_s\tend_s\tword\n" (frame-anchored TDT decode timestamps —
+ * capability beyond the reference's text-only event protocol). The
+ * returned string is owned by the session and valid until the next call.
+ * Empty string when nothing has been emitted. */
+const char* trt_asr_word_timestamps(ParakeetSession* session);
+
 #ifdef __cplusplus
 }
 #endif

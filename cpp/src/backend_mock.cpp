@@ -58,6 +58,21 @@ class MockBackend final : public Backend {
     std::string info() const override { return "backend=mock"; }
     int n_mels() const override { return 128; }
 
+    std::string word_timestamps_tsv() override {
+        // Deterministic stand-in mirroring the mock transcript: one "word"
+        // per 100 pushed frames (10 ms each), evenly tiled — enough for
+        // hardware-free tests of the ABI/CLI timestamp plumbing.
+        std::lock_guard<std::mutex> lk(mu_);
+        std::string out;
+        const size_t words = total_frames_ / 100;
+        for (size_t i = 0; i < words; ++i) {
+            const double s = static_cast<double>(i);      // 100 frames = 1 s
+            out += std::to_string(s) + "\t" + std::to_string(s + 1.0) +
+                   "\tmock" + std::to_string(i) + "\n";
+        }
+        return out;
+    }
+
   private:
     std::mutex mu_;
     size_t total_frames_ = 0;

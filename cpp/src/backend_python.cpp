@@ -156,6 +156,20 @@ class PythonBackend final : public Backend {
     std::string info() const override { return "backend=tpu(jax embedded)"; }
     int n_mels() const override { return n_mels_; }
 
+    std::string word_timestamps_tsv() override {
+        Gil g;
+        PyObject* r = PyObject_CallMethod(bridge_, "word_timestamps_tsv", "O",
+                                          session_);
+        if (!r) {
+            PyErr_Clear();
+            return "";
+        }
+        const char* s = PyUnicode_AsUTF8(r);
+        std::string out = s ? s : "";
+        Py_DECREF(r);
+        return out;
+    }
+
   private:
     void call1(const char* name, PyObject* arg) {
         PyObject* r = PyObject_CallMethod(bridge_, name, "O", arg);

@@ -24,6 +24,8 @@ struct ParakeetSession {
     std::string debug_ctx;
     // event string storage (valid until next poll — ABI contract)
     std::string ev_text, ev_err;
+    // timestamp TSV storage (valid until next trt_asr_word_timestamps call)
+    std::string ts_tsv;
     bool finalized = false;
 };
 
@@ -180,6 +182,12 @@ const char* trt_asr_runtime_info(ParakeetSession* s) {
 
 int trt_asr_n_mels(ParakeetSession* s) {
     return s && s->backend ? s->backend->n_mels() : 0;
+}
+
+const char* trt_asr_word_timestamps(ParakeetSession* s) {
+    if (!s || !s->backend) return "";
+    s->ts_tsv = s->backend->word_timestamps_tsv();
+    return s->ts_tsv.c_str();
 }
 
 }  // extern "C"

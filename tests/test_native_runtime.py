@@ -46,11 +46,13 @@ def test_mock_backend_cli(built, tmp_path):
 
     wav = tmp_path / "t.wav"
     save_wav(str(wav), np.zeros(32000, np.float32))
-    out = subprocess.run([CLI, str(wav), "--mock"], capture_output=True,
-                         text=True, check=True)
+    out = subprocess.run([CLI, str(wav), "--mock", "--timestamps"],
+                         capture_output=True, text=True, check=True)
     assert "Final: Mock transcription for" in out.stdout
     assert "Transcript: Mock transcription for" in out.stdout
     assert "backend=mock" in out.stderr
+    # mock word timestamps: one word per 100 frames (198 pushed -> 1 word)
+    assert "Word: [0.000000 1.000000] mock0" in out.stdout
 
 
 def test_python_backend_cli(built, tmp_path, rng):
@@ -68,15 +70,23 @@ def test_python_backend_cli(built, tmp_path, rng):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
     env["JAX_PLATFORMS"] = "cpu"
-    out = subprocess.run([CLI, str(wav), "--model-dir", str(mdir)],
+    out = subprocess.run([CLI, str(wav), "--model-dir", str(mdir), "--timestamps"],
                          capture_output=True, text=True, env=env, timeout=420)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "Transcript:" in out.stdout
     assert "backend=tpu" in out.stderr
+    # embedded-path word timestamps: present iff something was transcribed
+    transcript = [l for l in out.stdout.splitlines()
+                  if l.startswith("Transcript:")][-1][len("Transcript:"):].strip()
+    words = [l for l in out.stdout.splitlines() if l.startswith("Word: [")]
+    if transcript:
+        assert words, out.stdout[-2000:]
+        starts = [float(l.split("[")[1].split()[0]) for l in words]
+        assert starts == sorted(starts)
     # determinism through the whole native stack
     out2 = subprocess.run([CLI, str(wav), "--model-dir", str(mdir)],
                           capture_output=True, text=True, env=env, timeout=420)
-    assert out.stdout.splitlines()[-1] == out2.stdout.splitlines()[-1]
+    assert f"Transcript: {transcript}" in out2.stdout
 
 
 def test_f16_push_matches_f32(built, tmp_path):

@@ -62,6 +62,14 @@ def _drain(sess: StreamingSession, transcript_done=False) -> None:
             print(f"Error: {ev.error_message}", file=sys.stderr, flush=True)
 
 
+def _print_timestamps(sess: StreamingSession, args) -> None:
+    if not args.timestamps:
+        return
+    for w in sess.word_timestamps():
+        print(f"Word: [{w['start_s']:.2f} {w['end_s']:.2f}] {w['word']}",
+              flush=True)
+
+
 def main(argv=None) -> int:
     from trt_asr_tpu.runtime.platform import ensure_requested_platform
 
@@ -78,6 +86,10 @@ def main(argv=None) -> int:
     ap.add_argument("--dump-features", default="")
     ap.add_argument("--no-sleep", action="store_true",
                     help="stream-sim without real-time pacing")
+    ap.add_argument("--timestamps", action="store_true",
+                    help="print word-level [start end] timings after the "
+                         "transcript (frame-anchored TDT timestamps — "
+                         "capability beyond the reference CLI)")
     args = ap.parse_args(argv)
 
     rt = RuntimeConfig.from_env()
@@ -100,6 +112,7 @@ def main(argv=None) -> int:
         sess.finalize()
         _drain(sess)
         print(f"Transcript: {sess.text}", flush=True)
+        _print_timestamps(sess, args)
         return 0
 
     # ---- audio load ----
@@ -138,6 +151,7 @@ def main(argv=None) -> int:
     sess.finalize()
     _drain(sess)
     print(f"Transcript: {sess.text}", flush=True)
+    _print_timestamps(sess, args)
     lat = sess.chunk_latencies_ms
     if lat:
         print(f"ChunkLatencyMs: p50={np.percentile(lat, 50):.2f} "

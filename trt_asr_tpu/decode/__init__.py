@@ -5,3 +5,7 @@ from trt_asr_tpu.decode.tdt_greedy import (  # noqa: F401
     prime_decode_state,
     tdt_greedy_decode_chunk,
 )
+from trt_asr_tpu.decode.timestamps import (  # noqa: F401
+    token_intervals,
+    word_intervals,
+)

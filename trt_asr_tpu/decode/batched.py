@@ -32,7 +32,8 @@ from trt_asr_tpu.models.parakeet.predictor import predictor_step
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_tokens", "max_symbols", "use_punct_mask",
-                     "blank_penalty", "use_pallas_joint", "pallas_interpret"),
+                     "blank_penalty", "use_pallas_joint", "pallas_interpret",
+                     "with_timestamps"),
 )
 def tdt_greedy_decode_batch(
     params: Dict[str, Any],
@@ -49,8 +50,13 @@ def tdt_greedy_decode_batch(
     use_punct_mask: bool = False,
     use_pallas_joint: bool = False,
     pallas_interpret=None,
+    with_timestamps: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, DecodeState]:
-    """Returns (tokens [B, max_tokens] (-1 padded), n [B], new_state)."""
+    """Returns (tokens [B, max_tokens] (-1 padded), n [B], new_state).
+
+    with_timestamps=True appends ``(frames, durs)`` [B, max_tokens] int32
+    (-1 padded): per emitted token, the within-chunk encoder frame it was
+    emitted at and its predicted TDT duration (see tdt_greedy.py)."""
     b = enc.shape[0]
     max_symbols = max_symbols or cfg.max_symbols_per_timestep
     blank = cfg.blank_id
@@ -141,7 +147,8 @@ def tdt_greedy_decode_batch(
         return jnp.any(time_idx < t_enc)
 
     def body(carry):
-        time_idx, u_count, dstate, tokens, n, any_stale, tok_vec, dur_vec = carry
+        (time_idx, u_count, dstate, tokens, n, any_stale, tok_vec, dur_vec,
+         stamps) = carry
         t_c = jnp.clip(time_idx, 0, tq - 1)
         if blank_run:
             tok_vec, dur_vec = lax.cond(
@@ -171,21 +178,35 @@ def tdt_greedy_decode_batch(
         )
         tokens = tokens.at[bi, jnp.where(emit, n, max_tokens)].set(
             jnp.where(emit, best_tok, -1), mode="drop")
+        if with_timestamps:
+            frames_buf, durs_buf = stamps
+            idx = jnp.where(emit, n, max_tokens)
+            frames_buf = frames_buf.at[bi, idx].set(
+                jnp.where(emit, t_c, -1), mode="drop")
+            durs_buf = durs_buf.at[bi, idx].set(
+                jnp.where(emit, duration.astype(jnp.int32), -1), mode="drop")
+            stamps = (frames_buf, durs_buf)
         n = n + emit.astype(jnp.int32)
 
         u_count = jnp.where(advance > 0, 0, u_count + 1)
         time_idx = time_idx + jnp.where(active, advance, 0)
         return (time_idx, u_count, new_dstate, tokens, n, jnp.any(emit),
-                tok_vec, dur_vec)
+                tok_vec, dur_vec, stamps)
 
     tokens0 = jnp.full((b, max_tokens), -1, jnp.int32)
+    stamps0 = ((jnp.full((b, max_tokens), -1, jnp.int32),
+                jnp.full((b, max_tokens), -1, jnp.int32))
+               if with_timestamps else ())
     init = (state.time_carry.astype(jnp.int32), jnp.zeros((b,), jnp.int32),
             state, tokens0, jnp.zeros((b,), jnp.int32), jnp.asarray(True),
-            jnp.zeros((b, tq), jnp.int32), jnp.zeros((b, tq), jnp.int32))
-    time_final, _, final_state, tokens, n, _, _, _ = lax.while_loop(
+            jnp.zeros((b, tq), jnp.int32), jnp.zeros((b, tq), jnp.int32),
+            stamps0)
+    time_final, _, final_state, tokens, n, _, _, _, stamps = lax.while_loop(
         cond, body, init)
     carry = jnp.maximum(time_final - t_enc, 0).astype(jnp.int32)
     final_state = final_state._replace(time_carry=carry)
+    if with_timestamps:
+        return tokens, n, final_state, stamps
     return tokens, n, final_state
 
 

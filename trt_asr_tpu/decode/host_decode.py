@@ -45,6 +45,11 @@ def tdt_greedy_decode_host(
     trace_topk: int = 0,        # per-step top-k token logits + logsumexp in
                                 # the trace (reference tdt_trace.py:294-356
                                 # and PARAKEET_DEBUG_JOINT_TOPK)
+    stamps_out: Optional[List[Tuple[int, int]]] = None,
+                                # per emitted token, append (emission frame
+                                # incl. time_offset, predicted TDT duration)
+                                # — host reference for the device kernels'
+                                # with_timestamps output
 ) -> Tuple[List[int], object, np.ndarray, int]:
     """Decode one chunk. Returns (emitted tokens, state, g, y_id)."""
     t_enc = enc.shape[0]
@@ -87,6 +92,8 @@ def tdt_greedy_decode_host(
                 trace.append(rec)
             if best_tok != blank_id:
                 emitted.append(best_tok)
+                if stamps_out is not None:
+                    stamps_out.append((time_offset + time_idx, duration))
                 n_total += 1
                 g, state = predictor_fn(best_tok, state)
                 y_id = best_tok

@@ -85,7 +85,7 @@ def prime_decode_state(params: Dict[str, Any], cfg: ModelConfig, state: DecodeSt
     jax.jit,
     static_argnames=("cfg", "max_tokens", "max_symbols", "use_punct_mask",
                      "blank_penalty", "use_pallas_joint", "pallas_interpret",
-                     "trace"),
+                     "trace", "with_timestamps"),
 )
 def tdt_greedy_decode_chunk(
     params: Dict[str, Any],
@@ -103,6 +103,7 @@ def tdt_greedy_decode_chunk(
     use_pallas_joint: bool = False,
     pallas_interpret=None,
     trace: bool = False,
+    with_timestamps: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, DecodeState]:
     """Decode one chunk on device.
 
@@ -110,6 +111,13 @@ def tdt_greedy_decode_chunk(
     use_pallas_joint fuses the per-step joint work (pred proj + relu + out
     proj + dual argmax) into one Pallas kernel (~3x fewer per-iteration ops
     — ops/pallas/joint_step_kernel.py).
+
+    with_timestamps=True additionally returns ``(frames, durs)`` — per
+    emitted token, the within-chunk encoder frame index it was emitted at
+    and its predicted TDT duration (both [max_tokens] int32, -1 padded).
+    TDT emissions are frame-anchored by construction, so these are exact
+    decode-time token timestamps — capability the reference lacks (its
+    events carry text only, parakeet_trt.cpp:680-690).
 
     trace=True additionally returns a bounded per-step record buffer
     ``(records [T*max_symbols, 7] int32, n_steps)`` with columns
@@ -160,7 +168,8 @@ def tdt_greedy_decode_chunk(
         return carry[0] < t_enc
 
     def body(carry):
-        time_idx, u_count, dstate, tokens, n, stale, tok_vec, dur_vec, aux = carry
+        (time_idx, u_count, dstate, tokens, n, stale, tok_vec, dur_vec,
+         stamps, aux) = carry
         tok_vec, dur_vec = lax.cond(
             stale, lambda _: compute_vecs(dstate.g[0:1], n),
             lambda _: (tok_vec, dur_vec), None)
@@ -193,13 +202,21 @@ def tdt_greedy_decode_chunk(
         new_dstate = lax.cond(emit, do_emit, lambda ds: ds, dstate)
         tokens = tokens.at[jnp.where(emit, n, max_tokens)].set(
             jnp.where(emit, best_tok, -1), mode="drop")
+        if with_timestamps:
+            frames_buf, durs_buf = stamps
+            idx = jnp.where(emit, n, max_tokens)
+            frames_buf = frames_buf.at[idx].set(
+                jnp.where(emit, time_idx, -1), mode="drop")
+            durs_buf = durs_buf.at[idx].set(
+                jnp.where(emit, duration.astype(jnp.int32), -1), mode="drop")
+            stamps = (frames_buf, durs_buf)
         n = n + emit.astype(jnp.int32)
 
         u_count = jnp.where(advance > 0, 0, u_count + 1)
         time_idx = time_idx + advance
         # g changed on emit -> the cached per-step argmax vectors are stale
         return (time_idx, u_count, new_dstate, tokens, n, emit,
-                tok_vec, dur_vec, aux)
+                tok_vec, dur_vec, stamps, aux)
 
     tokens0 = jnp.full((max_tokens,), -1, jnp.int32)
     if trace:
@@ -207,13 +224,20 @@ def tdt_greedy_decode_chunk(
                 jnp.zeros((), jnp.int32))
     else:
         aux0 = ()
+    stamps0 = ((jnp.full((max_tokens,), -1, jnp.int32),
+                jnp.full((max_tokens,), -1, jnp.int32))
+               if with_timestamps else ())
     init = (state.time_carry[0].astype(jnp.int32), jnp.zeros((), jnp.int32),
             state, tokens0, jnp.zeros((), jnp.int32), jnp.asarray(True),
-            jnp.zeros((tq,), jnp.int32), jnp.zeros((tq,), jnp.int32), aux0)
-    time_final, _, final_state, tokens, n, _, _, _, aux = lax.while_loop(
+            jnp.zeros((tq,), jnp.int32), jnp.zeros((tq,), jnp.int32),
+            stamps0, aux0)
+    time_final, _, final_state, tokens, n, _, _, _, stamps, aux = lax.while_loop(
         cond, body, init)
     carry = jnp.maximum(time_final - t_enc, 0).astype(jnp.int32)
     final_state = final_state._replace(time_carry=jnp.full_like(state.time_carry, carry))
+    out = (tokens, n, final_state)
+    if with_timestamps:
+        out = out + (stamps,)
     if trace:
-        return tokens, n, final_state, aux
-    return tokens, n, final_state
+        out = out + (aux,)
+    return out

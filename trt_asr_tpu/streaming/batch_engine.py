@@ -42,7 +42,8 @@ from trt_asr_tpu.streaming.session import Event, EventType
 # policy (e.g. perf_sweep's interleaved f32-precision comparison)
 BATCH_STEP_STATIC = ("cfg", "drop_extra", "max_tokens", "blank_penalty",
                      "use_punct_mask", "use_pallas_joint", "pad_steps",
-                     "use_pallas_att", "use_pallas_conv", "use_pallas_ffn")
+                     "use_pallas_att", "use_pallas_conv", "use_pallas_ffn",
+                     "with_timestamps")
 
 
 @functools.partial(jax.jit, static_argnames=BATCH_STEP_STATIC,
@@ -53,7 +54,7 @@ def _batch_step(params, cfg: ModelConfig, feats, valid, enc_state, dec_state,
                 use_punct_mask: bool = False, pos_proj=None,
                 pos_projT=None, pad_steps: int = 0, use_pallas_att: bool = False,
                 use_pallas_conv: bool = False, use_pallas_ffn: bool = False,
-                use_pallas_joint: bool = False):
+                use_pallas_joint: bool = False, with_timestamps: bool = False):
     """One lockstep batched program for steady AND final-flush chunks: the
     per-row cache_drop / emission-cap vectors let a finalizing stream run
     its keep-all flush inside the same compiled step as its neighbors'
@@ -68,12 +69,16 @@ def _batch_step(params, cfg: ModelConfig, feats, valid, enc_state, dec_state,
                                      use_pallas_att=use_pallas_att,
                                      use_pallas_conv=use_pallas_conv,
                                      use_pallas_ffn=use_pallas_ffn)
-    toks, n, dec_state = tdt_greedy_decode_batch(
+    out = tdt_greedy_decode_batch(
         params, cfg, enc, out_len.astype(jnp.int32), dec_state,
         max_tokens=max_tokens, emitted_so_far=emitted_so_far,
         blank_penalty=blank_penalty, punct_mask=punct_mask,
         use_punct_mask=use_punct_mask,
-        use_pallas_joint=use_pallas_joint)
+        use_pallas_joint=use_pallas_joint, with_timestamps=with_timestamps)
+    if with_timestamps:
+        toks, n, dec_state, stamps = out
+        return toks, n, enc_state, dec_state, stamps, out_len
+    toks, n, dec_state = out
     return toks, n, enc_state, dec_state
 
 
@@ -129,6 +134,11 @@ class BatchStreamingEngine:
         self._bufs = [np.zeros((0, cfg.feat_in), np.float32) for _ in range(batch_size)]
         self._scheds = [ChunkScheduler(cfg, unified=True) for _ in range(batch_size)]
         self._tokens: List[List[int]] = [[] for _ in range(batch_size)]
+        self._token_frames: List[List[int]] = [[] for _ in range(batch_size)]
+        self._token_durs: List[List[int]] = [[] for _ in range(batch_size)]
+        self._frames_base = [0] * batch_size
+        fs = model.frontend.spec
+        self._enc_frame_s = fs.hop_length / fs.sample_rate_hz * cfg.subsampling_factor
         self._events: List[deque] = [deque() for _ in range(batch_size)]
         self._finalizing = [False] * batch_size
         self._finalized = [False] * batch_size
@@ -178,6 +188,9 @@ class BatchStreamingEngine:
         self._bufs[sid] = np.zeros((0, self.cfg.feat_in), np.float32)
         self._scheds[sid].reset()
         self._tokens[sid] = []
+        self._token_frames[sid] = []
+        self._token_durs[sid] = []
+        self._frames_base[sid] = 0
         self._events[sid].clear()
         self._finalizing[sid] = False
         self._finalized[sid] = False
@@ -274,7 +287,7 @@ class BatchStreamingEngine:
         t0 = time.perf_counter()
         max_tokens = cfg.max_symbols_per_timestep * (self._frames // cfg.subsampling_factor + 1)
         emitted = np.asarray([len(t) for t in self._tokens], np.int32)
-        toks, n, self._enc_state, self._dec_state = _batch_step(
+        toks, n, self._enc_state, self._dec_state, stamps, out_len = _batch_step(
             self._params, cfg, self._feed(feats), self._feed(valid),
             self._enc_state, self._dec_state, self._feed(emitted),
             self._feed(cache_drop), self._feed(valid_cap),
@@ -284,19 +297,28 @@ class BatchStreamingEngine:
                         if self.rt.suppress_leading_punct else None),
             use_punct_mask=self.rt.suppress_leading_punct,
             pos_proj=self._pos_proj,
-            use_pallas_joint=self.rt.use_pallas_joint)
+            use_pallas_joint=self.rt.use_pallas_joint,
+            with_timestamps=True)
         if self.rt.sabotage == "drop_time_carry":
             # same fault-injection seam as StreamingSession._run_chunk: the
             # WER gate's sensitivity proof must fail on THIS surface too
             self._dec_state = self._dec_state._replace(
                 time_carry=jnp.zeros_like(self._dec_state.time_carry))
         toks, n = np.asarray(toks), np.asarray(n)
+        frames_b, durs_b = np.asarray(stamps[0]), np.asarray(stamps[1])
+        out_len = np.asarray(out_len)
         self.step_latencies_ms.append((time.perf_counter() - t0) * 1e3)
 
         for sid in progressed:
             new = [int(x) for x in toks[sid, : n[sid]]]
             if new:
                 self._tokens[sid].extend(new)
+                base = self._frames_base[sid]
+                self._token_frames[sid].extend(
+                    base + int(f) for f in frames_b[sid, : n[sid]])
+                self._token_durs[sid].extend(
+                    int(d) for d in durs_b[sid, : n[sid]])
+            self._frames_base[sid] += int(out_len[sid])
             self._maybe_partial(sid)
         for sid in flushing:
             self._emit_final(sid)
@@ -339,3 +361,21 @@ class BatchStreamingEngine:
 
     def text(self, sid: int) -> str:
         return self.model.tokenizer.decode(self._tokens[sid])
+
+    def token_timestamps(self, sid: int) -> List[dict]:
+        """Per-token [start_s, end_s] for a stream — identical semantics to
+        StreamingSession.token_timestamps (tested surface-equal)."""
+        from trt_asr_tpu.decode.timestamps import token_intervals
+
+        iv = token_intervals(self._token_frames[sid], self._token_durs[sid],
+                             self._enc_frame_s)
+        return [{"token": int(t), "piece": self.model.tokenizer.token_at(int(t)),
+                 **span}
+                for t, span in zip(self._tokens[sid], iv)]
+
+    def word_timestamps(self, sid: int) -> List[dict]:
+        from trt_asr_tpu.decode.timestamps import word_intervals
+
+        return word_intervals(self._tokens[sid], self._token_frames[sid],
+                              self._token_durs[sid], self.model.tokenizer,
+                              self._enc_frame_s)

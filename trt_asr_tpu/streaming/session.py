@@ -95,6 +95,10 @@ class StreamingSession:
         self._pos_proj = precompute_pos_proj(model.params, self.cfg, tq,
                                              self.cfg.att_cache_size)
         self._tq_steady = tq
+        # seconds per encoder output frame (mel hop x subsampling): the
+        # frame->time scale for token/word timestamps
+        fs = self.model.frontend.spec
+        self._enc_frame_s = fs.hop_length / fs.sample_rate_hz * self.cfg.subsampling_factor
         self._pos_projT = None
         self._pad_steps = 0
         if self.rt.use_pallas_att:
@@ -126,6 +130,9 @@ class StreamingSession:
         self._dec_state = prime_decode_state(
             self.model.params, cfg, init_decode_state(cfg, 1), self.model.prompt_ids)
         self._tokens: List[int] = []
+        self._token_frames: List[int] = []  # absolute encoder frame per token
+        self._token_durs: List[int] = []    # predicted TDT duration per token
+        self._frames_base = 0               # encoder frames decoded so far
         self.tdt_steps: List[dict] = []   # debug_tdt_steps per-step records
         self._last_partial_t = 0.0
         self._last_partial_len = 0
@@ -153,6 +160,9 @@ class StreamingSession:
                         "c": np.asarray(d.c), "y_id": np.asarray(d.y_id),
                         "time_carry": np.asarray(d.time_carry)},
             "tokens": list(self._tokens),
+            "token_frames": list(self._token_frames),
+            "token_durs": list(self._token_durs),
+            "frames_base": self._frames_base,
             "feat_buf": self._feat_buf.copy(),
             "mel_carry": self._mel._carry.copy(),
             "sched": {"idx": self._sched._idx, "start": self._sched._start},
@@ -174,6 +184,9 @@ class StreamingSession:
             g=jnp.asarray(dd["g"]), h=jnp.asarray(dd["h"]), c=jnp.asarray(dd["c"]),
             y_id=jnp.asarray(dd["y_id"]), time_carry=jnp.asarray(dd["time_carry"]))
         self._tokens = list(snap["tokens"])
+        self._token_frames = list(snap.get("token_frames", []))
+        self._token_durs = list(snap.get("token_durs", []))
+        self._frames_base = snap.get("frames_base", 0)
         self._feat_buf = snap["feat_buf"].copy()
         self._mel._carry = snap["mel_carry"].copy()
         self._sched._idx = snap["sched"]["idx"]
@@ -277,6 +290,28 @@ class StreamingSession:
     def text(self) -> str:
         return self.model.tokenizer.decode(self._tokens)
 
+    def token_timestamps(self) -> List[dict]:
+        """Frame-anchored per-token timestamps (capability beyond the
+        reference, whose events carry text only): one record per emitted
+        token — token id, piece, absolute [start_s, end_s] within the
+        utterance. Exact decode-time anchors, not a forced alignment."""
+        from trt_asr_tpu.decode.timestamps import token_intervals
+
+        iv = token_intervals(self._token_frames, self._token_durs,
+                             self._enc_frame_s)
+        return [{"token": int(t), "piece": self.model.tokenizer.token_at(int(t)),
+                 **span}
+                for t, span in zip(self._tokens, iv)]
+
+    def word_timestamps(self) -> List[dict]:
+        """Word-level [start_s, end_s] intervals grouped at SentencePiece
+        word boundaries (decode/timestamps.py)."""
+        from trt_asr_tpu.decode.timestamps import word_intervals
+
+        return word_intervals(self._tokens, self._token_frames,
+                              self._token_durs, self.model.tokenizer,
+                              self._enc_frame_s)
+
     @property
     def chunk_latencies_ms(self) -> List[float]:
         return list(self._chunk_latencies_ms)
@@ -346,14 +381,16 @@ class StreamingSession:
             use_pallas_ffn=rt.use_pallas_ffn,
             use_pallas_joint=rt.use_pallas_joint,
             trace=rt.debug_tdt_steps or rt.debug_blank_scan,
-            use_batched_decode=rt.batched_decode)
+            use_batched_decode=rt.batched_decode,
+            with_timestamps=True)
         if rt.debug_tdt_steps or rt.debug_blank_scan:
-            toks, n, self._enc_state, self._dec_state, (rec_buf, n_steps) = out
+            (toks, n, self._enc_state, self._dec_state, stamps, t_out,
+             (rec_buf, n_steps)) = out
             from trt_asr_tpu.debug.tdt_trace import records_from_buffer
 
             self.tdt_steps.extend(records_from_buffer(rec_buf, int(n_steps)))
         else:
-            toks, n, self._enc_state, self._dec_state = out
+            toks, n, self._enc_state, self._dec_state, stamps, t_out = out
         if rt.sabotage == "drop_time_carry":
             # fault injection (gate-sensitivity proof): reproduce the
             # reference's while-loop-reset bug — duration overshoot dropped
@@ -362,6 +399,10 @@ class StreamingSession:
                 time_carry=jnp.zeros_like(self._dec_state.time_carry))
         n = int(n)
         new = [int(t) for t in np.asarray(toks)[:n]]
+        self._token_frames.extend(
+            self._frames_base + int(f) for f in np.asarray(stamps[0])[:n])
+        self._token_durs.extend(int(d) for d in np.asarray(stamps[1])[:n])
+        self._frames_base += int(t_out)
         ms = (time.perf_counter() - t0) * 1e3
         self._chunk_latencies_ms.append(ms)
         if ms > rt.slow_step_ms:
@@ -398,7 +439,7 @@ class StreamingSession:
     static_argnames=("cfg", "drop_extra", "cache_drop", "valid_cap", "blank_penalty",
                      "use_punct_mask", "use_pallas_joint", "trace", "pad_steps",
                      "use_pallas_att", "use_pallas_conv", "use_pallas_ffn",
-                     "use_batched_decode"),
+                     "use_batched_decode", "with_timestamps"),
     donate_argnames=("enc_state", "dec_state"),
 )
 def _session_step(params, cfg: ModelConfig, feats, valid, enc_state: EncoderState,
@@ -409,11 +450,15 @@ def _session_step(params, cfg: ModelConfig, feats, valid, enc_state: EncoderStat
                   use_pallas_att: bool = False, use_pallas_conv: bool = False,
                   use_pallas_ffn: bool = False,
                   use_pallas_joint: bool = False, trace: bool = False,
-                  use_batched_decode: bool = False):
+                  use_batched_decode: bool = False,
+                  with_timestamps: bool = False):
     """One fused device program: streaming encoder step + TDT decode loop.
 
     trace=True (RuntimeConfig.debug_tdt_steps) additionally returns the
-    bounded per-step decode record buffer (see debug/tdt_trace.py)."""
+    bounded per-step decode record buffer (see debug/tdt_trace.py).
+    with_timestamps=True appends ``(frames, durs), t_out`` — per-token
+    within-chunk emission frames/durations plus this chunk's valid encoder
+    step count (the session's frame-base advance)."""
     enc, out_len, enc_state = encode(
         params, cfg, feats, valid[None] if valid.ndim == 0 else valid,
         enc_state, drop_extra=drop_extra, cache_drop=cache_drop,
@@ -428,22 +473,33 @@ def _session_step(params, cfg: ModelConfig, feats, valid, enc_state: EncoderStat
         # with the loop (tests/test_batched_decode.py).
         from trt_asr_tpu.decode.batched import tdt_greedy_decode_batch
 
-        toks_b, n_b, dec_state = tdt_greedy_decode_batch(
+        out = tdt_greedy_decode_batch(
             params, cfg, enc, out_len.astype(jnp.int32), dec_state,
             max_tokens=cfg.max_symbols_per_timestep * tq,
             blank_penalty=blank_penalty,
             emitted_so_far=jnp.asarray(emitted_so_far).reshape(1),
             punct_mask=punct_mask, use_punct_mask=use_punct_mask,
-            use_pallas_joint=use_pallas_joint)
+            use_pallas_joint=use_pallas_joint,
+            with_timestamps=with_timestamps)
+        if with_timestamps:
+            toks_b, n_b, dec_state, (fr, du) = out
+            return (toks_b[0], n_b[0], enc_state, dec_state,
+                    (fr[0], du[0]), out_len[0])
+        toks_b, n_b, dec_state = out
         return toks_b[0], n_b[0], enc_state, dec_state
     out = tdt_greedy_decode_chunk(
         params, cfg, enc[0], out_len[0].astype(jnp.int32), dec_state,
         max_tokens=cfg.max_symbols_per_timestep * tq,
         blank_penalty=blank_penalty, emitted_so_far=emitted_so_far,
         punct_mask=punct_mask, use_punct_mask=use_punct_mask,
-        use_pallas_joint=use_pallas_joint, trace=trace)
+        use_pallas_joint=use_pallas_joint, trace=trace,
+        with_timestamps=with_timestamps)
+    toks, n, dec_state = out[:3]
+    rest = out[3:]
+    ret = (toks, n, enc_state, dec_state)
+    if with_timestamps:
+        ret = ret + (rest[0], out_len[0])
+        rest = rest[1:]
     if trace:
-        toks, n, dec_state, aux = out
-        return toks, n, enc_state, dec_state, aux
-    toks, n, dec_state = out
-    return toks, n, enc_state, dec_state
+        ret = ret + (rest[0],)
+    return ret
