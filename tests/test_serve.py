@@ -1,0 +1,122 @@
+"""Serving daemon: concurrent TCP clients multiplexed through one lockstep
+batched engine must transcribe exactly like the engine driven directly
+(the daemon adds transport, not semantics)."""
+
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from trt_asr_tpu.config import ModelConfig, RuntimeConfig
+from trt_asr_tpu.models.parakeet.model import ParakeetTDT
+from trt_asr_tpu.serve import AsrServer, transcribe
+from trt_asr_tpu.streaming.batch_engine import BatchStreamingEngine
+
+
+@pytest.fixture(scope="module")
+def model():
+    return ParakeetTDT.random(ModelConfig.tiny(), seed=5)
+
+
+def _audio(n, seed):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)
+    return (0.4 * np.sin(2 * np.pi * (250 + 30 * seed) * t / 16000)
+            + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+
+def _direct(model, audio):
+    eng = BatchStreamingEngine(model, batch_size=2,
+                               runtime=RuntimeConfig(suppress_leading_punct=False))
+    sid = eng.open_stream()
+    eng.push_audio(sid, audio)
+    eng.finalize_stream(sid)
+    eng.run_until_drained()
+    return eng.text(sid), eng.word_timestamps(sid)
+
+
+def test_concurrent_clients_match_direct(model):
+    srv = AsrServer(model, batch_size=4,
+                    runtime=RuntimeConfig(suppress_leading_punct=False)).start()
+    host, port = srv.addr
+    audios = {k: _audio(28000 + 4000 * k, k + 1) for k in range(3)}
+    results = {}
+
+    def run(k):
+        results[k] = transcribe(host, port, audios[k], chunk_samples=6000)
+
+    try:
+        threads = [threading.Thread(target=run, args=(k,)) for k in audios]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=420)
+        assert len(results) == len(audios), "client thread(s) did not finish"
+        emitted_any = False
+        for k, audio in audios.items():
+            want_text, want_words = _direct(model, audio)
+            assert results[k]["text"] == want_text, f"stream {k}"
+            assert results[k]["words"] == want_words, f"stream {k}"
+            emitted_any = emitted_any or bool(want_text)
+        assert emitted_any, "degenerate: no stream transcribed anything"
+    finally:
+        srv.stop()
+
+
+def test_busy_and_protocol_errors(model):
+    srv = AsrServer(model, batch_size=1,
+                    runtime=RuntimeConfig(suppress_leading_punct=False)).start()
+    host, port = srv.addr
+    try:
+        c1 = socket.create_connection((host, port), timeout=60)
+        f1 = c1.makefile("rwb")
+        f1.write(b'{"op": "open"}\n')
+        f1.flush()
+        import json
+
+        assert json.loads(f1.readline())["ok"] is True
+
+        # second open: all slots busy -> error reply, daemon stays up
+        c2 = socket.create_connection((host, port), timeout=60)
+        f2 = c2.makefile("rwb")
+        f2.write(b'{"op": "open"}\n')
+        f2.flush()
+        r = json.loads(f2.readline())
+        assert r["ok"] is False and "busy" in r["error"]
+
+        # push without open -> error
+        f2.write(b'{"op": "push", "pcm": ""}\n')
+        f2.flush()
+        assert json.loads(f2.readline())["ok"] is False
+
+        # malformed json -> error reply, connection survives
+        f2.write(b'not json\n{"op": "info"}\n')
+        f2.flush()
+        assert json.loads(f2.readline())["ok"] is False
+        info = json.loads(f2.readline())
+        assert info["ok"] is True and info["info"]["batch_size"] == 1
+        f2.close()
+        c2.close()
+
+        # first client's slot frees on disconnect -> a new open succeeds
+        # (makefile dups the fd: close BOTH so the server sees EOF)
+        f1.close()
+        c1.close()
+        import time
+
+        deadline = time.monotonic() + 30
+        ok = False
+        while time.monotonic() < deadline and not ok:
+            c3 = socket.create_connection((host, port), timeout=60)
+            f3 = c3.makefile("rwb")
+            f3.write(b'{"op": "open"}\n')
+            f3.flush()
+            ok = json.loads(f3.readline())["ok"]
+            f3.close()
+            c3.close()
+            if not ok:
+                time.sleep(0.1)
+        assert ok, "slot did not free after client disconnect"
+    finally:
+        srv.stop()

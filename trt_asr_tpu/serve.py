@@ -1,0 +1,302 @@
+"""Multi-client streaming ASR daemon over ``BatchStreamingEngine``.
+
+The reference engine has no serving process of its own: its daemon is an
+external private project ("magnolia") that links the C ABI
+(/root/reference/tools/run_daemon.sh — launcher only, hardcoded private
+paths). This module is the missing piece made first-class: a TCP server
+that multiplexes up to ``batch_size`` concurrent client streams through
+ONE lockstep batched device program (streaming/batch_engine.py), so
+serving capacity rides the MXU batch axis instead of process-per-client.
+
+Wire protocol: newline-delimited JSON, one connection per client stream.
+
+  -> {"op": "open"}                                <- {"ok": true, "sid": N}
+  -> {"op": "push", "pcm": "<base64 f32le 16k>"}   <- {"ok": true}
+  -> {"op": "push_features", "feats": "<base64 f32le [T,C]>", "frames": T}
+  -> {"op": "finalize"}                            <- {"ok": true}
+  -> {"op": "info"}                                <- {"ok": true, "info": ...}
+  events (async, server->client):
+     {"event": "partial"|"final"|"error", "segment": N, "text": ...,
+      "tokens": [...]}
+     finals additionally carry "words": [{word, start_s, end_s}] —
+     frame-anchored TDT timestamps (decode/timestamps.py).
+
+Threading model: the engine is single-device state, so every engine call
+is serialized under one lock; a stepper thread runs the lockstep batched
+chunk whenever any stream has a ready chunk and routes drained events to
+the owning client socket. Client reader threads only buffer pushes (cheap
+numpy appends) under the same lock.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import socket
+import threading
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from trt_asr_tpu.config import ModelConfig, RuntimeConfig
+from trt_asr_tpu.models.parakeet.model import ParakeetTDT
+from trt_asr_tpu.streaming.batch_engine import BatchStreamingEngine
+from trt_asr_tpu.streaming.session import EventType
+
+
+class AsrServer:
+    def __init__(self, model: ParakeetTDT, batch_size: int = 8,
+                 host: str = "127.0.0.1", port: int = 0,
+                 runtime: Optional[RuntimeConfig] = None, mesh=None):
+        self.engine = BatchStreamingEngine(model, batch_size=batch_size,
+                                           runtime=runtime, mesh=mesh)
+        self._elock = threading.Lock()      # serializes ALL engine access
+        self._clients: Dict[int, socket.socket] = {}   # sid -> conn
+        self._wlocks: Dict[int, threading.Lock] = {}   # per-conn write lock
+        self._finalizing: set = set()
+        self._stop = threading.Event()
+        self._srv = socket.create_server((host, port))
+        self.addr = self._srv.getsockname()
+        self._threads = [
+            threading.Thread(target=self._accept_loop, daemon=True),
+            threading.Thread(target=self._step_loop, daemon=True),
+        ]
+
+    # -- lifecycle -------------------------------------------------------
+
+    def start(self) -> "AsrServer":
+        for t in self._threads:
+            t.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+
+    def serve_forever(self) -> None:
+        self.start()
+        try:
+            while not self._stop.is_set():
+                time.sleep(0.2)
+        except KeyboardInterrupt:
+            self.stop()
+
+    # -- accept / client handling ---------------------------------------
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            threading.Thread(target=self._client_loop, args=(conn,),
+                             daemon=True).start()
+
+    def _send(self, conn: socket.socket, obj: dict, sid: Optional[int] = None) -> None:
+        data = (json.dumps(obj) + "\n").encode()
+        lock = self._wlocks.get(sid) if sid is not None else None
+        try:
+            if lock is not None:
+                with lock:
+                    conn.sendall(data)
+            else:
+                conn.sendall(data)
+        except OSError:
+            pass  # client gone; stream cleanup happens in _client_loop
+
+    def _client_loop(self, conn: socket.socket) -> None:
+        sid: Optional[int] = None
+        buf = b""
+        try:
+            while not self._stop.is_set():
+                chunk = conn.recv(1 << 16)
+                if not chunk:
+                    break
+                buf += chunk
+                while b"\n" in buf:
+                    line, buf = buf.split(b"\n", 1)
+                    if not line.strip():
+                        continue
+                    sid = self._dispatch(conn, sid, line)
+        except OSError:
+            pass
+        finally:
+            if sid is not None:
+                with self._elock:
+                    self._clients.pop(sid, None)
+                    self._wlocks.pop(sid, None)
+                    self._finalizing.discard(sid)
+                    self.engine.close_stream(sid)
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    def _dispatch(self, conn: socket.socket, sid: Optional[int],
+                  line: bytes) -> Optional[int]:
+        try:
+            msg = json.loads(line)
+            op = msg.get("op")
+        except json.JSONDecodeError as e:
+            self._send(conn, {"ok": False, "error": f"bad json: {e}"}, sid)
+            return sid
+        try:
+            if op == "open":
+                with self._elock:
+                    new_sid = self.engine.open_stream()
+                    self._clients[new_sid] = conn
+                    self._wlocks[new_sid] = threading.Lock()
+                self._send(conn, {"ok": True, "sid": new_sid}, new_sid)
+                return new_sid
+            if op == "info":
+                self._send(conn, {"ok": True,
+                                  "info": {"batch_size": self.engine.b,
+                                           "n_mels": self.engine.cfg.feat_in}},
+                           sid)
+                return sid
+            if sid is None:
+                self._send(conn, {"ok": False, "error": "open a stream first"})
+                return sid
+            if op == "push":
+                pcm = np.frombuffer(base64.b64decode(msg["pcm"]), np.float32)
+                with self._elock:
+                    self.engine.push_audio(sid, pcm)
+                self._send(conn, {"ok": True}, sid)
+            elif op == "push_features":
+                raw = np.frombuffer(base64.b64decode(msg["feats"]), np.float32)
+                feats = raw.reshape(int(msg["frames"]), -1)
+                with self._elock:
+                    self.engine.push_features(sid, feats)
+                self._send(conn, {"ok": True}, sid)
+            elif op == "finalize":
+                with self._elock:
+                    self.engine.finalize_stream(sid)
+                    self._finalizing.add(sid)
+                self._send(conn, {"ok": True}, sid)
+            else:
+                self._send(conn, {"ok": False, "error": f"unknown op {op!r}"}, sid)
+        except Exception as e:  # noqa: BLE001 — protocol surface, mirror
+            # the C-ABI contract: misuse surfaces as an error reply, the
+            # daemon stays up for other streams
+            self._send(conn, {"ok": False, "error": repr(e)}, sid)
+        return sid
+
+    # -- the serving loop -------------------------------------------------
+
+    def _step_loop(self) -> None:
+        while not self._stop.is_set():
+            advanced = 0
+            with self._elock:
+                if self.engine.pending():
+                    advanced = self.engine.step()
+                self._drain_events()
+            if not advanced:
+                time.sleep(0.005)
+
+    def _drain_events(self) -> None:
+        """Route per-stream events to their owning client (caller holds
+        the engine lock)."""
+        for sid, conn in list(self._clients.items()):
+            while (ev := self.engine.poll_event(sid)) is not None:
+                name = {EventType.PARTIAL_TEXT: "partial",
+                        EventType.FINAL_TEXT: "final",
+                        EventType.ERROR: "error"}[ev.type]
+                out = {"event": name, "segment": ev.segment_id,
+                       "text": ev.text, "tokens": list(ev.tokens)}
+                if ev.type == EventType.ERROR:
+                    out["error"] = ev.error_message
+                if ev.type == EventType.FINAL_TEXT and sid in self._finalizing:
+                    out["words"] = self.engine.word_timestamps(sid)
+                    self._finalizing.discard(sid)
+                self._send(conn, out, sid)
+
+
+# -- client helper --------------------------------------------------------
+
+
+def transcribe(host: str, port: int, audio: np.ndarray,
+               chunk_samples: int = 8000, timeout_s: float = 300.0) -> dict:
+    """Blocking convenience client: stream ``audio`` (16 kHz f32), return
+    {"text", "words", "partials"} from the stream's final event."""
+    conn = socket.create_connection((host, port), timeout=timeout_s)
+    f = conn.makefile("rwb")
+
+    def send(obj):
+        f.write((json.dumps(obj) + "\n").encode())
+        f.flush()
+
+    def recv():
+        line = f.readline()
+        if not line:
+            raise ConnectionError("server closed")
+        return json.loads(line)
+
+    send({"op": "open"})
+    r = recv()
+    if not r.get("ok"):
+        conn.close()
+        raise RuntimeError(r.get("error", "open failed"))
+    audio = np.asarray(audio, np.float32)
+    partials = []
+    for s in range(0, len(audio), chunk_samples):
+        send({"op": "push",
+              "pcm": base64.b64encode(audio[s : s + chunk_samples].tobytes()).decode()})
+        while True:
+            r = recv()
+            if "event" in r:
+                partials.append(r)
+            else:
+                break
+    send({"op": "finalize"})
+    final = None
+    deadline = time.monotonic() + timeout_s
+    while final is None and time.monotonic() < deadline:
+        r = recv()
+        if r.get("event") == "final":
+            final = r
+        elif "event" in r:
+            partials.append(r)
+    f.close()   # makefile dups the fd — close both so the server sees EOF
+    conn.close()
+    if final is None:
+        raise TimeoutError("no final event")
+    return {"text": final["text"], "words": final.get("words", []),
+            "partials": partials}
+
+
+def main(argv=None) -> int:
+    from trt_asr_tpu.runtime.platform import ensure_requested_platform
+
+    ensure_requested_platform()
+    ap = argparse.ArgumentParser(prog="trt-asr-tpu-serve", description=__doc__)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8057)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--model-dir", default="")
+    ap.add_argument("--synthetic-model", choices=["tiny", "full"], default="")
+    args = ap.parse_args(argv)
+
+    rt = RuntimeConfig.from_env()
+    if args.model_dir:
+        model = ParakeetTDT.from_model_dir(args.model_dir, runtime=rt)
+    elif args.synthetic_model:
+        cfg = ModelConfig.tiny() if args.synthetic_model == "tiny" else ModelConfig()
+        model = ParakeetTDT.random(cfg)
+        model.runtime = rt
+    else:
+        ap.error("provide --model-dir or --synthetic-model")
+    srv = AsrServer(model, batch_size=args.batch_size, host=args.host,
+                    port=args.port, runtime=rt)
+    print(f"trt-asr-tpu-serve listening on {srv.addr[0]}:{srv.addr[1]} "
+          f"(batch_size={args.batch_size})", flush=True)
+    srv.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
