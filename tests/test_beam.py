@@ -1,0 +1,150 @@
+"""TDT beam search (decode/beam.py): beam=1 == greedy token-exact; a wider
+beam recovers higher-probability sequences greedy provably misses
+(scripted-joint counterexample); n-best is sorted, deduped, and exposed at
+the model level."""
+
+import numpy as np
+import pytest
+
+from trt_asr_tpu.config import ModelConfig, RuntimeConfig
+from trt_asr_tpu.decode import tdt_greedy_decode_host
+from trt_asr_tpu.decode.beam import tdt_beam_decode_host
+from trt_asr_tpu.models.parakeet import init_params, offline_encode
+from trt_asr_tpu.models.parakeet.joint import joint_single_step
+from trt_asr_tpu.models.parakeet.predictor import predictor_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ModelConfig.tiny()
+    return cfg, init_params(cfg, seed=3)
+
+
+def _jax_fns(cfg, params):
+    def j_fn(enc_t, g):
+        return np.asarray(joint_single_step(params["joint"], enc_t[None], g[None]))[0]
+
+    def p_fn(tok, st):
+        h, c = st
+        g, h2, c2 = predictor_step(params["predictor"], np.array([tok], np.int32), h, c)
+        return np.asarray(g)[0], (h2, c2)
+
+    return j_fn, p_fn
+
+
+def test_beam1_matches_greedy(setup, rng):
+    from trt_asr_tpu.decode import init_decode_state, prime_decode_state
+
+    cfg, params = setup
+    feats = (0.6 * rng.standard_normal((1, 150, cfg.feat_in))).astype(np.float32)
+    enc_j, enc_len = offline_encode(params, cfg, feats, np.array([150], np.int32))
+    t = int(np.asarray(enc_len)[0])
+    enc = np.asarray(enc_j)[0, :t]
+    j_fn, p_fn = _jax_fns(cfg, params)
+
+    ds = prime_decode_state(params, cfg, init_decode_state(cfg, 1), [])
+    greedy, _, _, _ = tdt_greedy_decode_host(
+        enc, j_fn, p_fn, (ds.h, ds.c), np.asarray(ds.g)[0], cfg.blank_id,
+        blank_id=cfg.blank_id, token_head_size=cfg.token_head_size,
+        duration_values=cfg.duration_values,
+        max_symbols=cfg.max_symbols_per_timestep)
+
+    hyps = tdt_beam_decode_host(
+        enc, j_fn, p_fn, (ds.h, ds.c), np.asarray(ds.g)[0], cfg.blank_id,
+        blank_id=cfg.blank_id, token_head_size=cfg.token_head_size,
+        duration_values=cfg.duration_values, beam=1,
+        max_symbols=cfg.max_symbols_per_timestep)
+    assert len(hyps) == 1
+    assert hyps[0].tokens == greedy
+    assert greedy, "degenerate: greedy emitted nothing"
+
+
+def _scripted():
+    """Two-frame script where greedy is provably suboptimal: token 7 wins
+    frame 0 by a nose (logit 2.0 vs 1.6) but leads to an uncertain frame 1
+    (blank 0.1 vs token 9 at 0.0), while token 8 makes frame 1 near-certain
+    blank (logit 8). Total path log-prob of [8] beats [7]."""
+    cfg = ModelConfig.tiny()
+    blank, ths = cfg.blank_id, cfg.token_head_size
+    v = cfg.joint_vocab_size
+
+    def joint_fn(enc_t, g):
+        t, y = int(enc_t[0]), int(g[0])
+        logits = np.full(v, -5.0, np.float32)
+        logits[ths + 1] = 5.0          # duration 1 always
+        if t == 0:
+            logits[7], logits[8] = 2.0, 1.6
+        elif y == 7:
+            logits[blank], logits[9] = 0.1, 0.0
+        elif y == 8:
+            logits[blank] = 8.0
+        else:
+            logits[blank] = 8.0
+        return logits
+
+    def pred_fn(tok, st):
+        return np.array([tok], np.float32), (tok,)
+
+    return cfg, joint_fn, pred_fn
+
+
+def _path_score(cfg, joint_fn, steps):
+    """Sum of log-softmax(token) + log-softmax(duration) along a path of
+    (enc_t, y_before, token, dur_idx)."""
+    ths, nd = cfg.token_head_size, cfg.num_duration_bins
+    total = 0.0
+    for enc_t, y, tok, di in steps:
+        logits = joint_fn(np.array([enc_t], np.float32), np.array([y]))
+        lt = logits[:ths] - np.log(np.sum(np.exp(logits[:ths] - logits[:ths].max()))) - logits[:ths].max()
+        ld = logits[ths:ths + nd]
+        ld = ld - ld.max() - np.log(np.sum(np.exp(ld - ld.max())))
+        total += float(lt[tok]) + float(ld[di])
+    return total
+
+
+def test_beam_beats_greedy_on_scripted_joint():
+    cfg, joint_fn, pred_fn = _scripted()
+    blank = cfg.blank_id
+    enc = np.arange(2, dtype=np.float32)[:, None]
+
+    greedy, _, _, _ = tdt_greedy_decode_host(
+        enc, joint_fn, pred_fn, (blank,), np.array([blank], np.float32), blank,
+        blank_id=blank, token_head_size=cfg.token_head_size,
+        duration_values=cfg.duration_values, max_symbols=4)
+    assert greedy == [7], "script broken: greedy should take the myopic 7"
+
+    hyps = tdt_beam_decode_host(
+        enc, joint_fn, pred_fn, (blank,), np.array([blank], np.float32), blank,
+        blank_id=blank, token_head_size=cfg.token_head_size,
+        duration_values=cfg.duration_values, beam=3, expansion_k=3,
+        max_symbols=4)
+    assert hyps[0].tokens == [8], [h.tokens for h in hyps]
+    by_tokens = {tuple(h.tokens): h.score for h in hyps}
+    assert (7,) in by_tokens, "greedy's path must still be in the n-best"
+    assert by_tokens[(8,)] > by_tokens[(7,)]
+    # the beam's scores match independent path scoring
+    want_8 = _path_score(cfg, joint_fn, [(0, blank, 8, 1), (1, 8, blank, 1)])
+    assert by_tokens[(8,)] == pytest.approx(want_8, abs=1e-4)
+    # n-best ordered and deduped
+    scores = [h.score for h in hyps]
+    assert scores == sorted(scores, reverse=True)
+    assert len({tuple(h.tokens) for h in hyps}) == len(hyps)
+
+
+def test_model_level_beam(setup, rng):
+    from trt_asr_tpu.models.parakeet.model import ParakeetTDT
+
+    model = ParakeetTDT.random(ModelConfig.tiny(), seed=5)
+    model.runtime = RuntimeConfig(suppress_leading_punct=False)
+    t = np.arange(24000)
+    audio = (0.4 * np.sin(2 * np.pi * 300 * t / 16000)
+             + 0.1 * np.random.default_rng(2).standard_normal(24000)).astype(np.float32)
+
+    nbest = model.transcribe_offline_beam(audio, beam=3, expansion_k=3)
+    assert 1 <= len(nbest) <= 3
+    scores = [s for _, _, s in nbest]
+    assert scores == sorted(scores, reverse=True)
+    # beam=1 reproduces the greedy offline transcript
+    text_g, ids_g = model.transcribe_offline(audio)
+    (text_b1, ids_b1, _), = model.transcribe_offline_beam(audio, beam=1)
+    assert ids_b1 == ids_g and text_b1 == text_g

@@ -9,3 +9,7 @@ from trt_asr_tpu.decode.timestamps import (  # noqa: F401
     token_intervals,
     word_intervals,
 )
+from trt_asr_tpu.decode.beam import (  # noqa: F401
+    Hypothesis,
+    tdt_beam_decode_host,
+)

@@ -1,0 +1,184 @@
+"""TDT beam-search decoding (n-best) — capability beyond the reference.
+
+The reference engine decodes greedy-only (its hot loop argmaxes the token
+and duration heads, cpp/src/parakeet_trt.cpp:2914-3713); so does this
+repo's production path (decode/tdt_greedy.py — same semantics, on device).
+This module adds an offline/eval-time beam decoder over the same joint and
+predictor callables as decode/host_decode.py, returning scored n-best
+hypotheses.
+
+Search shape: frame-synchronous beam (TSD-style) adapted to TDT's duration
+head. At each encoder frame t, every hypothesis whose time cursor sits at
+t expands:
+
+- non-blank token v with duration d:
+    score += logsoftmax_tok(v) + logsoftmax_dur(d); cursor += d
+    (d = 0 keeps the cursor at t — more symbols at this frame — bounded by
+    ``max_symbols`` per frame, after which the advance is forced to 1,
+    matching the greedy clamp)
+- blank with duration d:
+    score += logsoftmax_tok(blank) + logsoftmax_dur(d); cursor += max(d, 1)
+    (the TDT blank+dur0 rule: blank always advances at least one frame)
+
+After all frame-t expansions the pool is pruned to ``beam`` survivors;
+hypotheses with identical (token prefix, cursor) are merged by log-add
+(path recombination — the probability of a label sequence is the sum over
+alignments). A hypothesis whose cursor reaches T is finished.
+
+``beam=1`` is special-cased to take each hypothesis's single greedy
+successor (argmax token + argmax duration, with the blank and symbol-cap
+clamps), which reproduces decode/host_decode.py token-for-token; tests
+assert it. For ``beam>1`` the pool competition is genuinely global, so a
+wider beam can (and does — tests) recover higher-scoring sequences greedy
+misses.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclass
+class Hypothesis:
+    """One beam entry. ``score`` is the total log-probability (token and
+    duration heads) of the alignment(s) merged into this hypothesis."""
+
+    score: float
+    tokens: List[int] = field(default_factory=list)
+    cursor: int = 0          # next encoder frame to consume
+    u: int = 0               # symbols emitted at the current frame
+    y_id: int = 0
+    g: Optional[np.ndarray] = None
+    state: object = None
+
+    def key(self) -> Tuple[Tuple[int, ...], int]:
+        return (tuple(self.tokens), self.cursor)
+
+
+def _log_softmax(x: np.ndarray) -> np.ndarray:
+    m = float(np.max(x))
+    e = np.exp(x - m)
+    return (x - m) - math.log(float(np.sum(e)))
+
+
+def tdt_beam_decode_host(
+    enc: np.ndarray,                   # [T_enc, D] valid encoder steps
+    joint_fn: Callable,                # (enc_t [D], g [P]) -> logits [V_joint]
+    predictor_fn: Callable,            # (token_id, state) -> (g [P], state)
+    state,                             # initial predictor state
+    g: np.ndarray,                     # primed predictor output [P]
+    y_id: int,
+    *,
+    blank_id: int,
+    token_head_size: int,
+    duration_values: Sequence[int],
+    beam: int = 4,
+    expansion_k: int = 4,              # non-blank tokens considered per step
+    max_symbols: int = 8,
+    length_norm: float = 0.0,          # final ranking: score / len**length_norm
+) -> List[Hypothesis]:
+    """Decode one utterance; returns up to ``beam`` finished hypotheses,
+    best first. ``tokens`` of the top hypothesis is the 1-best transcript."""
+    t_enc = int(enc.shape[0])
+    ndur = len(duration_values)
+    init = Hypothesis(score=0.0, y_id=y_id, g=np.asarray(g), state=state)
+    active: List[Hypothesis] = [init]
+    finished: List[Hypothesis] = []
+
+    for t in range(t_enc):
+        if not active:
+            break
+        # Hyps not at this frame pass through untouched; they still occupy
+        # beam slots (they already paid their scores up to a later frame).
+        here = [h for h in active if h.cursor == t]
+        waiting = [h for h in active if h.cursor != t]
+        pool: List[Hypothesis] = list(waiting)
+        # expand frame-t hypotheses, chasing dur=0 chains within the frame
+        frontier = here
+        for _u in range(max_symbols):
+            if not frontier:
+                break
+            next_frontier: List[Hypothesis] = []
+            for h in frontier:
+                logits = np.asarray(joint_fn(enc[t], h.g), dtype=np.float32)
+                ls_tok = _log_softmax(logits[:token_head_size])
+                ls_dur = _log_softmax(
+                    logits[token_head_size : token_head_size + ndur])
+                forced = _u == max_symbols - 1   # greedy's symbol-cap clamp
+                if beam == 1:
+                    # exact greedy successor: argmax over each head
+                    cands = [(int(np.argmax(ls_tok)), int(np.argmax(ls_dur)))]
+                else:
+                    # blank (best duration) + top-k non-blank x every duration
+                    cands = [(blank_id, int(np.argmax(ls_dur)))]
+                    emitted = 0
+                    for v in np.argsort(ls_tok)[::-1]:
+                        v = int(v)
+                        if v == blank_id:
+                            continue
+                        if emitted >= expansion_k:
+                            break
+                        emitted += 1
+                        cands.extend((v, di) for di in range(ndur))
+                g_cache = {}   # one predictor step per distinct token
+                for v, di in cands:
+                    d = int(duration_values[di])
+                    sc = h.score + float(ls_tok[v]) + float(ls_dur[di])
+                    if v == blank_id:
+                        # blank: no emission, predictor untouched, >=1 frame
+                        pool.append(Hypothesis(
+                            score=sc, tokens=h.tokens, cursor=t + max(d, 1),
+                            y_id=h.y_id, g=h.g, state=h.state))
+                        continue
+                    if v not in g_cache:
+                        g_cache[v] = predictor_fn(v, h.state)
+                    g2, st2 = g_cache[v]
+                    adv = max(d, 1) if forced else d
+                    h2 = Hypothesis(
+                        score=sc, tokens=h.tokens + [v], cursor=t + adv,
+                        y_id=v, g=np.asarray(g2), state=st2)
+                    if adv == 0:
+                        h2.u = _u + 1
+                        next_frontier.append(h2)
+                    else:
+                        pool.append(h2)
+            # dur-0 chains compete with the pool next round via pruning of
+            # the frontier itself (bound work per frame)
+            next_frontier.sort(key=lambda h: h.score, reverse=True)
+            frontier = next_frontier[:beam]
+        # any frontier leftovers at the symbol cap were already forced to
+        # advance (forced=True on the last _u), so nothing is dropped here
+        # merge identical (tokens, cursor) alignments: log-add scores
+        merged = {}
+        for h in pool:
+            k = h.key()
+            if k in merged:
+                merged[k].score = float(np.logaddexp(merged[k].score, h.score))
+            else:
+                merged[k] = h
+        pool = sorted(merged.values(), key=lambda h: h.score, reverse=True)
+        survivors = pool[:beam]
+        active = []
+        for h in survivors:
+            if h.cursor >= t_enc:
+                finished.append(h)
+            else:
+                active.append(h)
+    finished.extend(active)   # ran out of frames mid-chase: still valid
+    def rank(h: Hypothesis) -> float:
+        if length_norm and h.tokens:
+            return h.score / (len(h.tokens) ** length_norm)
+        return h.score
+    finished.sort(key=rank, reverse=True)
+    # dedupe final token sequences (different cursors can finish equal)
+    seen, out = set(), []
+    for h in finished:
+        k = tuple(h.tokens)
+        if k not in seen:
+            seen.add(k)
+            out.append(h)
+    return out[:beam]

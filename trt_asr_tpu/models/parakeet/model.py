@@ -164,3 +164,48 @@ class ParakeetTDT:
                 use_punct_mask=rt.suppress_leading_punct)
             ids.extend(int(x) for x in np.asarray(toks)[: int(n)])
         return self.tokenizer.decode(ids), ids
+
+    def transcribe_offline_beam(self, audio: np.ndarray, beam: int = 4,
+                                norm: str = "per_feature",
+                                length_norm: float = 0.0,
+                                expansion_k: int = 4):
+        """n-best offline transcription via TDT beam search
+        (decode/beam.py — capability beyond the greedy-only reference).
+        Returns a list of (text, token_ids, score), best first. The
+        encoder runs once on device; the search runs on host over the
+        jitted joint/predictor single-step programs."""
+        from trt_asr_tpu.decode.beam import tdt_beam_decode_host
+        from trt_asr_tpu.models.parakeet.joint import joint_single_step
+        from trt_asr_tpu.models.parakeet.predictor import predictor_step
+
+        feats = self.features(audio, norm=norm)
+        if feats.shape[0] == 0:
+            return [("", [], 0.0)]
+        enc, enc_len = offline_encode(
+            self.params, self.cfg, feats[None],
+            np.array([feats.shape[0]], np.int32))
+        t = int(np.asarray(enc_len)[0])
+
+        def j_fn(enc_t, g):
+            return np.asarray(
+                joint_single_step(self.params["joint"], enc_t[None], g[None]))[0]
+
+        def p_fn(tok, st):
+            h, c = st
+            g, h2, c2 = predictor_step(
+                self.params["predictor"], np.array([tok], np.int32), h, c)
+            return np.asarray(g)[0], (h2, c2)
+
+        ds = prime_decode_state(self.params, self.cfg,
+                                init_decode_state(self.cfg, 1), self.prompt_ids)
+        hyps = tdt_beam_decode_host(
+            np.asarray(enc)[0, :t], j_fn, p_fn, (ds.h, ds.c),
+            np.asarray(ds.g)[0], int(np.asarray(ds.y_id)[0]),
+            blank_id=self.cfg.blank_id,
+            token_head_size=self.cfg.token_head_size,
+            duration_values=self.cfg.duration_values, beam=beam,
+            expansion_k=expansion_k,
+            max_symbols=self.cfg.max_symbols_per_timestep,
+            length_norm=length_norm)
+        return [(self.tokenizer.decode(h.tokens), list(h.tokens), h.score)
+                for h in hyps]
