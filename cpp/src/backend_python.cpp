@@ -165,6 +165,8 @@ class PythonBackend final : public Backend {
             return "";
         }
         const char* s = PyUnicode_AsUTF8(r);
+        if (!s) PyErr_Clear();   // non-str / bad UTF-8: must not leave a
+                                 // pending exception for the next C-API call
         std::string out = s ? s : "";
         Py_DECREF(r);
         return out;

@@ -122,20 +122,26 @@ def test_beam_beats_greedy_on_scripted_joint():
     by_tokens = {tuple(h.tokens): h.score for h in hyps}
     assert (7,) in by_tokens, "greedy's path must still be in the n-best"
     assert by_tokens[(8,)] > by_tokens[(7,)]
-    # the beam's scores match independent path scoring
+    # the beam's score matches independent path scoring of the dominant
+    # alignment (final log-add recombination folds in the negligible mass
+    # of the direct duration-2/3/4 alignments of the same sequence)
     want_8 = _path_score(cfg, joint_fn, [(0, blank, 8, 1), (1, 8, blank, 1)])
-    assert by_tokens[(8,)] == pytest.approx(want_8, abs=1e-4)
+    assert by_tokens[(8,)] == pytest.approx(want_8, abs=5e-3)
     # n-best ordered and deduped
     scores = [h.score for h in hyps]
     assert scores == sorted(scores, reverse=True)
     assert len({tuple(h.tokens) for h in hyps}) == len(hyps)
 
 
-def test_model_level_beam(setup, rng):
+@pytest.mark.parametrize("suppress", [False, True])
+def test_model_level_beam(setup, rng, suppress):
+    """beam=1 == transcribe_offline under BOTH runtime configurations —
+    including default leading-punct suppression (the runtime knobs must
+    reach the beam, not just the greedy path)."""
     from trt_asr_tpu.models.parakeet.model import ParakeetTDT
 
     model = ParakeetTDT.random(ModelConfig.tiny(), seed=5)
-    model.runtime = RuntimeConfig(suppress_leading_punct=False)
+    model.runtime = RuntimeConfig(suppress_leading_punct=suppress)
     t = np.arange(24000)
     audio = (0.4 * np.sin(2 * np.pi * 300 * t / 16000)
              + 0.1 * np.random.default_rng(2).standard_normal(24000)).astype(np.float32)

@@ -80,6 +80,13 @@ def tdt_beam_decode_host(
     expansion_k: int = 4,              # non-blank tokens considered per step
     max_symbols: int = 8,
     length_norm: float = 0.0,          # final ranking: score / len**length_norm
+    blank_penalty: float = 0.0,        # subtracted from the blank logit
+                                       # pre-softmax (host_decode semantics)
+    punct_token_ids: Optional[set] = None,
+                                       # leading-punct suppression: these
+                                       # tokens cannot be an utterance's
+                                       # first emission (host_decode :63-65)
+    emitted_so_far: int = 0,
 ) -> List[Hypothesis]:
     """Decode one utterance; returns up to ``beam`` finished hypotheses,
     best first. ``tokens`` of the top hypothesis is the 1-best transcript."""
@@ -105,20 +112,29 @@ def tdt_beam_decode_host(
             next_frontier: List[Hypothesis] = []
             for h in frontier:
                 logits = np.asarray(joint_fn(enc[t], h.g), dtype=np.float32)
-                ls_tok = _log_softmax(logits[:token_head_size])
+                tok_logits = logits[:token_head_size]
+                if blank_penalty:
+                    tok_logits = tok_logits.copy()
+                    tok_logits[blank_id] -= blank_penalty
+                ls_tok = _log_softmax(tok_logits)
                 ls_dur = _log_softmax(
                     logits[token_head_size : token_head_size + ndur])
+                first = punct_token_ids and emitted_so_far == 0 and not h.tokens
                 forced = _u == max_symbols - 1   # greedy's symbol-cap clamp
                 if beam == 1:
-                    # exact greedy successor: argmax over each head
-                    cands = [(int(np.argmax(ls_tok)), int(np.argmax(ls_dur)))]
+                    # exact greedy successor: argmax over each head, with
+                    # host_decode's leading-punct substitution to blank
+                    v = int(np.argmax(ls_tok))
+                    if first and v != blank_id and v in punct_token_ids:
+                        v = blank_id
+                    cands = [(v, int(np.argmax(ls_dur)))]
                 else:
                     # blank (best duration) + top-k non-blank x every duration
                     cands = [(blank_id, int(np.argmax(ls_dur)))]
                     emitted = 0
                     for v in np.argsort(ls_tok)[::-1]:
                         v = int(v)
-                        if v == blank_id:
+                        if v == blank_id or (first and v in punct_token_ids):
                             continue
                         if emitted >= expansion_k:
                             break
@@ -173,12 +189,15 @@ def tdt_beam_decode_host(
         if length_norm and h.tokens:
             return h.score / (len(h.tokens) ** length_norm)
         return h.score
-    finished.sort(key=rank, reverse=True)
-    # dedupe final token sequences (different cursors can finish equal)
-    seen, out = set(), []
+    # alignments of the same label sequence that finished at different
+    # frames: recombine by log-add (sum over alignments, completing the
+    # per-frame merging above)
+    merged_fin = {}
     for h in finished:
         k = tuple(h.tokens)
-        if k not in seen:
-            seen.add(k)
-            out.append(h)
+        if k in merged_fin:
+            merged_fin[k].score = float(np.logaddexp(merged_fin[k].score, h.score))
+        else:
+            merged_fin[k] = h
+    out = sorted(merged_fin.values(), key=rank, reverse=True)
     return out[:beam]

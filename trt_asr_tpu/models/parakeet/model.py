@@ -198,6 +198,9 @@ class ParakeetTDT:
 
         ds = prime_decode_state(self.params, self.cfg,
                                 init_decode_state(self.cfg, 1), self.prompt_ids)
+        rt = self.runtime
+        punct_ids = (set(np.flatnonzero(self.punct_mask).tolist())
+                     if rt.suppress_leading_punct else None)
         hyps = tdt_beam_decode_host(
             np.asarray(enc)[0, :t], j_fn, p_fn, (ds.h, ds.c),
             np.asarray(ds.g)[0], int(np.asarray(ds.y_id)[0]),
@@ -206,6 +209,7 @@ class ParakeetTDT:
             duration_values=self.cfg.duration_values, beam=beam,
             expansion_k=expansion_k,
             max_symbols=self.cfg.max_symbols_per_timestep,
-            length_norm=length_norm)
+            length_norm=length_norm,
+            blank_penalty=rt.blank_penalty, punct_token_ids=punct_ids)
         return [(self.tokenizer.decode(h.tokens), list(h.tokens), h.score)
                 for h in hyps]

@@ -21,11 +21,14 @@ Wire protocol: newline-delimited JSON, one connection per client stream.
      finals additionally carry "words": [{word, start_s, end_s}] —
      frame-anchored TDT timestamps (decode/timestamps.py).
 
-Threading model: the engine is single-device state, so every engine call
-is serialized under one lock; a stepper thread runs the lockstep batched
-chunk whenever any stream has a ready chunk and routes drained events to
-the owning client socket. Client reader threads only buffer pushes (cheap
-numpy appends) under the same lock.
+Threading model: shared engine state is serialized under one lock; a
+stepper thread runs the lockstep batched chunk whenever any stream has a
+ready chunk and moves drained events onto per-stream outbound queues
+(never touching a socket — a stalled consumer can only grow its own
+queue, drained by its own sender thread). Client handler threads run the
+per-slot mel frontend outside the lock (single-owner state) and take the
+lock only for the cheap feature-buffer append; stepper errors are
+reported to clients and the daemon keeps serving.
 """
 
 from __future__ import annotations
@@ -34,8 +37,10 @@ import argparse
 import base64
 import json
 import socket
+import sys
 import threading
 import time
+from collections import deque
 from typing import Dict, Optional
 
 import numpy as np
@@ -55,6 +60,11 @@ class AsrServer:
         self._elock = threading.Lock()      # serializes ALL engine access
         self._clients: Dict[int, socket.socket] = {}   # sid -> conn
         self._wlocks: Dict[int, threading.Lock] = {}   # per-conn write lock
+        # per-sid outbound event queue + sender thread: the stepper NEVER
+        # touches a socket, so a slow/stalled client can only grow its own
+        # queue — it cannot block the device loop or other streams
+        self._outq: Dict[int, "deque"] = {}
+        self._outcv: Dict[int, threading.Condition] = {}
         self._finalizing: set = set()
         self._stop = threading.Event()
         self._srv = socket.create_server((host, port))
@@ -109,6 +119,27 @@ class AsrServer:
         except OSError:
             pass  # client gone; stream cleanup happens in _client_loop
 
+    def _sender_loop(self, sid: int, conn: socket.socket) -> None:
+        """Drains one stream's outbound event queue to its socket. Runs in
+        its own thread so a stalled consumer only blocks itself."""
+        cv, q = self._outcv[sid], self._outq[sid]
+        while True:
+            with cv:
+                while not q:
+                    cv.wait()
+                item = q.popleft()
+            if item is None:   # sentinel: client gone
+                return
+            self._send(conn, item, sid)
+
+    def _enqueue(self, sid: int, obj: dict) -> None:
+        cv = self._outcv.get(sid)
+        if cv is None:
+            return
+        with cv:
+            self._outq[sid].append(obj)
+            cv.notify()
+
     def _client_loop(self, conn: socket.socket) -> None:
         sid: Optional[int] = None
         buf = b""
@@ -129,9 +160,12 @@ class AsrServer:
             if sid is not None:
                 with self._elock:
                     self._clients.pop(sid, None)
-                    self._wlocks.pop(sid, None)
                     self._finalizing.discard(sid)
                     self.engine.close_stream(sid)
+                self._enqueue(sid, None)   # stop the sender thread
+                self._outq.pop(sid, None)
+                self._outcv.pop(sid, None)
+                self._wlocks.pop(sid, None)
             try:
                 conn.close()
             except OSError:
@@ -151,6 +185,10 @@ class AsrServer:
                     new_sid = self.engine.open_stream()
                     self._clients[new_sid] = conn
                     self._wlocks[new_sid] = threading.Lock()
+                    self._outq[new_sid] = deque()
+                    self._outcv[new_sid] = threading.Condition()
+                threading.Thread(target=self._sender_loop,
+                                 args=(new_sid, conn), daemon=True).start()
                 self._send(conn, {"ok": True, "sid": new_sid}, new_sid)
                 return new_sid
             if op == "info":
@@ -164,8 +202,13 @@ class AsrServer:
                 return sid
             if op == "push":
                 pcm = np.frombuffer(base64.b64decode(msg["pcm"]), np.float32)
+                # mel extraction runs OUTSIDE the engine lock: the per-slot
+                # streaming frontend is owned by this client's handler
+                # thread alone (engine.extract_features), so frontend CPU
+                # work never contends with device stepping
+                feats = self.engine.extract_features(sid, pcm)
                 with self._elock:
-                    self.engine.push_audio(sid, pcm)
+                    self.engine.push_features(sid, feats)
                 self._send(conn, {"ok": True}, sid)
             elif op == "push_features":
                 raw = np.frombuffer(base64.b64decode(msg["feats"]), np.float32)
@@ -191,17 +234,29 @@ class AsrServer:
     def _step_loop(self) -> None:
         while not self._stop.is_set():
             advanced = 0
-            with self._elock:
-                if self.engine.pending():
-                    advanced = self.engine.step()
-                self._drain_events()
+            try:
+                with self._elock:
+                    if self.engine.pending():
+                        advanced = self.engine.step()
+                    self._drain_events()
+            except Exception as e:  # noqa: BLE001 — the stepper must
+                # survive transient device/backend errors (e.g. the TPU
+                # tunnel dropping, docs/DEBUGGING.md): report to every
+                # connected client and keep serving
+                print(f"trt-asr-tpu-serve: step error: {e!r}",
+                      file=sys.stderr, flush=True)
+                for sid in list(self._clients):
+                    self._enqueue(sid, {"event": "error", "segment": -1,
+                                        "text": "", "tokens": [],
+                                        "error": f"server step failed: {e!r}"})
+                time.sleep(0.5)
             if not advanced:
                 time.sleep(0.005)
 
     def _drain_events(self) -> None:
-        """Route per-stream events to their owning client (caller holds
-        the engine lock)."""
-        for sid, conn in list(self._clients.items()):
+        """Move per-stream events onto their owners' outbound queues
+        (caller holds the engine lock; no socket IO here — see _sender_loop)."""
+        for sid in list(self._clients):
             while (ev := self.engine.poll_event(sid)) is not None:
                 name = {EventType.PARTIAL_TEXT: "partial",
                         EventType.FINAL_TEXT: "final",
@@ -213,7 +268,7 @@ class AsrServer:
                 if ev.type == EventType.FINAL_TEXT and sid in self._finalizing:
                     out["words"] = self.engine.word_timestamps(sid)
                     self._finalizing.discard(sid)
-                self._send(conn, out, sid)
+                self._enqueue(sid, out)
 
 
 # -- client helper --------------------------------------------------------
@@ -243,11 +298,20 @@ def transcribe(host: str, port: int, audio: np.ndarray,
         raise RuntimeError(r.get("error", "open failed"))
     audio = np.asarray(audio, np.float32)
     partials = []
+
+    def check(r):
+        """Stream errors and rejected ops raise instead of hanging."""
+        if r.get("event") == "error":
+            raise RuntimeError(f"stream error: {r.get('error', r)}")
+        if "event" not in r and not r.get("ok", False):
+            raise RuntimeError(r.get("error", f"request rejected: {r}"))
+
     for s in range(0, len(audio), chunk_samples):
         send({"op": "push",
               "pcm": base64.b64encode(audio[s : s + chunk_samples].tobytes()).decode()})
         while True:
             r = recv()
+            check(r)
             if "event" in r:
                 partials.append(r)
             else:
@@ -257,6 +321,7 @@ def transcribe(host: str, port: int, audio: np.ndarray,
     deadline = time.monotonic() + timeout_s
     while final is None and time.monotonic() < deadline:
         r = recv()
+        check(r)
         if r.get("event") == "final":
             final = r
         elif "event" in r:

@@ -200,9 +200,15 @@ class BatchStreamingEngine:
 
     # -- input ------------------------------------------------------------
 
+    def extract_features(self, sid: int, samples: np.ndarray) -> np.ndarray:
+        """Run stream sid's log-mel frontend (stateful overlap carry).
+        Single-owner state: only the thread feeding this stream may call
+        it, but it needs NO engine-wide lock — servers extract features
+        concurrently with device stepping (serve.py)."""
+        return self._mel[sid].push(np.asarray(samples, np.float32))
+
     def push_audio(self, sid: int, samples: np.ndarray) -> None:
-        feats = self._mel[sid].push(np.asarray(samples, np.float32))
-        self.push_features(sid, feats)
+        self.push_features(sid, self.extract_features(sid, samples))
 
     def push_features(self, sid: int, feats: np.ndarray) -> None:
         """Event-protocol parity with StreamingSession.push_features: misuse
@@ -319,7 +325,11 @@ class BatchStreamingEngine:
                 self._token_durs[sid].extend(
                     int(d) for d in durs_b[sid, : n[sid]])
             self._frames_base[sid] += int(out_len[sid])
-            self._maybe_partial(sid)
+            if sid not in flushing:
+                # session-surface parity: finalize's flush chunk emits only
+                # FINAL_TEXT, never a redundant PARTIAL
+                # (StreamingSession.finalize)
+                self._maybe_partial(sid)
         for sid in flushing:
             self._emit_final(sid)
         return len(progressed)
