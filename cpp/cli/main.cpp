@@ -292,10 +292,13 @@ int main(int argc, char** argv) {
             pos = eol + 1;
             const size_t t1 = line.find('\t');
             const size_t t2 = line.find('\t', t1 + 1);
-            if (t1 == std::string::npos || t2 == std::string::npos) continue;
+            const size_t t3 = line.find('\t', t2 + 1);
+            if (t1 == std::string::npos || t2 == std::string::npos ||
+                t3 == std::string::npos)
+                continue;
             std::printf("Word: [%s %s] %s\n", line.substr(0, t1).c_str(),
                         line.substr(t1 + 1, t2 - t1 - 1).c_str(),
-                        line.substr(t2 + 1).c_str());
+                        line.substr(t3 + 1).c_str());
         }
     }
     parakeet_destroy_session(sess);

@@ -93,7 +93,8 @@ const char* trt_asr_runtime_info(ParakeetSession* session);
 int trt_asr_n_mels(ParakeetSession* session);
 
 /* Word-level timestamps for the utterance so far, as TSV lines
- * "start_s\tend_s\tword\n" (frame-anchored TDT decode timestamps —
+ * "start_s\tend_s\tlogp\tword\n" (frame-anchored TDT decode timestamps
+ * with per-word decode-time log-probability —
  * capability beyond the reference's text-only event protocol). The
  * returned string is owned by the session and valid until the next call.
  * Empty string when nothing has been emitted. */

@@ -29,9 +29,10 @@ class Backend {
     virtual bool poll(BackendEvent& ev) = 0;
     virtual std::string info() const = 0;
     virtual int n_mels() const = 0;
-    // Word timings as TSV lines "start_s\tend_s\tword\n" (frame-anchored
-    // TDT timestamps — beyond the reference's text-only events). Empty
-    // string when none are available yet.
+    // Word timings as TSV lines "start_s\tend_s\tlogp\tword\n"
+    // (frame-anchored TDT timestamps + decode-time word log-probability —
+    // beyond the reference's text-only events). Empty string when none
+    // are available yet.
     virtual std::string word_timestamps_tsv() { return ""; }
 };
 

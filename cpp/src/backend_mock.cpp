@@ -68,7 +68,7 @@ class MockBackend final : public Backend {
         for (size_t i = 0; i < words; ++i) {
             const double s = static_cast<double>(i);      // 100 frames = 1 s
             out += std::to_string(s) + "\t" + std::to_string(s + 1.0) +
-                   "\tmock" + std::to_string(i) + "\n";
+                   "\t0.0\tmock" + std::to_string(i) + "\n";
         }
         return out;
     }

@@ -65,16 +65,42 @@ def test_device_stamps_match_host(setup, rng):
     host_toks, host_stamps = _host_stamps(cfg, params, enc[:t])
 
     ds0 = prime_decode_state(params, cfg, init_decode_state(cfg, 1), [])
-    toks, n, _, (frames, durs) = tdt_greedy_decode_chunk(
+    toks, n, _, (frames, durs, logps) = tdt_greedy_decode_chunk(
         params, cfg, enc, np.int32(t), ds0,
         max_tokens=cfg.max_symbols_per_timestep * t, with_timestamps=True)
     n = int(n)
     assert [int(x) for x in np.asarray(toks)[:n]] == host_toks
     got = list(zip(np.asarray(frames)[:n].tolist(), np.asarray(durs)[:n].tolist()))
-    assert got == host_stamps
+    assert got == [(f, d) for f, d, _ in host_stamps]
+    # decode-time confidences match the host log-softmax (f32 tolerance)
+    np.testing.assert_allclose(np.asarray(logps)[:n],
+                               [lp for _, _, lp in host_stamps], atol=1e-4)
+    assert all(lp <= 1e-6 for lp in np.asarray(logps)[:n]), "logp must be <= 0"
     assert n > 0, "degenerate: nothing emitted"
     # padding past n stays -1
     assert all(int(f) == -1 for f in np.asarray(frames)[n:])
+
+
+def test_pallas_joint_stamps_match_xla(setup, rng):
+    """The fused joint kernel path yields the same anchors and (f32-level)
+    confidences as the XLA path — the kernel returns raw logits, the
+    confidence is computed identically outside it."""
+    cfg, params = setup
+    enc, t = _encode(cfg, params, rng, frames=120)
+    ds = prime_decode_state(params, cfg, init_decode_state(cfg, 1), [])
+    toks_x, n_x, _, (fr_x, du_x, lp_x) = tdt_greedy_decode_chunk(
+        params, cfg, enc, np.int32(t), ds,
+        max_tokens=8 * t, with_timestamps=True)
+    toks_p, n_p, _, (fr_p, du_p, lp_p) = tdt_greedy_decode_chunk(
+        params, cfg, enc, np.int32(t), ds,
+        max_tokens=8 * t, with_timestamps=True, use_pallas_joint=True)
+    n = int(n_x)
+    assert int(n_p) == n and n > 0
+    assert np.asarray(toks_p)[:n].tolist() == np.asarray(toks_x)[:n].tolist()
+    assert np.asarray(fr_p)[:n].tolist() == np.asarray(fr_x)[:n].tolist()
+    assert np.asarray(du_p)[:n].tolist() == np.asarray(du_x)[:n].tolist()
+    np.testing.assert_allclose(np.asarray(lp_p)[:n], np.asarray(lp_x)[:n],
+                               atol=1e-4)
 
 
 def test_chunked_absolute_frames_match_whole(setup, rng):
@@ -84,7 +110,7 @@ def test_chunked_absolute_frames_match_whole(setup, rng):
     enc, t = _encode(cfg, params, rng)
 
     ds = prime_decode_state(params, cfg, init_decode_state(cfg, 1), [])
-    toks_w, n_w, _, (fr_w, _du) = tdt_greedy_decode_chunk(
+    toks_w, n_w, _, (fr_w, _du, _lp) = tdt_greedy_decode_chunk(
         params, cfg, enc[:t], np.int32(t), ds, max_tokens=8 * t,
         with_timestamps=True)
     whole = np.asarray(fr_w)[: int(n_w)].tolist()
@@ -93,7 +119,7 @@ def test_chunked_absolute_frames_match_whole(setup, rng):
     split = t // 2
     got, base, n_so_far = [], 0, 0
     for piece in (enc[:split], enc[split:t]):
-        toks, n, ds, (fr, _d) = tdt_greedy_decode_chunk(
+        toks, n, ds, (fr, _d, _l) = tdt_greedy_decode_chunk(
             params, cfg, piece, np.int32(piece.shape[0]), ds,
             max_tokens=8 * t, emitted_so_far=np.int32(n_so_far),
             with_timestamps=True)
@@ -116,11 +142,11 @@ def test_batched_stamps_match_single(setup, rng):
     t_b = np.asarray(ts, np.int32)
 
     st = prime_decode_state(params, cfg, init_decode_state(cfg, 3), [])
-    toks_b, n_b, _, (fr_b, du_b) = tdt_greedy_decode_batch(
+    toks_b, n_b, _, (fr_b, du_b, lp_b) = tdt_greedy_decode_batch(
         params, cfg, enc_b, t_b, st, max_tokens=8 * 15, with_timestamps=True)
     for i in range(3):
         ds = prime_decode_state(params, cfg, init_decode_state(cfg, 1), [])
-        toks_s, n_s, _, (fr_s, du_s) = tdt_greedy_decode_chunk(
+        toks_s, n_s, _, (fr_s, du_s, lp_s) = tdt_greedy_decode_chunk(
             params, cfg, encs[i], np.int32(ts[i]), ds, max_tokens=8 * 15,
             with_timestamps=True)
         n = int(n_s)
@@ -128,6 +154,9 @@ def test_batched_stamps_match_single(setup, rng):
         assert np.asarray(toks_b)[i, :n].tolist() == np.asarray(toks_s)[:n].tolist()
         assert np.asarray(fr_b)[i, :n].tolist() == np.asarray(fr_s)[:n].tolist()
         assert np.asarray(du_b)[i, :n].tolist() == np.asarray(du_s)[:n].tolist()
+        # same logits, different matmul shapes: f32-tolerance confidence match
+        np.testing.assert_allclose(np.asarray(lp_b)[i, :n],
+                                   np.asarray(lp_s)[:n], atol=1e-5)
 
 
 def _session_run(model, audio, hop):
@@ -160,15 +189,26 @@ def test_session_timestamps_push_invariant(model):
     b = _session_run(model, audio, 3000)
     ts_a, ts_b = a.token_timestamps(), b.token_timestamps()
     assert len(ts_a) == len(a._tokens) > 0
-    assert ts_a == ts_b
+    # different push granularities batch the mel DFT matmul differently, so
+    # features (and logp) carry f32 reduction noise; anchors are exact
+    assert len(ts_a) == len(ts_b)
+    for x, y in zip(ts_a, ts_b):
+        assert x["logp"] == pytest.approx(y["logp"], abs=1e-3)
+        assert {k: v for k, v in x.items() if k != "logp"} == \
+               {k: v for k, v in y.items() if k != "logp"}
     starts = [t["start_s"] for t in ts_a]
     assert starts == sorted(starts), "timestamps must be nondecreasing"
     dur_s = len(audio) / 16000
     for t in ts_a:
         assert 0.0 <= t["start_s"] < t["end_s"] <= dur_s + 1.0
+        assert t["logp"] <= 1e-6
     # words cover the same span, grouped
-    words = a.word_timestamps()
-    assert words and words == b.word_timestamps()
+    words, words_b = a.word_timestamps(), b.word_timestamps()
+    assert words and len(words) == len(words_b)
+    for x, y in zip(words, words_b):
+        assert x["logp"] == pytest.approx(y["logp"], abs=5e-3)
+        assert {k: v for k, v in x.items() if k != "logp"} == \
+               {k: v for k, v in y.items() if k != "logp"}
     assert " ".join(w["word"] for w in words).replace("  ", " ").strip()
 
 
@@ -207,8 +247,20 @@ def test_engine_timestamps_match_session(model):
     eng.finalize_stream(sid)
     eng.run_until_drained()
 
-    assert eng.token_timestamps(sid) == sess.token_timestamps()
-    assert eng.word_timestamps(sid) == sess.word_timestamps()
+    ts_e, ts_s = eng.token_timestamps(sid), sess.token_timestamps()
+    assert len(ts_e) == len(ts_s)
+    for a, b in zip(ts_e, ts_s):
+        # batched vs single-stream decode: same logits through different
+        # matmul shapes — logp matches to f32 tolerance, rest exactly
+        assert a["logp"] == pytest.approx(b["logp"], abs=2e-3)
+        assert {k: v for k, v in a.items() if k != "logp"} == \
+               {k: v for k, v in b.items() if k != "logp"}
+    ws_e, ws_s = eng.word_timestamps(sid), sess.word_timestamps()
+    assert len(ws_e) == len(ws_s)
+    for a, b in zip(ws_e, ws_s):
+        assert a["logp"] == pytest.approx(b["logp"], abs=5e-3)
+        assert {k: v for k, v in a.items() if k != "logp"} == \
+               {k: v for k, v in b.items() if k != "logp"}
 
 
 def test_word_grouping_semantics():

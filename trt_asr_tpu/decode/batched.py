@@ -54,9 +54,11 @@ def tdt_greedy_decode_batch(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, DecodeState]:
     """Returns (tokens [B, max_tokens] (-1 padded), n [B], new_state).
 
-    with_timestamps=True appends ``(frames, durs)`` [B, max_tokens] int32
-    (-1 padded): per emitted token, the within-chunk encoder frame it was
-    emitted at and its predicted TDT duration (see tdt_greedy.py)."""
+    with_timestamps=True appends ``(frames, durs, logps)``
+    [B, max_tokens] (int32/-1, int32/-1, f32/0 padded): per emitted token,
+    the within-chunk encoder frame it was emitted at, its predicted TDT
+    duration, and its decode-time log-softmax confidence (see
+    tdt_greedy.py)."""
     b = enc.shape[0]
     max_symbols = max_symbols or cfg.max_symbols_per_timestep
     blank = cfg.blank_id
@@ -100,12 +102,15 @@ def tdt_greedy_decode_batch(
         (idempotent for unchanged rows) and strictly cheaper than stepping."""
         if use_pallas_joint:
             g_rows = jnp.repeat(g, tq, axis=0)                     # [B*T, P]
-            toks, dur_sel, _ = joint_step_pallas_prepadded(
+            toks, dur_sel, logits_full = joint_step_pallas_prepadded(
                 enc_proj.reshape(b * tq, -1), g_rows, *padded_w, ths=ths,
                 ndur=cfg.num_duration_bins, blank_id=blank,
                 blank_penalty=blank_penalty, interpret=pallas_interpret)
             toks = toks.reshape(b, tq)
             dur_sel = dur_sel.reshape(b, tq)
+            tok_logits = logits_full[:, :ths].reshape(b, tq, ths)
+            if blank_penalty:
+                tok_logits = tok_logits.at[..., blank].add(-blank_penalty)
         else:
             logits = joint_apply_projected(enc_proj, g)            # [B, T, V]
             tok_logits = logits[..., :ths]
@@ -117,7 +122,12 @@ def tdt_greedy_decode_batch(
         if use_punct_mask and punct_mask is not None:
             first = ((emitted_so_far + n) == 0)[:, None]
             toks = jnp.where(first & punct_mask[toks], blank, toks)
-        return toks, dur_values[dur_sel].astype(jnp.int32)
+        if with_timestamps:
+            conf = (jnp.take_along_axis(tok_logits, toks[..., None], axis=-1)[..., 0]
+                    - jax.nn.logsumexp(tok_logits, axis=-1)).astype(jnp.float32)
+        else:
+            conf = jnp.zeros((b, tq), jnp.float32)
+        return toks, dur_values[dur_sel].astype(jnp.int32), conf
 
     def joint_apply_projected(e_proj, g):
         from trt_asr_tpu.models.parakeet.joint import _proj
@@ -140,7 +150,12 @@ def tdt_greedy_decode_batch(
         if use_punct_mask and punct_mask is not None:
             first = (emitted_so_far + n) == 0
             toks = jnp.where(first & punct_mask[toks], blank, toks)
-        return toks, dur_values[dur_sel].astype(jnp.int32)
+        if with_timestamps:
+            conf = (jnp.take_along_axis(tok_logits, toks[:, None], axis=1)[:, 0]
+                    - jax.nn.logsumexp(tok_logits, axis=1)).astype(jnp.float32)
+        else:
+            conf = jnp.zeros((b,), jnp.float32)
+        return toks, dur_values[dur_sel].astype(jnp.int32), conf
 
     def cond(carry):
         time_idx = carry[0]
@@ -148,16 +163,17 @@ def tdt_greedy_decode_batch(
 
     def body(carry):
         (time_idx, u_count, dstate, tokens, n, any_stale, tok_vec, dur_vec,
-         stamps) = carry
+         conf_vec, stamps) = carry
         t_c = jnp.clip(time_idx, 0, tq - 1)
         if blank_run:
-            tok_vec, dur_vec = lax.cond(
+            tok_vec, dur_vec, conf_vec = lax.cond(
                 any_stale, lambda _: compute_vecs(dstate.g, n),
-                lambda _: (tok_vec, dur_vec), None)
+                lambda _: (tok_vec, dur_vec, conf_vec), None)
             best_tok = tok_vec[bi, t_c]
             duration = dur_vec[bi, t_c]
+            conf = conf_vec[bi, t_c]
         else:
-            best_tok, duration = step_vals(dstate.g, n, t_c)
+            best_tok, duration, conf = step_vals(dstate.g, n, t_c)
         active = time_idx < t_enc
         is_blank = best_tok == blank
         advance = jnp.where(is_blank & (duration == 0), 1, duration)
@@ -179,29 +195,32 @@ def tdt_greedy_decode_batch(
         tokens = tokens.at[bi, jnp.where(emit, n, max_tokens)].set(
             jnp.where(emit, best_tok, -1), mode="drop")
         if with_timestamps:
-            frames_buf, durs_buf = stamps
+            frames_buf, durs_buf, logps_buf = stamps
             idx = jnp.where(emit, n, max_tokens)
             frames_buf = frames_buf.at[bi, idx].set(
                 jnp.where(emit, t_c, -1), mode="drop")
             durs_buf = durs_buf.at[bi, idx].set(
                 jnp.where(emit, duration.astype(jnp.int32), -1), mode="drop")
-            stamps = (frames_buf, durs_buf)
+            logps_buf = logps_buf.at[bi, idx].set(
+                jnp.where(emit, conf, 0.0), mode="drop")
+            stamps = (frames_buf, durs_buf, logps_buf)
         n = n + emit.astype(jnp.int32)
 
         u_count = jnp.where(advance > 0, 0, u_count + 1)
         time_idx = time_idx + jnp.where(active, advance, 0)
         return (time_idx, u_count, new_dstate, tokens, n, jnp.any(emit),
-                tok_vec, dur_vec, stamps)
+                tok_vec, dur_vec, conf_vec, stamps)
 
     tokens0 = jnp.full((b, max_tokens), -1, jnp.int32)
     stamps0 = ((jnp.full((b, max_tokens), -1, jnp.int32),
-                jnp.full((b, max_tokens), -1, jnp.int32))
+                jnp.full((b, max_tokens), -1, jnp.int32),
+                jnp.zeros((b, max_tokens), jnp.float32))
                if with_timestamps else ())
     init = (state.time_carry.astype(jnp.int32), jnp.zeros((b,), jnp.int32),
             state, tokens0, jnp.zeros((b,), jnp.int32), jnp.asarray(True),
             jnp.zeros((b, tq), jnp.int32), jnp.zeros((b, tq), jnp.int32),
-            stamps0)
-    time_final, _, final_state, tokens, n, _, _, _, stamps = lax.while_loop(
+            jnp.zeros((b, tq), jnp.float32), stamps0)
+    time_final, _, final_state, tokens, n, _, _, _, _, stamps = lax.while_loop(
         cond, body, init)
     carry = jnp.maximum(time_final - t_enc, 0).astype(jnp.int32)
     final_state = final_state._replace(time_carry=carry)

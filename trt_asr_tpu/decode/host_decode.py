@@ -45,10 +45,11 @@ def tdt_greedy_decode_host(
     trace_topk: int = 0,        # per-step top-k token logits + logsumexp in
                                 # the trace (reference tdt_trace.py:294-356
                                 # and PARAKEET_DEBUG_JOINT_TOPK)
-    stamps_out: Optional[List[Tuple[int, int]]] = None,
+    stamps_out: Optional[List[Tuple[int, int, float]]] = None,
                                 # per emitted token, append (emission frame
-                                # incl. time_offset, predicted TDT duration)
-                                # — host reference for the device kernels'
+                                # incl. time_offset, predicted TDT duration,
+                                # log-softmax confidence of the token) —
+                                # host reference for the device kernels'
                                 # with_timestamps output
 ) -> Tuple[List[int], object, np.ndarray, int]:
     """Decode one chunk. Returns (emitted tokens, state, g, y_id)."""
@@ -93,7 +94,10 @@ def tdt_greedy_decode_host(
             if best_tok != blank_id:
                 emitted.append(best_tok)
                 if stamps_out is not None:
-                    stamps_out.append((time_offset + time_idx, duration))
+                    m = float(tok_logits.max())
+                    lse = m + float(np.log(np.sum(np.exp(tok_logits - m))))
+                    stamps_out.append((time_offset + time_idx, duration,
+                                       float(tok_logits[best_tok]) - lse))
                 n_total += 1
                 g, state = predictor_fn(best_tok, state)
                 y_id = best_tok

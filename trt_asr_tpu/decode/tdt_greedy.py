@@ -112,12 +112,14 @@ def tdt_greedy_decode_chunk(
     proj + dual argmax) into one Pallas kernel (~3x fewer per-iteration ops
     — ops/pallas/joint_step_kernel.py).
 
-    with_timestamps=True additionally returns ``(frames, durs)`` — per
-    emitted token, the within-chunk encoder frame index it was emitted at
-    and its predicted TDT duration (both [max_tokens] int32, -1 padded).
-    TDT emissions are frame-anchored by construction, so these are exact
-    decode-time token timestamps — capability the reference lacks (its
-    events carry text only, parakeet_trt.cpp:680-690).
+    with_timestamps=True additionally returns ``(frames, durs, logps)`` —
+    per emitted token, the within-chunk encoder frame index it was emitted
+    at, its predicted TDT duration (both [max_tokens] int32, -1 padded),
+    and its decode-time confidence: the log-softmax probability of the
+    emitted token under the (blank-penalized) token head ([max_tokens]
+    f32, 0 padded). TDT emissions are frame-anchored by construction, so
+    these are exact decode-time token timestamps — capability the
+    reference lacks (its events carry text only, parakeet_trt.cpp:680-690).
 
     trace=True additionally returns a bounded per-step record buffer
     ``(records [T*max_symbols, 7] int32, n_steps)`` with columns
@@ -143,13 +145,18 @@ def tdt_greedy_decode_chunk(
 
     def compute_vecs(g, n):
         """Token/duration argmax for EVERY chunk step under the current g
-        (one batched matmul — see module docstring, blank-run batching)."""
+        (one batched matmul — see module docstring, blank-run batching).
+        with_timestamps additionally yields each step's argmax log-softmax
+        probability (confidence) from the same logits."""
         if use_pallas_joint:
             g_rows = jnp.broadcast_to(g, (tq, g.shape[-1]))
-            toks, dur_sel, _ = joint_step_pallas_prepadded(
+            toks, dur_sel, logits_full = joint_step_pallas_prepadded(
                 enc_proj, g_rows, *padded_w, ths=ths,
                 ndur=cfg.num_duration_bins, blank_id=blank,
                 blank_penalty=blank_penalty, interpret=pallas_interpret)
+            tok_logits = logits_full[:, :ths]   # pre-penalty (kernel output)
+            if blank_penalty:
+                tok_logits = tok_logits.at[:, blank].add(-blank_penalty)
         else:
             logits = joint_from_projected(params["joint"], enc_proj, g)  # [T, V]
             tok_logits = logits[:, :ths]
@@ -162,17 +169,22 @@ def tdt_greedy_decode_chunk(
         if use_punct_mask and punct_mask is not None:
             first = (emitted_so_far + n) == 0
             toks = jnp.where(first & punct_mask[toks], blank, toks)
-        return toks, dur_values[dur_sel].astype(jnp.int32)
+        if with_timestamps:
+            conf = (jnp.take_along_axis(tok_logits, toks[:, None], axis=1)[:, 0]
+                    - jax.nn.logsumexp(tok_logits, axis=1)).astype(jnp.float32)
+        else:
+            conf = jnp.zeros((tq,), jnp.float32)
+        return toks, dur_values[dur_sel].astype(jnp.int32), conf
 
     def cond(carry):
         return carry[0] < t_enc
 
     def body(carry):
         (time_idx, u_count, dstate, tokens, n, stale, tok_vec, dur_vec,
-         stamps, aux) = carry
-        tok_vec, dur_vec = lax.cond(
+         conf_vec, stamps, aux) = carry
+        tok_vec, dur_vec, conf_vec = lax.cond(
             stale, lambda _: compute_vecs(dstate.g[0:1], n),
-            lambda _: (tok_vec, dur_vec), None)
+            lambda _: (tok_vec, dur_vec, conf_vec), None)
 
         best_tok = tok_vec[time_idx]
         duration = dur_vec[time_idx]
@@ -203,20 +215,22 @@ def tdt_greedy_decode_chunk(
         tokens = tokens.at[jnp.where(emit, n, max_tokens)].set(
             jnp.where(emit, best_tok, -1), mode="drop")
         if with_timestamps:
-            frames_buf, durs_buf = stamps
+            frames_buf, durs_buf, logps_buf = stamps
             idx = jnp.where(emit, n, max_tokens)
             frames_buf = frames_buf.at[idx].set(
                 jnp.where(emit, time_idx, -1), mode="drop")
             durs_buf = durs_buf.at[idx].set(
                 jnp.where(emit, duration.astype(jnp.int32), -1), mode="drop")
-            stamps = (frames_buf, durs_buf)
+            logps_buf = logps_buf.at[idx].set(
+                jnp.where(emit, conf_vec[time_idx], 0.0), mode="drop")
+            stamps = (frames_buf, durs_buf, logps_buf)
         n = n + emit.astype(jnp.int32)
 
         u_count = jnp.where(advance > 0, 0, u_count + 1)
         time_idx = time_idx + advance
         # g changed on emit -> the cached per-step argmax vectors are stale
         return (time_idx, u_count, new_dstate, tokens, n, emit,
-                tok_vec, dur_vec, stamps, aux)
+                tok_vec, dur_vec, conf_vec, stamps, aux)
 
     tokens0 = jnp.full((max_tokens,), -1, jnp.int32)
     if trace:
@@ -225,13 +239,14 @@ def tdt_greedy_decode_chunk(
     else:
         aux0 = ()
     stamps0 = ((jnp.full((max_tokens,), -1, jnp.int32),
-                jnp.full((max_tokens,), -1, jnp.int32))
+                jnp.full((max_tokens,), -1, jnp.int32),
+                jnp.zeros((max_tokens,), jnp.float32))
                if with_timestamps else ())
     init = (state.time_carry[0].astype(jnp.int32), jnp.zeros((), jnp.int32),
             state, tokens0, jnp.zeros((), jnp.int32), jnp.asarray(True),
             jnp.zeros((tq,), jnp.int32), jnp.zeros((tq,), jnp.int32),
-            stamps0, aux0)
-    time_final, _, final_state, tokens, n, _, _, _, stamps, aux = lax.while_loop(
+            jnp.zeros((tq,), jnp.float32), stamps0, aux0)
+    time_final, _, final_state, tokens, n, _, _, _, _, stamps, aux = lax.while_loop(
         cond, body, init)
     carry = jnp.maximum(time_final - t_enc, 0).astype(jnp.int32)
     final_state = final_state._replace(time_carry=jnp.full_like(state.time_carry, carry))

@@ -14,7 +14,7 @@ no timestamp surface exists anywhere in gracee3/trt-asr-engine.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 from trt_asr_tpu.tokenizer import WORD_BOUNDARY, Tokenizer
 
@@ -38,7 +38,8 @@ def token_intervals(frames: Sequence[int], durs: Sequence[int],
 
 def word_intervals(token_ids: Sequence[int], frames: Sequence[int],
                    durs: Sequence[int], tokenizer: Tokenizer,
-                   frame_s: float) -> List[Dict]:
+                   frame_s: float,
+                   logps: Optional[Sequence[float]] = None) -> List[Dict]:
     """Group frame-anchored tokens into words with [start_s, end_s].
 
     Grouping mirrors ``Tokenizer.decode``: blank and control tokens are
@@ -47,18 +48,26 @@ def word_intervals(token_ids: Sequence[int], frames: Sequence[int],
     punctuation) attaches to the current word.  A word's interval spans its
     first token's anchor frame through its last token's anchor + duration
     (minimum one frame, see token_intervals).
+
+    When per-token decode confidences ``logps`` are given, each word also
+    carries ``logp`` — the sum over its pieces (the log-probability of the
+    word under the decode-time token distributions).
     """
     words: List[Dict] = []
     cur_text: List[str] = []
-    cur_start = cur_end = 0.0
+    cur_start = cur_end = cur_logp = 0.0
+    lps = logps if logps is not None else [0.0] * len(token_ids)
 
     def flush():
         if cur_text:
-            words.append({"word": "".join(cur_text),
-                          "start_s": round(cur_start, 4),
-                          "end_s": round(cur_end, 4)})
+            w = {"word": "".join(cur_text),
+                 "start_s": round(cur_start, 4),
+                 "end_s": round(cur_end, 4)}
+            if logps is not None:
+                w["logp"] = round(cur_logp, 4)
+            words.append(w)
 
-    for tid, f, d in zip(token_ids, frames, durs):
+    for tid, f, d, lp in zip(token_ids, frames, durs, lps):
         tid = int(tid)
         if tid == tokenizer.blank_id:
             continue
@@ -70,9 +79,10 @@ def word_intervals(token_ids: Sequence[int], frames: Sequence[int],
         if piece.startswith(WORD_BOUNDARY) or not cur_text:
             flush()
             cur_text = [piece.replace(WORD_BOUNDARY, "")]
-            cur_start, cur_end = start, end
+            cur_start, cur_end, cur_logp = start, end, float(lp)
         else:
             cur_text.append(piece)
             cur_end = max(cur_end, end)
+            cur_logp += float(lp)
     flush()
     return [w for w in words if w["word"]]

@@ -96,8 +96,11 @@ def poll_event(s: _BridgeSession) -> Optional[Tuple[int, int, str, str]]:
 
 
 def word_timestamps_tsv(s: _BridgeSession) -> str:
-    """Word timings as TSV lines ``start_s\\tend_s\\tword`` (the C ABI's
-    trt_asr_word_timestamps payload — line-oriented so the native side
-    needs no JSON parser)."""
-    return "".join(f"{w['start_s']:.4f}\t{w['end_s']:.4f}\t{w['word']}\n"
-                   for w in s.session.word_timestamps())
+    """Word timings as TSV lines ``start_s\\tend_s\\tlogp\\tword`` (the C
+    ABI's trt_asr_word_timestamps payload — line-oriented so the native
+    side needs no JSON parser; logp is the word's decode-time
+    log-probability, decode/timestamps.py)."""
+    return "".join(
+        f"{w['start_s']:.4f}\t{w['end_s']:.4f}\t{w.get('logp', 0.0):.4f}"
+        f"\t{w['word']}\n"
+        for w in s.session.word_timestamps())

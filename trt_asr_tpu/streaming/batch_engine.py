@@ -136,6 +136,7 @@ class BatchStreamingEngine:
         self._tokens: List[List[int]] = [[] for _ in range(batch_size)]
         self._token_frames: List[List[int]] = [[] for _ in range(batch_size)]
         self._token_durs: List[List[int]] = [[] for _ in range(batch_size)]
+        self._token_logps: List[List[float]] = [[] for _ in range(batch_size)]
         self._frames_base = [0] * batch_size
         fs = model.frontend.spec
         self._enc_frame_s = fs.hop_length / fs.sample_rate_hz * cfg.subsampling_factor
@@ -190,6 +191,7 @@ class BatchStreamingEngine:
         self._tokens[sid] = []
         self._token_frames[sid] = []
         self._token_durs[sid] = []
+        self._token_logps[sid] = []
         self._frames_base[sid] = 0
         self._events[sid].clear()
         self._finalizing[sid] = False
@@ -312,6 +314,7 @@ class BatchStreamingEngine:
                 time_carry=jnp.zeros_like(self._dec_state.time_carry))
         toks, n = np.asarray(toks), np.asarray(n)
         frames_b, durs_b = np.asarray(stamps[0]), np.asarray(stamps[1])
+        logps_b = np.asarray(stamps[2])
         out_len = np.asarray(out_len)
         self.step_latencies_ms.append((time.perf_counter() - t0) * 1e3)
 
@@ -324,6 +327,8 @@ class BatchStreamingEngine:
                     base + int(f) for f in frames_b[sid, : n[sid]])
                 self._token_durs[sid].extend(
                     int(d) for d in durs_b[sid, : n[sid]])
+                self._token_logps[sid].extend(
+                    float(c) for c in logps_b[sid, : n[sid]])
             self._frames_base[sid] += int(out_len[sid])
             if sid not in flushing:
                 # session-surface parity: finalize's flush chunk emits only
@@ -380,12 +385,13 @@ class BatchStreamingEngine:
         iv = token_intervals(self._token_frames[sid], self._token_durs[sid],
                              self._enc_frame_s)
         return [{"token": int(t), "piece": self.model.tokenizer.token_at(int(t)),
-                 **span}
-                for t, span in zip(self._tokens[sid], iv)]
+                 "logp": round(lp, 4), **span}
+                for t, lp, span in zip(self._tokens[sid],
+                                       self._token_logps[sid], iv)]
 
     def word_timestamps(self, sid: int) -> List[dict]:
         from trt_asr_tpu.decode.timestamps import word_intervals
 
         return word_intervals(self._tokens[sid], self._token_frames[sid],
                               self._token_durs[sid], self.model.tokenizer,
-                              self._enc_frame_s)
+                              self._enc_frame_s, logps=self._token_logps[sid])

@@ -132,6 +132,7 @@ class StreamingSession:
         self._tokens: List[int] = []
         self._token_frames: List[int] = []  # absolute encoder frame per token
         self._token_durs: List[int] = []    # predicted TDT duration per token
+        self._token_logps: List[float] = [] # decode-time log-prob per token
         self._frames_base = 0               # encoder frames decoded so far
         self.tdt_steps: List[dict] = []   # debug_tdt_steps per-step records
         self._last_partial_t = 0.0
@@ -162,6 +163,7 @@ class StreamingSession:
             "tokens": list(self._tokens),
             "token_frames": list(self._token_frames),
             "token_durs": list(self._token_durs),
+            "token_logps": list(self._token_logps),
             "frames_base": self._frames_base,
             "feat_buf": self._feat_buf.copy(),
             "mel_carry": self._mel._carry.copy(),
@@ -186,6 +188,7 @@ class StreamingSession:
         self._tokens = list(snap["tokens"])
         self._token_frames = list(snap.get("token_frames", []))
         self._token_durs = list(snap.get("token_durs", []))
+        self._token_logps = list(snap.get("token_logps", []))
         self._frames_base = snap.get("frames_base", 0)
         self._feat_buf = snap["feat_buf"].copy()
         self._mel._carry = snap["mel_carry"].copy()
@@ -300,8 +303,8 @@ class StreamingSession:
         iv = token_intervals(self._token_frames, self._token_durs,
                              self._enc_frame_s)
         return [{"token": int(t), "piece": self.model.tokenizer.token_at(int(t)),
-                 **span}
-                for t, span in zip(self._tokens, iv)]
+                 "logp": round(lp, 4), **span}
+                for t, lp, span in zip(self._tokens, self._token_logps, iv)]
 
     def word_timestamps(self) -> List[dict]:
         """Word-level [start_s, end_s] intervals grouped at SentencePiece
@@ -310,7 +313,7 @@ class StreamingSession:
 
         return word_intervals(self._tokens, self._token_frames,
                               self._token_durs, self.model.tokenizer,
-                              self._enc_frame_s)
+                              self._enc_frame_s, logps=self._token_logps)
 
     @property
     def chunk_latencies_ms(self) -> List[float]:
@@ -402,6 +405,7 @@ class StreamingSession:
         self._token_frames.extend(
             self._frames_base + int(f) for f in np.asarray(stamps[0])[:n])
         self._token_durs.extend(int(d) for d in np.asarray(stamps[1])[:n])
+        self._token_logps.extend(float(c) for c in np.asarray(stamps[2])[:n])
         self._frames_base += int(t_out)
         ms = (time.perf_counter() - t0) * 1e3
         self._chunk_latencies_ms.append(ms)
@@ -482,9 +486,9 @@ def _session_step(params, cfg: ModelConfig, feats, valid, enc_state: EncoderStat
             use_pallas_joint=use_pallas_joint,
             with_timestamps=with_timestamps)
         if with_timestamps:
-            toks_b, n_b, dec_state, (fr, du) = out
+            toks_b, n_b, dec_state, (fr, du, lp) = out
             return (toks_b[0], n_b[0], enc_state, dec_state,
-                    (fr[0], du[0]), out_len[0])
+                    (fr[0], du[0], lp[0]), out_len[0])
         toks_b, n_b, dec_state = out
         return toks_b[0], n_b[0], enc_state, dec_state
     out = tdt_greedy_decode_chunk(
