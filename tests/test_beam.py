@@ -133,6 +133,37 @@ def test_beam_beats_greedy_on_scripted_joint():
     assert len({tuple(h.tokens) for h in hyps}) == len(hyps)
 
 
+def test_lm_shallow_fusion_steers_the_beam():
+    """With near-tied acoustic evidence (7 slightly ahead of 8 at frame 0
+    and identical continuations), an LM preferring 8 flips the beam's
+    1-best."""
+    cfg, joint_fn0, pred_fn = _scripted()
+    blank, ths = cfg.blank_id, cfg.token_head_size
+
+    def joint_fn(enc_t, g):
+        logits = joint_fn0(enc_t, g)
+        if int(enc_t[0]) == 0:
+            logits[7], logits[8] = 2.0, 1.9   # 7 narrowly ahead
+        if int(enc_t[0]) == 1 and int(g[0]) == 7:
+            logits[:] = -5.0
+            logits[blank] = 8.0               # continuation same as after 8
+            logits[ths + 1] = 5.0
+        return logits
+
+    enc = np.arange(2, dtype=np.float32)[:, None]
+    kw = dict(blank_id=blank, token_head_size=ths,
+              duration_values=cfg.duration_values, beam=3, expansion_k=3,
+              max_symbols=4)
+    base = tdt_beam_decode_host(enc, joint_fn, pred_fn, (blank,),
+                                np.array([blank], np.float32), blank, **kw)
+    assert base[0].tokens == [7]          # tie -> lower index, like greedy
+    fused = tdt_beam_decode_host(enc, joint_fn, pred_fn, (blank,),
+                                 np.array([blank], np.float32), blank,
+                                 lm_fn=lambda prefix, tok: 1.0 if tok == 8 else 0.0,
+                                 lm_weight=1.0, **kw)
+    assert fused[0].tokens == [8]
+
+
 @pytest.mark.parametrize("suppress", [False, True])
 def test_model_level_beam(setup, rng, suppress):
     """beam=1 == transcribe_offline under BOTH runtime configurations —

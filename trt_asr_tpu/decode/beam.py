@@ -31,6 +31,11 @@ clamps), which reproduces decode/host_decode.py token-for-token; tests
 assert it. For ``beam>1`` the pool competition is genuinely global, so a
 wider beam can (and does — tests) recover higher-scoring sequences greedy
 misses.
+
+Optional shallow fusion: ``lm_fn(prefix, token)`` adds an external LM
+log-probability (scaled by ``lm_weight``) to every non-blank emission —
+the standard transducer fusion rule (blank is acoustic-only). Any
+callable works: an n-gram table, a neural LM, a domain biasing list.
 """
 
 from __future__ import annotations
@@ -87,6 +92,13 @@ def tdt_beam_decode_host(
                                        # tokens cannot be an utterance's
                                        # first emission (host_decode :63-65)
     emitted_so_far: int = 0,
+    lm_fn: Optional[Callable[[List[int], int], float]] = None,
+                                       # shallow fusion: (prefix tokens,
+                                       # candidate token) -> LM log-prob,
+                                       # added to non-blank emission scores
+                                       # with weight lm_weight. Ignored at
+                                       # beam=1 (which stays exactly greedy).
+    lm_weight: float = 0.0,
 ) -> List[Hypothesis]:
     """Decode one utterance; returns up to ``beam`` finished hypotheses,
     best first. ``tokens`` of the top hypothesis is the 1-best transcript."""
@@ -141,9 +153,15 @@ def tdt_beam_decode_host(
                         emitted += 1
                         cands.extend((v, di) for di in range(ndur))
                 g_cache = {}   # one predictor step per distinct token
+                lm_cache = {}  # one LM query per distinct token
                 for v, di in cands:
                     d = int(duration_values[di])
                     sc = h.score + float(ls_tok[v]) + float(ls_dur[di])
+                    if (lm_fn is not None and lm_weight and beam > 1
+                            and v != blank_id):
+                        if v not in lm_cache:
+                            lm_cache[v] = lm_weight * float(lm_fn(h.tokens, v))
+                        sc += lm_cache[v]
                     if v == blank_id:
                         # blank: no emission, predictor untouched, >=1 frame
                         pool.append(Hypothesis(

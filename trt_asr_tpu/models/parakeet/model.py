@@ -168,12 +168,14 @@ class ParakeetTDT:
     def transcribe_offline_beam(self, audio: np.ndarray, beam: int = 4,
                                 norm: str = "per_feature",
                                 length_norm: float = 0.0,
-                                expansion_k: int = 4):
+                                expansion_k: int = 4,
+                                lm_fn=None, lm_weight: float = 0.0):
         """n-best offline transcription via TDT beam search
         (decode/beam.py — capability beyond the greedy-only reference).
         Returns a list of (text, token_ids, score), best first. The
         encoder runs once on device; the search runs on host over the
-        jitted joint/predictor single-step programs."""
+        jitted joint/predictor single-step programs. ``lm_fn``/``lm_weight``
+        enable shallow fusion (see decode/beam.py)."""
         from trt_asr_tpu.decode.beam import tdt_beam_decode_host
         from trt_asr_tpu.models.parakeet.joint import joint_single_step
         from trt_asr_tpu.models.parakeet.predictor import predictor_step
@@ -210,6 +212,7 @@ class ParakeetTDT:
             expansion_k=expansion_k,
             max_symbols=self.cfg.max_symbols_per_timestep,
             length_norm=length_norm,
-            blank_penalty=rt.blank_penalty, punct_token_ids=punct_ids)
+            blank_penalty=rt.blank_penalty, punct_token_ids=punct_ids,
+            lm_fn=lm_fn, lm_weight=lm_weight)
         return [(self.tokenizer.decode(h.tokens), list(h.tokens), h.score)
                 for h in hyps]
