@@ -164,6 +164,38 @@ def test_lm_shallow_fusion_steers_the_beam():
     assert fused[0].tokens == [8]
 
 
+def test_batched_joint_equals_single(setup, rng):
+    """joint_batch_fn (one device call per frontier) must reproduce the
+    per-hypothesis path: same n-best tokens, scores to float tolerance."""
+    import jax.numpy as jnp
+
+    from trt_asr_tpu.decode import init_decode_state, prime_decode_state
+
+    cfg, params = setup
+    feats = (0.6 * rng.standard_normal((1, 150, cfg.feat_in))).astype(np.float32)
+    enc_j, enc_len = offline_encode(params, cfg, feats, np.array([150], np.int32))
+    enc = np.asarray(enc_j)[0, : int(np.asarray(enc_len)[0])]
+    j_fn, p_fn = _jax_fns(cfg, params)
+
+    def j_batch(enc_t, G):
+        return np.asarray(joint_single_step(
+            params["joint"],
+            jnp.broadcast_to(enc_t[None], (G.shape[0], enc_t.shape[0])), G))
+
+    ds = prime_decode_state(params, cfg, init_decode_state(cfg, 1), [])
+    kw = dict(blank_id=cfg.blank_id, token_head_size=cfg.token_head_size,
+              duration_values=cfg.duration_values, beam=4, expansion_k=3,
+              max_symbols=cfg.max_symbols_per_timestep)
+    a = tdt_beam_decode_host(enc, j_fn, p_fn, (ds.h, ds.c),
+                             np.asarray(ds.g)[0], cfg.blank_id, **kw)
+    b = tdt_beam_decode_host(enc, j_fn, p_fn, (ds.h, ds.c),
+                             np.asarray(ds.g)[0], cfg.blank_id,
+                             joint_batch_fn=j_batch, **kw)
+    assert [h.tokens for h in a] == [h.tokens for h in b]
+    for ha, hb in zip(a, b):
+        assert ha.score == pytest.approx(hb.score, abs=1e-4)
+
+
 @pytest.mark.parametrize("suppress", [False, True])
 def test_model_level_beam(setup, rng, suppress):
     """beam=1 == transcribe_offline under BOTH runtime configurations —

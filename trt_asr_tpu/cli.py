@@ -8,9 +8,11 @@ Flag-compatible with the reference Rust CLI (rust/cli/src/main.rs:12-48):
 
 Prints ``Partial:`` / ``Final:`` / ``Transcript:`` lines consumed by the
 eval suite (reference tools/stt_suite/run_suite.py parses the same). Extra
-over the reference: --no-sleep (replay faster than real time) and
+over the reference: --no-sleep (replay faster than real time),
 --synthetic-model (random weights, for harness testing without assets —
-the analog of the reference's mock backend N7).
+the analog of the reference's mock backend N7), --timestamps (word
+timings), and --beam N (streaming n-best via the beam session, printing
+``NBest: <score> <text>`` lines after the transcript).
 """
 
 from __future__ import annotations
@@ -90,6 +92,11 @@ def main(argv=None) -> int:
                     help="print word-level [start end] timings after the "
                          "transcript (frame-anchored TDT timestamps — "
                          "capability beyond the reference CLI)")
+    ap.add_argument("--beam", type=int, default=0,
+                    help="beam width; 0 (default) = greedy production "
+                         "path. >0 decodes with the streaming beam "
+                         "session and prints NBest lines (capability "
+                         "beyond the greedy-only reference)")
     args = ap.parse_args(argv)
 
     rt = RuntimeConfig.from_env()
@@ -102,16 +109,29 @@ def main(argv=None) -> int:
     else:
         ap.error("provide --model-dir or --synthetic-model")
 
+    def make_session(**kw) -> StreamingSession:
+        if args.beam > 0:
+            from trt_asr_tpu.streaming.beam_session import BeamStreamingSession
+
+            return BeamStreamingSession(model, beam=args.beam, **kw)
+        return StreamingSession(model, **kw)
+
+    def print_nbest(sess) -> None:
+        if args.beam > 0:
+            for text, _ids, score in sess.nbest():
+                print(f"NBest: {score:.4f} {text}", flush=True)
+
     # ---- feature replay path ----
     if args.features_input:
         feats = _load_features_replay(args.input, model.cfg.feat_in)
-        sess = StreamingSession(model, rt, feature_norm="none")
+        sess = make_session(runtime=rt, feature_norm="none")
         for start in range(0, feats.shape[0], 256):
             sess.push_features(feats[start : start + 256])
             _drain(sess)
         sess.finalize()
         _drain(sess)
         print(f"Transcript: {sess.text}", flush=True)
+        print_nbest(sess)
         _print_timestamps(sess, args)
         return 0
 
@@ -134,7 +154,8 @@ def main(argv=None) -> int:
             norm_stats = tuple(np.asarray(s) for s in compute_per_feature_stats(full))
 
     feature_norm = args.feature_norm if norm_stats is not None else "none"
-    sess = StreamingSession(model, rt, feature_norm=feature_norm, norm_stats=norm_stats)
+    sess = make_session(runtime=rt, feature_norm=feature_norm,
+                        norm_stats=norm_stats)
 
     if args.stream_sim > 0:
         hop = int(args.stream_sim * 16000)
@@ -151,6 +172,7 @@ def main(argv=None) -> int:
     sess.finalize()
     _drain(sess)
     print(f"Transcript: {sess.text}", flush=True)
+    print_nbest(sess)
     _print_timestamps(sess, args)
     lat = sess.chunk_latencies_ms
     if lat:

@@ -3,9 +3,11 @@
 The reference engine decodes greedy-only (its hot loop argmaxes the token
 and duration heads, cpp/src/parakeet_trt.cpp:2914-3713); so does this
 repo's production path (decode/tdt_greedy.py — same semantics, on device).
-This module adds an offline/eval-time beam decoder over the same joint and
-predictor callables as decode/host_decode.py, returning scored n-best
-hypotheses.
+This module adds a beam decoder over the same joint and predictor callables
+as decode/host_decode.py, returning scored n-best hypotheses. It is
+**incremental**: the search state can be advanced one frame window at a
+time, which is what the streaming beam session
+(streaming/beam_session.py) feeds with each chunk's fresh encoder frames.
 
 Search shape: frame-synchronous beam (TSD-style) adapted to TDT's duration
 head. At each encoder frame t, every hypothesis whose time cursor sits at
@@ -23,14 +25,17 @@ t expands:
 After all frame-t expansions the pool is pruned to ``beam`` survivors;
 hypotheses with identical (token prefix, cursor) are merged by log-add
 (path recombination — the probability of a label sequence is the sum over
-alignments). A hypothesis whose cursor reaches T is finished.
+alignments). A hypothesis whose cursor sits beyond the frames seen so far
+simply waits (this is the beam analog of the greedy decoder's cross-chunk
+``time_carry``); at ``beam_finish`` alignments of the same label sequence
+are recombined and ranked.
 
 ``beam=1`` is special-cased to take each hypothesis's single greedy
 successor (argmax token + argmax duration, with the blank and symbol-cap
 clamps), which reproduces decode/host_decode.py token-for-token; tests
-assert it. For ``beam>1`` the pool competition is genuinely global, so a
-wider beam can (and does — tests) recover higher-scoring sequences greedy
-misses.
+assert it — offline and across streaming chunk boundaries. For ``beam>1``
+the pool competition is genuinely global, so a wider beam can (and does —
+tests) recover higher-scoring sequences greedy misses.
 
 Optional shallow fusion: ``lm_fn(prefix, token)`` adds an external LM
 log-probability (scaled by ``lm_weight``) to every non-blank emission —
@@ -54,14 +59,33 @@ class Hypothesis:
 
     score: float
     tokens: List[int] = field(default_factory=list)
-    cursor: int = 0          # next encoder frame to consume
+    cursor: int = 0          # next encoder frame to consume (global index)
     u: int = 0               # symbols emitted at the current frame
     y_id: int = 0
     g: Optional[np.ndarray] = None
     state: object = None
+    stamps: List[Tuple[int, int, float]] = field(default_factory=list)
+                             # per emitted token: (global emission frame,
+                             # predicted TDT duration, token log-softmax) —
+                             # the host_decode stamps_out schema, so beam
+                             # transcripts get the same frame-anchored
+                             # timestamps as greedy (decode/timestamps.py)
 
     def key(self) -> Tuple[Tuple[int, ...], int]:
         return (tuple(self.tokens), self.cursor)
+
+
+@dataclass
+class BeamSearchState:
+    """Carried search state for incremental (chunk-by-chunk) decoding:
+    the surviving hypotheses and the global index of the next encoder
+    frame ``beam_advance`` will consume. ``emitted_base`` is the
+    utterance-level emission count at search start (leading-punct
+    suppression applies only to a truly first emission)."""
+
+    active: List[Hypothesis] = field(default_factory=list)
+    offset: int = 0
+    emitted_base: int = 0
 
 
 def _log_softmax(x: np.ndarray) -> np.ndarray:
@@ -70,13 +94,19 @@ def _log_softmax(x: np.ndarray) -> np.ndarray:
     return (x - m) - math.log(float(np.sum(e)))
 
 
-def tdt_beam_decode_host(
-    enc: np.ndarray,                   # [T_enc, D] valid encoder steps
+def beam_start(g: np.ndarray, y_id: int, state,
+               *, emitted_so_far: int = 0) -> BeamSearchState:
+    """Fresh search from a primed predictor state (analogous to the greedy
+    decoder's prompt-primed DecodeState)."""
+    init = Hypothesis(score=0.0, y_id=y_id, g=np.asarray(g), state=state)
+    return BeamSearchState(active=[init], emitted_base=emitted_so_far)
+
+
+def beam_advance(
+    bs: BeamSearchState,
+    enc_frames: np.ndarray,            # [n, D] fresh valid encoder frames
     joint_fn: Callable,                # (enc_t [D], g [P]) -> logits [V_joint]
     predictor_fn: Callable,            # (token_id, state) -> (g [P], state)
-    state,                             # initial predictor state
-    g: np.ndarray,                     # primed predictor output [P]
-    y_id: int,
     *,
     blank_id: int,
     token_head_size: int,
@@ -84,37 +114,40 @@ def tdt_beam_decode_host(
     beam: int = 4,
     expansion_k: int = 4,              # non-blank tokens considered per step
     max_symbols: int = 8,
-    length_norm: float = 0.0,          # final ranking: score / len**length_norm
     blank_penalty: float = 0.0,        # subtracted from the blank logit
                                        # pre-softmax (host_decode semantics)
     punct_token_ids: Optional[set] = None,
                                        # leading-punct suppression: these
                                        # tokens cannot be an utterance's
                                        # first emission (host_decode :63-65)
-    emitted_so_far: int = 0,
     lm_fn: Optional[Callable[[List[int], int], float]] = None,
-                                       # shallow fusion: (prefix tokens,
-                                       # candidate token) -> LM log-prob,
-                                       # added to non-blank emission scores
-                                       # with weight lm_weight. Ignored at
-                                       # beam=1 (which stays exactly greedy).
     lm_weight: float = 0.0,
-) -> List[Hypothesis]:
-    """Decode one utterance; returns up to ``beam`` finished hypotheses,
-    best first. ``tokens`` of the top hypothesis is the 1-best transcript."""
-    t_enc = int(enc.shape[0])
+    joint_batch_fn: Optional[Callable] = None,
+                                       # (enc_t [D], G [k, P]) -> [k, V]:
+                                       # evaluate the joint for a whole
+                                       # frontier in ONE device call. On a
+                                       # remote accelerator each call is a
+                                       # dispatch round-trip, so this cuts
+                                       # per-frame dispatches ~beam-fold;
+                                       # results must match joint_fn row-
+                                       # for-row (tests assert)
+) -> BeamSearchState:
+    """Consume ``enc_frames`` (global frames [offset, offset+n)); returns
+    the state with ``offset`` advanced. Hypotheses whose cursor lies beyond
+    the window survive untouched — they resume when their frame arrives."""
+    n = int(enc_frames.shape[0])
     ndur = len(duration_values)
-    init = Hypothesis(score=0.0, y_id=y_id, g=np.asarray(g), state=state)
-    active: List[Hypothesis] = [init]
-    finished: List[Hypothesis] = []
-
-    for t in range(t_enc):
+    active = bs.active
+    for t_local in range(n):
         if not active:
             break
+        t = bs.offset + t_local
         # Hyps not at this frame pass through untouched; they still occupy
         # beam slots (they already paid their scores up to a later frame).
         here = [h for h in active if h.cursor == t]
         waiting = [h for h in active if h.cursor != t]
+        if not here:
+            continue
         pool: List[Hypothesis] = list(waiting)
         # expand frame-t hypotheses, chasing dur=0 chains within the frame
         frontier = here
@@ -122,8 +155,16 @@ def tdt_beam_decode_host(
             if not frontier:
                 break
             next_frontier: List[Hypothesis] = []
-            for h in frontier:
-                logits = np.asarray(joint_fn(enc[t], h.g), dtype=np.float32)
+            batched_logits = None
+            if joint_batch_fn is not None and len(frontier) > 1:
+                batched_logits = np.asarray(
+                    joint_batch_fn(enc_frames[t_local],
+                                   np.stack([h.g for h in frontier])),
+                    dtype=np.float32)
+            for h_i, h in enumerate(frontier):
+                logits = (batched_logits[h_i] if batched_logits is not None
+                          else np.asarray(joint_fn(enc_frames[t_local], h.g),
+                                          dtype=np.float32))
                 tok_logits = logits[:token_head_size]
                 if blank_penalty:
                     tok_logits = tok_logits.copy()
@@ -131,7 +172,8 @@ def tdt_beam_decode_host(
                 ls_tok = _log_softmax(tok_logits)
                 ls_dur = _log_softmax(
                     logits[token_head_size : token_head_size + ndur])
-                first = punct_token_ids and emitted_so_far == 0 and not h.tokens
+                first = (punct_token_ids and bs.emitted_base == 0
+                         and not h.tokens)
                 forced = _u == max_symbols - 1   # greedy's symbol-cap clamp
                 if beam == 1:
                     # exact greedy successor: argmax over each head, with
@@ -166,7 +208,8 @@ def tdt_beam_decode_host(
                         # blank: no emission, predictor untouched, >=1 frame
                         pool.append(Hypothesis(
                             score=sc, tokens=h.tokens, cursor=t + max(d, 1),
-                            y_id=h.y_id, g=h.g, state=h.state))
+                            y_id=h.y_id, g=h.g, state=h.state,
+                            stamps=h.stamps))
                         continue
                     if v not in g_cache:
                         g_cache[v] = predictor_fn(v, h.state)
@@ -174,7 +217,8 @@ def tdt_beam_decode_host(
                     adv = max(d, 1) if forced else d
                     h2 = Hypothesis(
                         score=sc, tokens=h.tokens + [v], cursor=t + adv,
-                        y_id=v, g=np.asarray(g2), state=st2)
+                        y_id=v, g=np.asarray(g2), state=st2,
+                        stamps=h.stamps + [(t, d, float(ls_tok[v]))])
                     if adv == 0:
                         h2.u = _u + 1
                         next_frontier.append(h2)
@@ -191,31 +235,86 @@ def tdt_beam_decode_host(
         for h in pool:
             k = h.key()
             if k in merged:
+                if h.score > merged[k].score:
+                    # keep the dominant alignment's emission stamps
+                    merged[k].stamps = h.stamps
                 merged[k].score = float(np.logaddexp(merged[k].score, h.score))
             else:
                 merged[k] = h
         pool = sorted(merged.values(), key=lambda h: h.score, reverse=True)
-        survivors = pool[:beam]
-        active = []
-        for h in survivors:
-            if h.cursor >= t_enc:
-                finished.append(h)
-            else:
-                active.append(h)
-    finished.extend(active)   # ran out of frames mid-chase: still valid
+        active = pool[:beam]
+    bs.active = active
+    bs.offset += n
+    return bs
+
+
+def beam_finish(bs: BeamSearchState, *, beam: int = 4,
+                length_norm: float = 0.0) -> List[Hypothesis]:
+    """End of utterance: recombine alignments of the same label sequence
+    that stopped at different frames (log-add — completing the per-frame
+    merging in ``beam_advance``), rank, and return up to ``beam``.
+
+    Non-mutating: the streaming session calls this mid-stream for interim
+    n-best, so the live pool's hypotheses must not be touched."""
+    import dataclasses
+
     def rank(h: Hypothesis) -> float:
         if length_norm and h.tokens:
             return h.score / (len(h.tokens) ** length_norm)
         return h.score
-    # alignments of the same label sequence that finished at different
-    # frames: recombine by log-add (sum over alignments, completing the
-    # per-frame merging above)
-    merged_fin = {}
-    for h in finished:
+    merged_fin: dict = {}   # tokens -> (log-added score, dominant hyp)
+    for h in bs.active:
         k = tuple(h.tokens)
-        if k in merged_fin:
-            merged_fin[k].score = float(np.logaddexp(merged_fin[k].score, h.score))
+        cur = merged_fin.get(k)
+        if cur is None:
+            merged_fin[k] = (h.score, h)
         else:
-            merged_fin[k] = h
-    out = sorted(merged_fin.values(), key=rank, reverse=True)
+            s, kept = cur
+            if h.score > kept.score:
+                kept = h
+            merged_fin[k] = (float(np.logaddexp(s, h.score)), kept)
+    out = [dataclasses.replace(h, score=s) for s, h in merged_fin.values()]
+    out.sort(key=rank, reverse=True)
     return out[:beam]
+
+
+def beam_best(bs: BeamSearchState) -> Optional[Hypothesis]:
+    """Current best active hypothesis (for streaming partials)."""
+    return max(bs.active, key=lambda h: h.score) if bs.active else None
+
+
+def tdt_beam_decode_host(
+    enc: np.ndarray,                   # [T_enc, D] valid encoder steps
+    joint_fn: Callable,
+    predictor_fn: Callable,
+    state,                             # initial predictor state
+    g: np.ndarray,                     # primed predictor output [P]
+    y_id: int,
+    *,
+    blank_id: int,
+    token_head_size: int,
+    duration_values: Sequence[int],
+    beam: int = 4,
+    expansion_k: int = 4,
+    max_symbols: int = 8,
+    length_norm: float = 0.0,
+    blank_penalty: float = 0.0,
+    punct_token_ids: Optional[set] = None,
+    emitted_so_far: int = 0,
+    lm_fn: Optional[Callable[[List[int], int], float]] = None,
+    lm_weight: float = 0.0,
+    joint_batch_fn: Optional[Callable] = None,
+) -> List[Hypothesis]:
+    """Decode one whole utterance; returns up to ``beam`` finished
+    hypotheses, best first. ``tokens`` of the top hypothesis is the 1-best
+    transcript. (Composition of beam_start/beam_advance/beam_finish — the
+    streaming session drives the same three calls chunk-by-chunk.)"""
+    bs = beam_start(g, y_id, state, emitted_so_far=emitted_so_far)
+    bs = beam_advance(
+        bs, np.asarray(enc), joint_fn, predictor_fn,
+        blank_id=blank_id, token_head_size=token_head_size,
+        duration_values=duration_values, beam=beam,
+        expansion_k=expansion_k, max_symbols=max_symbols,
+        blank_penalty=blank_penalty, punct_token_ids=punct_token_ids,
+        lm_fn=lm_fn, lm_weight=lm_weight, joint_batch_fn=joint_batch_fn)
+    return beam_finish(bs, beam=beam, length_norm=length_norm)

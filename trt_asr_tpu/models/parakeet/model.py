@@ -198,6 +198,13 @@ class ParakeetTDT:
                 self.params["predictor"], np.array([tok], np.int32), h, c)
             return np.asarray(g)[0], (h2, c2)
 
+        def j_batch(enc_t, G):
+            # whole frontier in one device call (decode/beam.py)
+            k = G.shape[0]
+            return np.asarray(joint_single_step(
+                self.params["joint"],
+                jnp.broadcast_to(enc_t[None], (k, enc_t.shape[0])), G))
+
         ds = prime_decode_state(self.params, self.cfg,
                                 init_decode_state(self.cfg, 1), self.prompt_ids)
         rt = self.runtime
@@ -213,6 +220,6 @@ class ParakeetTDT:
             max_symbols=self.cfg.max_symbols_per_timestep,
             length_norm=length_norm,
             blank_penalty=rt.blank_penalty, punct_token_ids=punct_ids,
-            lm_fn=lm_fn, lm_weight=lm_weight)
+            lm_fn=lm_fn, lm_weight=lm_weight, joint_batch_fn=j_batch)
         return [(self.tokenizer.decode(h.tokens), list(h.tokens), h.score)
                 for h in hyps]

@@ -1,0 +1,258 @@
+"""Streaming beam-search session — n-best decoding over the live stream.
+
+Capability beyond the reference (greedy-only, cpp/src/parakeet_trt.cpp:
+2914-3713) and beyond this repo's own offline beam
+(models/parakeet/model.py transcribe_offline_beam): the frame-synchronous
+TDT beam (decode/beam.py) is advanced chunk-by-chunk with the streaming
+encoder, carrying the full hypothesis pool — scores, prefixes, per-branch
+predictor states, time cursors — across push boundaries. Duration jumps
+past a chunk's last frame leave the hypothesis "waiting" for future
+frames, the beam analog of the greedy decoder's cross-chunk time_carry.
+
+Division of labor per chunk:
+- the streaming *encoder* step runs as one jitted device program (same
+  caches/schedule as the greedy session — the encoder does not know how
+  it is being decoded);
+- the beam search runs on host over jitted single-step joint/predictor
+  programs, exactly like the offline beam.
+
+This is an accuracy-mode surface (n-best, shallow LM fusion, rescoring):
+the host hypothesis loop costs more per chunk than the greedy session's
+single fused device program, which remains the low-latency production
+path. Partials carry the *current best* hypothesis, which may rewrite
+earlier text when the ranking flips — standard beam behavior, and the
+reason the event protocol distinguishes PARTIAL from FINAL.
+
+beam=1 reproduces the greedy session transcript token-for-token
+(tests/test_beam_session.py), anchoring the streaming search to the
+parity-tested greedy path.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trt_asr_tpu.config import ModelConfig
+from trt_asr_tpu.decode.beam import (
+    BeamSearchState,
+    beam_advance,
+    beam_best,
+    beam_finish,
+    beam_start,
+)
+from trt_asr_tpu.models.parakeet.encoder import (
+    EncoderState,
+    encode,
+    init_encoder_state,
+)
+from trt_asr_tpu.models.parakeet.model import ParakeetTDT
+from trt_asr_tpu.streaming.session import Event, EventType, StreamingSession
+from trt_asr_tpu.debug.stage_markers import stage_marker
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "drop_extra", "cache_drop", "valid_cap"),
+    donate_argnames=("enc_state",),
+)
+def _beam_encode_step(params, cfg: ModelConfig, feats, valid,
+                      enc_state: EncoderState, *, drop_extra: int,
+                      cache_drop: int, valid_cap=None, pos_proj=None):
+    """Encoder-only streaming step (the greedy session fuses decode into
+    the same program; beam decodes on host, so the encoder output comes
+    back)."""
+    return encode(
+        params, cfg, feats, valid[None] if valid.ndim == 0 else valid,
+        enc_state, drop_extra=drop_extra, cache_drop=cache_drop,
+        valid_cap=valid_cap, pos_proj=pos_proj)
+
+
+class BeamStreamingSession(StreamingSession):
+    """StreamingSession with the TDT beam as the decoder. Same input
+    surface (push_audio/push_features/finalize/poll_event), same chunk
+    schedule, same encoder program; ``nbest()`` after finalize returns the
+    ranked hypotheses."""
+
+    def __init__(self, model: ParakeetTDT, *, beam: int = 4,
+                 expansion_k: int = 4, length_norm: float = 0.0,
+                 lm_fn: Optional[Callable[[List[int], int], float]] = None,
+                 lm_weight: float = 0.0, **kw):
+        self.beam = int(beam)
+        self.expansion_k = int(expansion_k)
+        self.length_norm = float(length_norm)
+        self.lm_fn = lm_fn
+        self.lm_weight = float(lm_weight)
+        self._nbest_hyps = []
+        # jitted single-step programs shared by every hypothesis branch
+        # (identical to the offline beam's callables, model.py:191-199)
+        from trt_asr_tpu.models.parakeet.joint import joint_single_step
+        from trt_asr_tpu.models.parakeet.predictor import predictor_step
+
+        params = model.params
+
+        def j_fn(enc_t, g):
+            return np.asarray(
+                joint_single_step(params["joint"], enc_t[None], g[None]))[0]
+
+        def p_fn(tok, st):
+            h, c = st
+            g, h2, c2 = predictor_step(
+                params["predictor"], np.array([tok], np.int32), h, c)
+            return np.asarray(g)[0], (h2, c2)
+
+        def j_batch(enc_t, G):
+            # whole frontier in one device call (decode/beam.py
+            # joint_batch_fn contract) — enc frame broadcast across rows
+            k = G.shape[0]
+            return np.asarray(joint_single_step(
+                params["joint"],
+                jnp.broadcast_to(enc_t[None], (k, enc_t.shape[0])), G))
+
+        self._joint_fn = j_fn
+        self._predictor_fn = p_fn
+        self._joint_batch_fn = j_batch
+        super().__init__(model, **kw)
+
+    # -- lifecycle ------------------------------------------------------
+
+    def reset_utterance(self) -> None:
+        super().reset_utterance()
+        ds = self._dec_state   # prompt-primed by the parent reset
+        self._beam_state: BeamSearchState = beam_start(
+            np.asarray(ds.g)[0], int(np.asarray(ds.y_id)[0]),
+            (ds.h, ds.c), emitted_so_far=0)
+        self._nbest_hyps = []
+        self._last_partial_tokens: Optional[Tuple[int, ...]] = None
+
+    def snapshot(self) -> dict:  # pragma: no cover - explicit unsupported
+        raise NotImplementedError(
+            "beam sessions carry a host hypothesis pool; snapshot/restore "
+            "(stream migration) is a greedy-session feature")
+
+    def restore(self, snap: dict) -> None:  # pragma: no cover
+        raise NotImplementedError(
+            "beam sessions carry a host hypothesis pool; snapshot/restore "
+            "(stream migration) is a greedy-session feature")
+
+    # -- internals --------------------------------------------------------
+
+    def _run_chunk(self, spec, is_last: bool) -> None:
+        cfg = self.cfg
+        rt = self.rt
+        stage_marker(rt, f"beam chunk {spec.idx} enter [{self._debug_ctx}]")
+        from trt_asr_tpu.streaming.schedule import extract_chunk
+
+        x = extract_chunk(self._feat_buf, spec)
+        buflen = self._feat_buf.shape[0]
+        valid = (max(-spec.slice_start, 0)
+                 + max(min(spec.slice_end, buflen) - max(spec.slice_start, 0), 0))
+        cache_drop = 0 if is_last else cfg.cache_drop_size
+        if rt.disable_cache:
+            self._enc_state = init_encoder_state(cfg, 1)
+        if rt.cache_len_override >= 0:
+            forced = min(rt.cache_len_override, cfg.att_cache_size)
+            self._enc_state = self._enc_state._replace(
+                cache_len=jnp.full_like(self._enc_state.cache_len, forced))
+        tq_chunk = spec.frames
+        for _ in range(cfg.stride_stages):
+            tq_chunk = (tq_chunk - 1) // 2 + 1
+        tq_chunk -= spec.drop_extra
+        pos_proj = (self._pos_proj
+                    if tq_chunk * 2 - 1 + cfg.att_cache_size == self._pos_proj.shape[1]
+                    else None)
+
+        t0 = time.perf_counter()
+        enc, out_len, self._enc_state = _beam_encode_step(
+            self.model.params, cfg, x[None], np.int32(valid),
+            self._enc_state, drop_extra=spec.drop_extra,
+            cache_drop=cache_drop,
+            valid_cap=None if is_last else cfg.valid_out_len,
+            pos_proj=pos_proj)
+        t_out = int(np.asarray(out_len)[0])
+        frames = np.asarray(enc)[0, :t_out]
+        punct_ids = (set(np.flatnonzero(self.model.punct_mask).tolist())
+                     if rt.suppress_leading_punct else None)
+        self._beam_state = beam_advance(
+            self._beam_state, frames, self._joint_fn, self._predictor_fn,
+            blank_id=cfg.blank_id, token_head_size=cfg.token_head_size,
+            duration_values=cfg.duration_values, beam=self.beam,
+            expansion_k=self.expansion_k,
+            max_symbols=cfg.max_symbols_per_timestep,
+            blank_penalty=rt.blank_penalty, punct_token_ids=punct_ids,
+            lm_fn=self.lm_fn, lm_weight=self.lm_weight,
+            joint_batch_fn=self._joint_batch_fn)
+        best = beam_best(self._beam_state)
+        self._tokens = list(best.tokens) if best is not None else []
+        self._frames_base += t_out
+        ms = (time.perf_counter() - t0) * 1e3
+        self._chunk_latencies_ms.append(ms)
+        if ms > rt.slow_step_ms:
+            stage_marker(rt, f"SLOW beam chunk {spec.idx}: {ms:.1f} ms",
+                         force=True)
+        stage_marker(rt, f"beam chunk {spec.idx} exit "
+                         f"({ms:.1f} ms, {len(self._tokens)} tokens best)")
+
+    def _maybe_partial(self) -> None:
+        # content-based change detection: a re-ranked beam can rewrite the
+        # transcript at constant length (the parent's length check would
+        # miss it)
+        now = time.monotonic()
+        cur = tuple(self._tokens)
+        if (cur != self._last_partial_tokens
+                and (now - self._last_partial_t) * 1e3
+                    >= self.rt.partial_min_interval_ms):
+            self._last_partial_t = now
+            self._last_partial_tokens = cur
+            with self._lock:
+                self._events.append(Event(
+                    EventType.PARTIAL_TEXT, self._segment,
+                    self.model.tokenizer.decode(self._tokens),
+                    tokens=list(self._tokens)))
+
+    # -- results ----------------------------------------------------------
+
+    def finalize(self) -> None:
+        """End of utterance: flush the final short chunk, rank the pool,
+        emit FinalText for the 1-best; ``nbest()`` has the full list."""
+        if self._finalized:
+            return
+        spec = self._sched.flush(self._feat_buf.shape[0])
+        if spec is not None:
+            self._run_chunk(spec, is_last=True)
+        self._nbest_hyps = beam_finish(
+            self._beam_state, beam=self.beam, length_norm=self.length_norm)
+        self._tokens = (list(self._nbest_hyps[0].tokens)
+                        if self._nbest_hyps else [])
+        if self._nbest_hyps:
+            # the 1-best's emission stamps feed the inherited
+            # token_timestamps()/word_timestamps() surfaces (frames are
+            # already global — the beam cursor is an absolute frame index)
+            st = self._nbest_hyps[0].stamps
+            self._token_frames = [f for f, _, _ in st]
+            self._token_durs = [d for _, d, _ in st]
+            self._token_logps = [lp for _, _, lp in st]
+        self._finalized = True
+        if self._taps is not None:
+            self._taps.close()
+        if self._profiler is not None:
+            self._profiler.stop()
+        with self._lock:
+            self._events.append(Event(
+                EventType.FINAL_TEXT, self._segment,
+                self.model.tokenizer.decode(self._tokens),
+                tokens=list(self._tokens)))
+
+    def nbest(self) -> List[Tuple[str, List[int], float]]:
+        """Ranked (text, token_ids, score) — after finalize the finished
+        n-best, mid-stream the current pool's ordering."""
+        hyps = (self._nbest_hyps if self._nbest_hyps
+                else beam_finish(self._beam_state, beam=self.beam,
+                                 length_norm=self.length_norm))
+        return [(self.model.tokenizer.decode(h.tokens), list(h.tokens),
+                 h.score) for h in hyps]
