@@ -171,3 +171,35 @@ def test_run_suite_batch_engine_surface(dataset, tmp_path):
         run_suite(SuiteConfig(out_dir=str(tmp_path / "oe"), engine="batch",
                               manifest_path=str(man), synthetic_model="tiny",
                               feature_norm="per_feature"))
+
+
+def test_run_suite_beam_engine(dataset, tmp_path):
+    """beam=1 through the suite must reproduce the greedy python engine's
+    transcripts (the streaming beam anchor at the eval surface); beam>1
+    runs and records the width in the results config; unsupported engine
+    combos are rejected."""
+    root, _ = dataset
+    from trt_asr_tpu.eval.suite import SuiteConfig, run_suite
+
+    entries = scan_wav_tree(str(root))
+    man = tmp_path / "m.tsv"
+    write_manifest(str(man), entries[:2])
+    common = dict(manifest_path=str(man), synthetic_model="tiny",
+                  variants=["base"], rounds=1, stream_sim=0.5)
+
+    res_g = run_suite(SuiteConfig(out_dir=str(tmp_path / "og"),
+                                  engine="python", **common))
+    res_b1 = run_suite(SuiteConfig(out_dir=str(tmp_path / "o1"),
+                                   engine="python", beam=1, **common))
+    tg = [u["transcript"] for u in res_g["variants"]["base"][0]["utterances"]]
+    t1 = [u["transcript"] for u in res_b1["variants"]["base"][0]["utterances"]]
+    assert t1 == tg
+    assert res_b1["config"]["beam"] == 1
+
+    res_b2 = run_suite(SuiteConfig(out_dir=str(tmp_path / "o2"),
+                                   engine="python", beam=2, **common))
+    assert res_b2["variants"]["base"][0]["wer"]["num_utterances"] == 2
+
+    with pytest.raises(ValueError, match="beam"):
+        run_suite(SuiteConfig(out_dir=str(tmp_path / "oe"), engine="batch",
+                              beam=2, feature_norm="none", **common))

@@ -2,7 +2,8 @@
 """Eval suite CLI (reference tools/stt_suite/run_suite.py equivalent).
 
     python tools/stt_suite/run_suite.py --manifest m.tsv --out-dir artifacts/suite \
-        [--model-dir DIR | --synthetic-model tiny] [--engine python|cli|native] \
+        [--model-dir DIR | --synthetic-model tiny] \
+        [--engine python|cli|native|batch] [--batch-size 4] [--beam N] \
         [--variants base,nocache] [--rounds 2] [--stream-sim 0.5] [--gate-wer 0.1]
 """
 import argparse
@@ -19,8 +20,13 @@ def main() -> int:
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--model-dir", default="")
     ap.add_argument("--synthetic-model", default="", choices=["", "tiny", "full"])
-    ap.add_argument("--engine", default="python", choices=["python", "cli", "native"])
+    ap.add_argument("--engine", default="python",
+                    choices=["python", "cli", "native", "batch"])
     ap.add_argument("--native-cli", default="cpp/build/trt_asr_cli")
+    ap.add_argument("--batch-size", type=int, default=4,
+                    help="engine=batch: concurrent lockstep slots")
+    ap.add_argument("--beam", type=int, default=0,
+                    help=">0: streaming beam decoding (python/cli engines)")
     ap.add_argument("--variants", default="base")
     ap.add_argument("--rounds", type=int, default=1)
     ap.add_argument("--stream-sim", type=float, default=0.5)
@@ -36,7 +42,8 @@ def main() -> int:
         model_dir=args.model_dir, engine=args.engine, native_cli=args.native_cli,
         variants=args.variants.split(","), rounds=args.rounds,
         stream_sim=args.stream_sim, feature_norm=args.feature_norm,
-        verify_sha=args.verify_sha, synthetic_model=args.synthetic_model)
+        verify_sha=args.verify_sha, synthetic_model=args.synthetic_model,
+        batch_size=args.batch_size, beam=args.beam)
     results = run_suite(cfg)
 
     worst = 0.0

@@ -56,6 +56,10 @@ class SuiteConfig:
     feature_norm: str = "per_feature"
     verify_sha: bool = False
     synthetic_model: str = ""         # tiny|full for asset-free runs
+    beam: int = 0                     # >0: decode with the streaming beam
+                                      # session (n-best 1-best scored) on
+                                      # the python/cli engines — WER can
+                                      # compare greedy vs beam decoding
 
 
 def _parse_cli_stdout(stdout: str) -> Dict[str, object]:
@@ -87,10 +91,18 @@ def _run_python_engine(entry: ManifestEntry, model, variant_env: Dict[str, str],
             full = np.asarray(model.frontend(audio))
             if full.shape[0] > 1:
                 norm_stats = tuple(np.asarray(s) for s in compute_per_feature_stats(full))
-        sess = StreamingSession(
-            model, rt,
-            feature_norm=cfg.feature_norm if norm_stats is not None else "none",
-            norm_stats=norm_stats)
+        if cfg.beam > 0:
+            from trt_asr_tpu.streaming.beam_session import BeamStreamingSession
+
+            sess = BeamStreamingSession(
+                model, beam=cfg.beam, runtime=rt,
+                feature_norm=cfg.feature_norm if norm_stats is not None else "none",
+                norm_stats=norm_stats)
+        else:
+            sess = StreamingSession(
+                model, rt,
+                feature_norm=cfg.feature_norm if norm_stats is not None else "none",
+                norm_stats=norm_stats)
         hop = max(int(cfg.stream_sim * 16000), 1600)
         n_partials = 0
         for s in range(0, len(audio), hop):
@@ -199,6 +211,8 @@ def _run_subprocess_engine(entry: ManifestEntry, variant_env: Dict[str, str],
         cmd = [sys.executable, "-m", "trt_asr_tpu.cli", entry.audio_path,
                "--stream-sim", str(cfg.stream_sim), "--no-sleep",
                "--feature-norm", cfg.feature_norm]
+        if cfg.beam > 0:
+            cmd += ["--beam", str(cfg.beam)]
         if cfg.model_dir:
             cmd += ["--model-dir", cfg.model_dir]
         elif cfg.synthetic_model:
@@ -219,6 +233,11 @@ def run_suite(cfg: SuiteConfig) -> Dict[str, object]:
         raise ValueError("engine='batch' streams raw audio per slot; "
                          "per-utterance feature_norm is a session-surface "
                          "feature — use feature_norm='none'")
+    if cfg.beam > 0 and cfg.engine in ("batch", "native"):
+        raise ValueError("beam decoding is a python-session surface "
+                         "(streaming/beam_session.py); engines 'batch' "
+                         "(lockstep greedy program) and 'native' (no --beam "
+                         "flag) decode greedy-only")
     model = None
     if cfg.engine in ("python", "batch"):
         from trt_asr_tpu.models.parakeet.model import ParakeetTDT
@@ -233,7 +252,7 @@ def run_suite(cfg: SuiteConfig) -> Dict[str, object]:
         "manifest": cfg.manifest_path, "engine": cfg.engine,
         "variants": cfg.variants, "rounds": cfg.rounds,
         "stream_sim": cfg.stream_sim, "feature_norm": cfg.feature_norm,
-        "num_utterances": len(entries)}, "variants": {}}
+        "beam": cfg.beam, "num_utterances": len(entries)}, "variants": {}}
 
     for variant in cfg.variants:
         venv = VARIANTS[variant]
