@@ -282,6 +282,12 @@ def encode(
     use_pallas_conv: bool = False,   # fused conv-module kernel (B=1)
     use_flash_att: bool = False,     # offline: blocked (flash) attention —
                                      # no [B,H,T,T] HBM score tensors
+    mask_pad_subsample: bool = False,  # zero padded tails between subsample
+                                     # stages so a padded batch row equals
+                                     # the exact-length run (ops/conv.py);
+                                     # off by default: the streaming golden
+                                     # semantics (torch oracle, NeMo) run
+                                     # the raw stack over the padded window
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[EncoderState]]:
     """Returns (enc_out [B, Tq, D] in compute dtype, out_lengths [B], new_state).
 
@@ -296,7 +302,8 @@ def encode(
     """
     enc_p = params["encoder"]
     b = feats.shape[0]
-    x = dw_striding_subsample(enc_p["pre_encode"], feats.astype(compute_dtype))
+    x = dw_striding_subsample(enc_p["pre_encode"], feats.astype(compute_dtype),
+                              lengths=lengths if mask_pad_subsample else None)
     sub_len = subsampled_length(lengths, cfg.stride_stages)
     if drop_extra:
         x = x[:, drop_extra:]
@@ -458,11 +465,14 @@ def precompute_pos_proj(params, cfg: ModelConfig, tq: int, c_size: int,
 
 
 def offline_encode(params, cfg: ModelConfig, feats, lengths, compute_dtype=jnp.float32,
-                   use_flash_att: bool = False):
-    """Full-utterance encoding (reference encoder.onnx equivalent)."""
+                   use_flash_att: bool = False, mask_pad_subsample: bool = False):
+    """Full-utterance encoding (reference encoder.onnx equivalent).
+    ``mask_pad_subsample``: see encode() — required for padded mixed-length
+    batches to match exact-length per-utterance runs."""
     enc, out_len, _ = encode(params, cfg, feats, lengths, None,
                              compute_dtype=compute_dtype,
-                             use_flash_att=use_flash_att)
+                             use_flash_att=use_flash_att,
+                             mask_pad_subsample=mask_pad_subsample)
     return enc, out_len
 
 

@@ -165,6 +165,98 @@ class ParakeetTDT:
             ids.extend(int(x) for x in np.asarray(toks)[: int(n)])
         return self.tokenizer.decode(ids), ids
 
+    def transcribe_batch(self, audios, norm: str = "per_feature",
+                         mesh=None, max_frames: int = 2048,
+                         pad_multiple: int = 128):
+        """Batched offline transcription: one padded [B, T, C] feature
+        batch, one batched encoder pass per <=max_frames window, one
+        lockstep batched TDT greedy decode (decode/batched.py) with
+        carried per-row decode state. Token-exact with per-utterance
+        ``transcribe_offline`` (tested) — rows just share device programs.
+
+        ``mesh``: dp-shards the batch and places params per
+        parallel/mesh.py (tp shards the matmuls); forward inference needs
+        no dp collectives (SURVEY §2.5), so this is the multi-chip offline
+        throughput surface. The batch is padded up to a dp multiple with
+        zero-length rows; ``pad_multiple`` buckets T to bound the number
+        of compiled shapes. Returns [(text, token_ids)] in input order.
+        Reference analog: none — it is B=1 everywhere
+        (docs/runtime_contract.md:16, SURVEY §2.5 DP row).
+        """
+        from trt_asr_tpu.decode.batched import tdt_greedy_decode_batch
+
+        feats_list = [self.features(np.asarray(a), norm=norm) for a in audios]
+        b = len(feats_list)
+        if b == 0:
+            return []
+        lens = np.array([f.shape[0] for f in feats_list], np.int32)
+        t_pad = max(int(max(lens.max(), 1) + pad_multiple - 1)
+                    // pad_multiple * pad_multiple, pad_multiple)
+        dp = int(mesh.shape["dp"]) if mesh is not None else 1
+        b_pad = (b + dp - 1) // dp * dp
+        x = np.zeros((b_pad, t_pad, self.cfg.feat_in), np.float32)
+        for i, f in enumerate(feats_list):
+            x[i, : f.shape[0]] = f
+        params = self.params
+        dec = prime_decode_state(self.params, self.cfg,
+                                 init_decode_state(self.cfg, b_pad),
+                                 self.prompt_ids)
+        if mesh is not None:
+            import jax
+
+            from trt_asr_tpu.parallel.mesh import (
+                batch_sharding,
+                decode_state_shardings,
+            )
+
+            params = self._params_for_mesh(mesh)
+            x = jax.device_put(x, batch_sharding(mesh, 3))
+            dec = jax.device_put(dec, decode_state_shardings(mesh))
+        rt = self.runtime
+        ids: List[List[int]] = [[] for _ in range(b_pad)]
+        emitted = jnp.zeros((b_pad,), jnp.int32)
+        for start in range(0, t_pad, max_frames):
+            w = min(max_frames, t_pad - start)
+            valid = np.zeros((b_pad,), np.int32)
+            valid[:b] = np.clip(lens - start, 0, w)
+            xw = x[:, start : start + w]
+            if mesh is not None:
+                import jax
+
+                from trt_asr_tpu.parallel.mesh import batch_sharding
+
+                valid = jax.device_put(valid, batch_sharding(mesh, 1))
+            enc, enc_len = offline_encode(params, self.cfg, xw, valid,
+                                          mask_pad_subsample=True)
+            t_enc_static = enc.shape[1]
+            toks, n, dec = tdt_greedy_decode_batch(
+                params, self.cfg, enc,
+                jnp.asarray(enc_len).astype(jnp.int32), dec,
+                max_tokens=self.cfg.max_symbols_per_timestep * t_enc_static,
+                blank_penalty=rt.blank_penalty,
+                emitted_so_far=emitted,
+                punct_mask=(jnp.asarray(self.punct_mask)
+                            if rt.suppress_leading_punct else None),
+                use_punct_mask=rt.suppress_leading_punct)
+            toks_h, n_h = np.asarray(toks), np.asarray(n)
+            emitted = emitted + n
+            for i in range(b_pad):
+                ids[i].extend(int(t) for t in toks_h[i, : int(n_h[i])])
+        return [(self.tokenizer.decode(ids[i]), ids[i]) for i in range(b)]
+
+    def _params_for_mesh(self, mesh):
+        """Place params once per mesh (cached): replicated over dp, matmul
+        weights sharded over tp per parallel/mesh.py's rules."""
+        from trt_asr_tpu.parallel import shard_params
+
+        cache = getattr(self, "_mesh_params", None)
+        if cache is None:
+            cache = self._mesh_params = {}
+        key = id(mesh)
+        if key not in cache:
+            cache[key] = shard_params(self.params, mesh)
+        return cache[key]
+
     def transcribe_offline_beam(self, audio: np.ndarray, beam: int = 4,
                                 norm: str = "per_feature",
                                 length_norm: float = 0.0,

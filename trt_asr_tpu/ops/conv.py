@@ -7,7 +7,7 @@ matmul-natural shapes so XLA maps the pointwise convs straight onto the MXU.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax.numpy as jnp
 from jax import lax
@@ -95,7 +95,8 @@ def subsampled_length(length: jnp.ndarray, stages: int) -> jnp.ndarray:
     return length
 
 
-def dw_striding_subsample(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+def dw_striding_subsample(params: Dict, x: jnp.ndarray,
+                          lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Fast Conformer dw_striding pre-encode.
 
     x [B, T, F] -> [B, T/8, d_model]. Structure (torch-parity, NeMo
@@ -103,18 +104,38 @@ def dw_striding_subsample(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     Conv2d(1->C, 3x3, s2, p1) + ReLU, then (stride_stages-1) x
     [depthwise Conv2d(C, 3x3, s2, p1, groups=C); pointwise Conv2d(C->C, 1x1);
     ReLU], then Linear(C * ceil(F/8) -> d_model).
+
+    ``lengths`` [B] (optional): zero the padded tail before stage 1 and
+    after every stage. Without this, right-padding is NOT inert: zero
+    input rows come out of a stage as ReLU(bias) != 0, and the next
+    stride-2 window at the valid boundary reads them — so a padded batch
+    row would differ from the same utterance at exact length. With it,
+    each stage sees exactly the zeros an exact-length run's own conv
+    padding provides, making batched rows bit-consistent with
+    per-utterance runs (transcribe_batch's invariant).
     """
     b, t, f = x.shape
+    if lengths is not None:
+        x = jnp.where(jnp.arange(t)[None, :, None] < lengths[:, None, None],
+                      x, 0)
     h = x[..., None]                                  # [B, T, F, 1]
     h = conv2d(h, params["conv_in"]["w"], params["conv_in"].get("b"),
                stride=(2, 2), padding=[(1, 1), (1, 1)])
     h = jnp.maximum(h, 0)
+    if lengths is not None:
+        lengths = (lengths - 1) // 2 + 1
+        h = jnp.where(jnp.arange(h.shape[1])[None, :, None, None]
+                      < lengths[:, None, None, None], h, 0)
     for st in params["stages"]:
         c = st["dw_w"].shape[-1]
         h = conv2d(h, st["dw_w"], st.get("dw_b"), stride=(2, 2),
                    padding=[(1, 1), (1, 1)], groups=c)
         h = conv2d(h, st["pw_w"], st.get("pw_b"), stride=(1, 1), padding="VALID")
         h = jnp.maximum(h, 0)
+        if lengths is not None:
+            lengths = (lengths - 1) // 2 + 1
+            h = jnp.where(jnp.arange(h.shape[1])[None, :, None, None]
+                          < lengths[:, None, None, None], h, 0)
     bsz, t_out, f_out, c_out = h.shape
     # torch flattening order: transpose to [B, T, C, F] then flatten (C, F)
     h = jnp.transpose(h, (0, 1, 3, 2)).reshape(bsz, t_out, c_out * f_out)
