@@ -176,3 +176,28 @@ def test_snapshot_unsupported(model):
     sess = BeamStreamingSession(model, beam=2, runtime=RuntimeConfig())
     with pytest.raises(NotImplementedError):
         sess.snapshot()
+
+
+def test_bridge_beam_env_dispatch(tmp_path, monkeypatch):
+    """TRT_ASR_BEAM selects the beam session in the C-ABI bridge (the
+    in-process half of the native surface, runtime/capi_bridge.py)."""
+    from trt_asr_tpu.runtime import capi_bridge
+
+    mdir = tmp_path / "m"
+    m = ParakeetTDT.random(ModelConfig.tiny(), seed=5)
+    m.save_model_dir(str(mdir))
+    monkeypatch.setenv("TRT_ASR_BEAM", "2")
+    s = capi_bridge.create_session(str(mdir))
+    assert isinstance(s.session, BeamStreamingSession)
+    feats = np.random.default_rng(0).standard_normal(
+        (120, m.cfg.feat_in)).astype(np.float32)
+    capi_bridge.push_features(s, feats.tobytes(), 120)
+    capi_bridge.finalize(s)
+    types = []
+    while (ev := capi_bridge.poll_event(s)) is not None:
+        types.append(ev[0])
+    assert 1 in types  # FinalText delivered through the bridge protocol
+    monkeypatch.delenv("TRT_ASR_BEAM")
+    s2 = capi_bridge.create_session(str(mdir))
+    from trt_asr_tpu.streaming.session import StreamingSession as _SS
+    assert type(s2.session) is _SS

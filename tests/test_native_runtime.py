@@ -262,3 +262,33 @@ def test_abi_thread_smoke(built):
                          capture_output=True, text=True, timeout=60)
     assert out.returncode == 0, out.stderr
     assert "abi_thread_smoke ok" in out.stdout
+
+
+def test_python_backend_beam_env(built, tmp_path):
+    """TRT_ASR_BEAM reaches the embedded interpreter: the native CLI with
+    beam=1 must produce the greedy transcript (the streaming-beam anchor,
+    through the C ABI surface)."""
+    from trt_asr_tpu.config import ModelConfig
+    from trt_asr_tpu.io.wav import save_wav
+    from trt_asr_tpu.models.parakeet.model import ParakeetTDT
+
+    mdir = tmp_path / "model"
+    ParakeetTDT.random(ModelConfig.tiny(), seed=5).save_model_dir(str(mdir))
+    wav = tmp_path / "t.wav"
+    t = np.arange(24000)
+    rng2 = np.random.default_rng(0)
+    save_wav(str(wav), (0.4 * np.sin(2 * np.pi * 300 * t / 16000)
+                        + 0.1 * rng2.standard_normal(24000)).astype(np.float32))
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    base = subprocess.run([CLI, str(wav), "--model-dir", str(mdir)],
+                          capture_output=True, text=True, env=env, timeout=420)
+    assert base.returncode == 0, base.stderr[-1500:]
+    env["TRT_ASR_BEAM"] = "1"
+    beamed = subprocess.run([CLI, str(wav), "--model-dir", str(mdir)],
+                            capture_output=True, text=True, env=env, timeout=420)
+    assert beamed.returncode == 0, beamed.stderr[-1500:]
+    assert beamed.stdout.splitlines()[-1].startswith("Transcript:")
+    assert beamed.stdout.splitlines()[-1] == base.stdout.splitlines()[-1]

@@ -109,15 +109,17 @@ def main(argv=None) -> int:
     else:
         ap.error("provide --model-dir or --synthetic-model")
 
+    beam = args.beam if args.beam > 0 else rt.beam_width  # flag > env
+
     def make_session(**kw) -> StreamingSession:
-        if args.beam > 0:
+        if beam > 0:
             from trt_asr_tpu.streaming.beam_session import BeamStreamingSession
 
-            return BeamStreamingSession(model, beam=args.beam, **kw)
+            return BeamStreamingSession(model, beam=beam, **kw)
         return StreamingSession(model, **kw)
 
     def print_nbest(sess) -> None:
-        if args.beam > 0:
+        if beam > 0:
             for text, _ids, score in sess.nbest():
                 print(f"NBest: {score:.4f} {text}", flush=True)
 

@@ -230,6 +230,11 @@ class RuntimeConfig:
                                              # class as the reference's
                                              # PARAKEET_CACHE_LEN_OVERRIDE faults.
     suppress_leading_punct: bool = True      # PARAKEET_ALLOW_LEADING_PUNCT inverts
+    beam_width: int = 0                      # TRT_ASR_BEAM: >0 selects the
+                                             # streaming beam session where
+                                             # the surface supports it (C-ABI
+                                             # bridge; python CLI --beam
+                                             # overrides). 0 = greedy.
     partial_min_interval_ms: int = 100
     # events
     final_on_push: bool = False              # emit FinalText after every push
@@ -270,6 +275,7 @@ class RuntimeConfig:
                 ("PARAKEET_ALLOW_LEADING_PUNCT",
                  "PARAKEET_DISABLE_PUNCT_SUPPRESSION"),
                 not d.suppress_leading_punct),
+            beam_width=_env_int("TRT_ASR_BEAM", None, d.beam_width),
             partial_min_interval_ms=_env_int("TRT_ASR_PARTIAL_MIN_INTERVAL_MS", "PARAKEET_PARTIAL_MIN_INTERVAL_MS", d.partial_min_interval_ms),
             final_on_push=_env_bool("TRT_ASR_FINAL_ON_PUSH",
                                     "PARAKEET_EMIT_FINAL_EACH_CHUNK",

@@ -59,8 +59,16 @@ class _BridgeSession:
                 model = ParakeetTDT.from_model_dir(model_dir)
                 _models[model_dir] = model
         self.model = model
-        self.session = StreamingSession(model, RuntimeConfig.from_env(),
-                                        feature_norm="none")
+        rt = RuntimeConfig.from_env()
+        if rt.beam_width > 0:
+            # TRT_ASR_BEAM: native surface gets the streaming beam decoder
+            # (FinalText carries the 1-best; see streaming/beam_session.py)
+            from trt_asr_tpu.streaming.beam_session import BeamStreamingSession
+
+            self.session = BeamStreamingSession(
+                model, beam=rt.beam_width, runtime=rt, feature_norm="none")
+        else:
+            self.session = StreamingSession(model, rt, feature_norm="none")
 
 
 def create_session(model_dir: str) -> _BridgeSession:
