@@ -201,3 +201,32 @@ def test_bridge_beam_env_dispatch(tmp_path, monkeypatch):
     s2 = capi_bridge.create_session(str(mdir))
     from trt_asr_tpu.streaming.session import StreamingSession as _SS
     assert type(s2.session) is _SS
+
+
+def test_stable_prefix_semantics(model):
+    """stable_text is monotone (each snapshot extends the previous one),
+    is a prefix of every active hypothesis when captured, and the final
+    transcript extends the last mid-stream snapshot. Greedy sessions
+    report their whole (never-rewritten) transcript as stable."""
+    from trt_asr_tpu.decode.beam import beam_stable_prefix
+
+    audio = _audio()
+    sess = BeamStreamingSession(model, beam=3, expansion_k=3,
+                                runtime=RuntimeConfig())
+    stables, prefixes = [], []
+    for s in range(0, len(audio), 8000):
+        sess.push_audio(audio[s : s + 8000])
+        p = beam_stable_prefix(sess._beam_state)
+        prefixes.append(p)
+        stables.append(sess.stable_text)
+        for h in sess._beam_state.active:
+            assert h.tokens[: len(p)] == p
+    sess.finalize()
+    for a, b in zip(prefixes, prefixes[1:]):
+        assert b[: len(a)] == a, "stable prefix regressed mid-stream"
+    assert sess._tokens[: len(prefixes[-1])] == prefixes[-1]
+    assert sess.stable_text == sess.text  # finalized: all committed
+
+    greedy = StreamingSession(model, RuntimeConfig())
+    greedy.push_audio(audio)
+    assert greedy.stable_text == greedy.text

@@ -283,6 +283,25 @@ def beam_best(bs: BeamSearchState) -> Optional[Hypothesis]:
     return max(bs.active, key=lambda h: h.score) if bs.active else None
 
 
+def beam_stable_prefix(bs: BeamSearchState) -> List[int]:
+    """Longest common token prefix of all active hypotheses. This prefix
+    is COMMITTED: every future hypothesis descends from an active one (a
+    hypothesis only ever extends its token list), so no re-ranking can
+    rewrite these tokens. The serving signal a beam partial needs that a
+    greedy partial gets for free (greedy never rewrites)."""
+    if not bs.active:
+        return []
+    toks = [h.tokens for h in bs.active]
+    ref = min(toks, key=len)
+    n = 0
+    for i, t in enumerate(ref):
+        if all(x[i] == t for x in toks):
+            n = i + 1
+        else:
+            break
+    return list(ref[:n])
+
+
 def tdt_beam_decode_host(
     enc: np.ndarray,                   # [T_enc, D] valid encoder steps
     joint_fn: Callable,

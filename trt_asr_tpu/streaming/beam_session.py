@@ -248,6 +248,20 @@ class BeamStreamingSession(StreamingSession):
                 self.model.tokenizer.decode(self._tokens),
                 tokens=list(self._tokens)))
 
+    @property
+    def stable_text(self) -> str:
+        """Committed transcript prefix: the token prefix every active
+        hypothesis shares can never be rewritten by re-ranking (all future
+        hypotheses descend from active ones) — the signal that lets a
+        consumer display beam partials without flicker on the committed
+        part. After finalize the whole 1-best is committed."""
+        from trt_asr_tpu.decode.beam import beam_stable_prefix
+
+        if self._finalized:
+            return self.text
+        return self.model.tokenizer.decode(
+            beam_stable_prefix(self._beam_state))
+
     def nbest(self) -> List[Tuple[str, List[int], float]]:
         """Ranked (text, token_ids, score) — after finalize the finished
         n-best, mid-stream the current pool's ordering."""

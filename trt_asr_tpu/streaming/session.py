@@ -293,6 +293,15 @@ class StreamingSession:
     def text(self) -> str:
         return self.model.tokenizer.decode(self._tokens)
 
+    @property
+    def stable_text(self) -> str:
+        """Committed transcript prefix — text no future decoding can
+        rewrite. Greedy decoding never revises emitted tokens, so this is
+        the whole transcript; the beam session overrides it with the
+        hypothesis pool's common prefix (decode/beam.py
+        beam_stable_prefix)."""
+        return self.text
+
     def token_timestamps(self) -> List[dict]:
         """Frame-anchored per-token timestamps (capability beyond the
         reference, whose events carry text only): one record per emitted
