@@ -12,7 +12,7 @@ a fine-tuning/continued-training configuration, documented intentionally.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -144,15 +144,66 @@ def training_forward(params: Dict[str, Any], cfg: ModelConfig, batch: Batch,
         blank_id=cfg.blank_id)
 
 
+def make_optimizer(peak_lr: float = 1e-3, *, schedule: str = "cosine_warmup",
+                   warmup_steps: int = 1000, total_steps: int = 100_000,
+                   min_lr_ratio: float = 0.01, weight_decay: float = 1e-3,
+                   grad_clip: float = 1.0):
+    """Standard ASR training optimizer: global-norm clipping + AdamW under
+    a warmup schedule. Returns (optimizer, schedule_fn) — schedule_fn maps
+    step -> lr for logging/tests.
+
+    schedules: "noam" (inverse-sqrt with linear warmup, the Conformer
+    paper's), "cosine_warmup" (NeMo's parakeet recipe shape), "constant".
+    """
+    if schedule == "noam":
+        def schedule_fn(step):
+            s = jnp.maximum(step, 1).astype(jnp.float32)
+            return peak_lr * jnp.minimum(s ** -0.5, s * warmup_steps ** -1.5) \
+                * warmup_steps ** 0.5
+    elif schedule == "cosine_warmup":
+        schedule_fn = optax.warmup_cosine_decay_schedule(
+            0.0, peak_lr, warmup_steps, total_steps,
+            end_value=peak_lr * min_lr_ratio)
+    elif schedule == "constant":
+        schedule_fn = optax.constant_schedule(peak_lr)
+    else:
+        raise ValueError(f"unknown schedule {schedule!r}")
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_clip) if grad_clip else optax.identity(),
+        optax.adamw(schedule_fn, weight_decay=weight_decay))
+    return tx, schedule_fn
+
+
 def make_train_step(cfg: ModelConfig, optimizer=None, compute_dtype=jnp.float32,
-                    streaming: bool = False):
-    """Returns (init_opt_state, train_step). train_step is jit-able/pjit-able."""
+                    streaming: bool = False, augment: Optional[dict] = None):
+    """Returns (init_opt_state, train_step). train_step is jit-able/pjit-able.
+
+    ``augment``: kwargs for train/augment.py spec_augment; when set,
+    train_step takes an extra PRNG key argument and masks the batch's
+    features before the forward pass (training-time only — the serving
+    path never sees it)."""
     optimizer = optimizer or optax.adamw(1e-4)
 
     def loss_fn(params, batch: Batch):
         nll = training_forward(params, cfg, batch, compute_dtype,
                                streaming=streaming)
         return jnp.mean(nll)
+
+    if augment is not None:
+        from trt_asr_tpu.train.augment import spec_augment
+
+        aug_kw = dict(augment)
+
+        def train_step(params, opt_state, batch: Batch, rng) -> Tuple[Any, Any, Dict[str, jnp.ndarray]]:
+            batch = batch._replace(feats=spec_augment(
+                rng, batch.feats, batch.feat_len, **aug_kw))
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            gnorm = optax.global_norm(grads)
+            return params, opt_state, {"loss": loss, "grad_norm": gnorm}
+
+        return optimizer.init, train_step
 
     def train_step(params, opt_state, batch: Batch) -> Tuple[Any, Any, Dict[str, jnp.ndarray]]:
         loss, grads = jax.value_and_grad(loss_fn)(params, batch)
