@@ -112,3 +112,57 @@ def test_schedules():
     assert float(cos(100)) == pytest.approx(1e-4, rel=1e-3)
     with pytest.raises(ValueError):
         make_optimizer(1e-3, schedule="nope")
+
+
+def test_gradient_accumulation_matches_full_batch():
+    """Two half-batches under accumulation == one full batch. Verified
+    with SGD, where the update is linear in the averaged gradient (Adam's
+    step-1 update is g/|g| — a sign function — so float re-association
+    between the B=4 and B=2 forwards flips near-zero coordinates and no
+    tight bound exists). make_optimizer's accum wrapper is then checked
+    for the freeze-until-kth-microbatch behavior."""
+    import jax
+    import optax
+
+    from trt_asr_tpu.models.parakeet import init_params
+
+    cfg = ModelConfig.tiny()
+    rng = np.random.default_rng(0)
+    b, t, u = 4, 90, 5
+    full = Batch(
+        feats=rng.standard_normal((b, t, cfg.feat_in)).astype(np.float32),
+        feat_len=np.full((b,), t, np.int32),
+        labels=rng.integers(0, cfg.vocab_size, size=(b, u)).astype(np.int32),
+        label_len=np.full((b,), u, np.int32),
+    )
+    halves = [jax.tree.map(lambda x: x[i * 2:(i + 1) * 2], full)
+              for i in range(2)]
+    params = init_params(cfg, seed=1)
+
+    init_f, step_f = make_train_step(cfg, optimizer=optax.sgd(1e-2))
+    p_full, _, _ = jax.jit(step_f)(params, init_f(params), full)
+
+    tx_a = optax.MultiSteps(optax.sgd(1e-2), every_k_schedule=2)
+    init_a, step_a = make_train_step(cfg, optimizer=tx_a)
+    opt = init_a(params)
+    p_acc = params
+    for h in halves:
+        p_acc, opt, _ = jax.jit(step_a)(p_acc, opt, h)
+
+    for x, y in zip(jax.tree.leaves(p_full), jax.tree.leaves(p_acc)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-7)
+
+    # make_optimizer(accum_steps=2): params frozen after microbatch 1,
+    # updated after microbatch 2
+    tx_m, _ = make_optimizer(1e-3, schedule="constant", accum_steps=2)
+    init_m, step_m = make_train_step(cfg, optimizer=tx_m)
+    opt = init_m(params)
+    p1, opt, _ = jax.jit(step_m)(params, opt, halves[0])
+    same = all(np.array_equal(np.asarray(a), np.asarray(bb))
+               for a, bb in zip(jax.tree.leaves(params), jax.tree.leaves(p1)))
+    assert same, "params must not move before the accumulation boundary"
+    p2, opt, _ = jax.jit(step_m)(p1, opt, halves[1])
+    moved = any(not np.array_equal(np.asarray(a), np.asarray(bb))
+                for a, bb in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)))
+    assert moved, "params must update at the accumulation boundary"

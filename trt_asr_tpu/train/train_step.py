@@ -147,13 +147,20 @@ def training_forward(params: Dict[str, Any], cfg: ModelConfig, batch: Batch,
 def make_optimizer(peak_lr: float = 1e-3, *, schedule: str = "cosine_warmup",
                    warmup_steps: int = 1000, total_steps: int = 100_000,
                    min_lr_ratio: float = 0.01, weight_decay: float = 1e-3,
-                   grad_clip: float = 1.0):
+                   grad_clip: float = 1.0, accum_steps: int = 1):
     """Standard ASR training optimizer: global-norm clipping + AdamW under
     a warmup schedule. Returns (optimizer, schedule_fn) — schedule_fn maps
     step -> lr for logging/tests.
 
     schedules: "noam" (inverse-sqrt with linear warmup, the Conformer
     paper's), "cosine_warmup" (NeMo's parakeet recipe shape), "constant".
+
+    ``accum_steps`` > 1 wraps the transform in optax.MultiSteps: gradients
+    average over N microbatch calls before one real update (params are
+    frozen in between) — the effective-batch lever when the per-chip batch
+    is memory-bound. N equal-size microbatches match one N-times-larger
+    batch exactly up to float re-association (tested), since the loss is a
+    per-example mean.
     """
     if schedule == "noam":
         def schedule_fn(step):
@@ -171,6 +178,8 @@ def make_optimizer(peak_lr: float = 1e-3, *, schedule: str = "cosine_warmup",
     tx = optax.chain(
         optax.clip_by_global_norm(grad_clip) if grad_clip else optax.identity(),
         optax.adamw(schedule_fn, weight_decay=weight_decay))
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
     return tx, schedule_fn
 
 
