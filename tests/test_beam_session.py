@@ -230,3 +230,16 @@ def test_stable_prefix_semantics(model):
     greedy = StreamingSession(model, RuntimeConfig())
     greedy.push_audio(audio)
     assert greedy.stable_text == greedy.text
+
+
+def test_no_spurious_empty_partial(model):
+    """Regression: before any token is decoded the beam session must emit
+    NO partial (the initial no-tokens state compares equal to an empty
+    decode; a None sentinel made '() != None' fire an empty PARTIAL)."""
+    sess = BeamStreamingSession(
+        model, beam=2, runtime=RuntimeConfig(partial_min_interval_ms=0))
+    sess.push_audio(np.zeros(1600, np.float32))   # less than one chunk
+    evs = []
+    while (ev := sess.poll_event()) is not None:
+        evs.append(ev)
+    assert not any(e.type == EventType.PARTIAL_TEXT for e in evs), evs

@@ -52,13 +52,13 @@ def test_encode_roundtrip_and_greedy():
     text = tok.decode(ids)
     assert text
     assert tok.decode(tok.encode(text)) == text
-    # longest-match: a piece that is a strict prefix of another must lose
-    # to the longer one ('a' vs 'aa'/'aaa' families in the synthetic vocab)
-    long_piece = max((t for t in tok.vocab if not Tokenizer.is_control(t)),
-                     key=len)
-    enc = tok.encode(long_piece.replace("▁", " ").strip())
-    assert tok.token_at(enc[-1]) in (long_piece, long_piece.lstrip("▁")) \
-        or len(enc) >= 1
+    # longest-match: "▁aa" and "▁a" both exist in the synthetic vocab; a
+    # word "aa" must encode to the single longer piece, not ▁a + a-piece
+    assert tok.token_id("▁aa") >= 0 and tok.token_id("▁a") >= 0
+    assert tok.encode("aa") == [tok.token_id("▁aa")]
+    # duplicated vocab lines encode to the FIRST (canonical) id
+    dup = Tokenizer(["<unk>", "▁x", "▁x"], blank_id=3)
+    assert dup.encode("x") == [1]
     # unrepresentable characters fall back to <unk> (present in synthetic)
     unk = tok.token_id("<unk>")
     enc2 = tok.encode("@@@")

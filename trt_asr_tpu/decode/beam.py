@@ -94,6 +94,38 @@ def _log_softmax(x: np.ndarray) -> np.ndarray:
     return (x - m) - math.log(float(np.sum(e)))
 
 
+def make_host_fns(params):
+    """The host-callable triplet every beam driver needs, built once:
+    jitted single-step joint (j_fn), predictor step (p_fn), and the
+    batched joint (j_batch — whole frontier in one device call; must and
+    does match j_fn row-for-row, tests assert). Shared by
+    model.transcribe_offline_beam and the streaming beam session so the
+    joint/predictor host contract lives in exactly one place. Imports are
+    deferred: model.py imports this package at module scope."""
+    import jax.numpy as jnp
+
+    from trt_asr_tpu.models.parakeet.joint import joint_single_step
+    from trt_asr_tpu.models.parakeet.predictor import predictor_step
+
+    def j_fn(enc_t, g):
+        return np.asarray(
+            joint_single_step(params["joint"], enc_t[None], g[None]))[0]
+
+    def p_fn(tok, st):
+        h, c = st
+        g, h2, c2 = predictor_step(
+            params["predictor"], np.array([tok], np.int32), h, c)
+        return np.asarray(g)[0], (h2, c2)
+
+    def j_batch(enc_t, G):
+        k = G.shape[0]
+        return np.asarray(joint_single_step(
+            params["joint"],
+            jnp.broadcast_to(enc_t[None], (k, enc_t.shape[0])), G))
+
+    return j_fn, p_fn, j_batch
+
+
 def beam_start(g: np.ndarray, y_id: int, state,
                *, emitted_so_far: int = 0) -> BeamSearchState:
     """Fresh search from a primed predictor state (analogous to the greedy
@@ -232,15 +264,22 @@ def beam_advance(
         # advance (forced=True on the last _u), so nothing is dropped here
         # merge identical (tokens, cursor) alignments: log-add scores
         merged = {}
+        best_ind = {}   # per-key max INDIVIDUAL alignment score: the
+                        # dominant-alignment test must not compare against
+                        # the log-added accumulator (>= every individual)
         for h in pool:
             k = h.key()
             if k in merged:
-                if h.score > merged[k].score:
-                    # keep the dominant alignment's emission stamps
+                if h.score > best_ind[k]:
+                    best_ind[k] = h.score
+                    # keep the dominant alignment's emission stamps (same
+                    # tokens => same predictor state/g/y_id; only the
+                    # emission frames differ between alignments)
                     merged[k].stamps = h.stamps
                 merged[k].score = float(np.logaddexp(merged[k].score, h.score))
             else:
                 merged[k] = h
+                best_ind[k] = h.score
         pool = sorted(merged.values(), key=lambda h: h.score, reverse=True)
         active = pool[:beam]
     bs.active = active

@@ -246,16 +246,23 @@ class ParakeetTDT:
 
     def _params_for_mesh(self, mesh):
         """Place params once per mesh (cached): replicated over dp, matmul
-        weights sharded over tp per parallel/mesh.py's rules."""
+        weights sharded over tp per parallel/mesh.py's rules. The cache
+        entry pins the mesh object itself — an id()-only key would go
+        stale when a GC'd mesh's id is reused — and holds at most two
+        meshes (each entry is a full placed copy of the params)."""
         from trt_asr_tpu.parallel import shard_params
 
         cache = getattr(self, "_mesh_params", None)
         if cache is None:
-            cache = self._mesh_params = {}
-        key = id(mesh)
-        if key not in cache:
-            cache[key] = shard_params(self.params, mesh)
-        return cache[key]
+            cache = self._mesh_params = {}   # id(mesh) -> (mesh, placed)
+        hit = cache.get(id(mesh))
+        if hit is not None and hit[0] is mesh:
+            return hit[1]
+        placed = shard_params(self.params, mesh)
+        while len(cache) >= 2:
+            cache.pop(next(iter(cache)))
+        cache[id(mesh)] = (mesh, placed)
+        return placed
 
     def transcribe_offline_beam(self, audio: np.ndarray, beam: int = 4,
                                 norm: str = "per_feature",
@@ -268,9 +275,7 @@ class ParakeetTDT:
         encoder runs once on device; the search runs on host over the
         jitted joint/predictor single-step programs. ``lm_fn``/``lm_weight``
         enable shallow fusion (see decode/beam.py)."""
-        from trt_asr_tpu.decode.beam import tdt_beam_decode_host
-        from trt_asr_tpu.models.parakeet.joint import joint_single_step
-        from trt_asr_tpu.models.parakeet.predictor import predictor_step
+        from trt_asr_tpu.decode.beam import make_host_fns, tdt_beam_decode_host
 
         feats = self.features(audio, norm=norm)
         if feats.shape[0] == 0:
@@ -279,23 +284,7 @@ class ParakeetTDT:
             self.params, self.cfg, feats[None],
             np.array([feats.shape[0]], np.int32))
         t = int(np.asarray(enc_len)[0])
-
-        def j_fn(enc_t, g):
-            return np.asarray(
-                joint_single_step(self.params["joint"], enc_t[None], g[None]))[0]
-
-        def p_fn(tok, st):
-            h, c = st
-            g, h2, c2 = predictor_step(
-                self.params["predictor"], np.array([tok], np.int32), h, c)
-            return np.asarray(g)[0], (h2, c2)
-
-        def j_batch(enc_t, G):
-            # whole frontier in one device call (decode/beam.py)
-            k = G.shape[0]
-            return np.asarray(joint_single_step(
-                self.params["joint"],
-                jnp.broadcast_to(enc_t[None], (k, enc_t.shape[0])), G))
+        j_fn, p_fn, j_batch = make_host_fns(self.params)
 
         ds = prime_decode_state(self.params, self.cfg,
                                 init_decode_state(self.cfg, 1), self.prompt_ids)

@@ -19,7 +19,11 @@ Division of labor per chunk:
 This is an accuracy-mode surface (n-best, shallow LM fusion, rescoring):
 the host hypothesis loop costs more per chunk than the greedy session's
 single fused device program, which remains the low-latency production
-path. Partials carry the *current best* hypothesis, which may rewrite
+path. The fast-mode Pallas kernels (TRT_ASR_PALLAS_ATT/CONV/FFN/JOINT)
+are greedy-hot-path features and intentionally do NOT apply here — the
+beam encoder runs the XLA pos_proj path; nan_guard, profiler capture,
+stage markers and the fault-injection cache overrides all do apply
+(shared chunk prologue, session.py _chunk_inputs). Partials carry the *current best* hypothesis, which may rewrite
 earlier text when the ranking flips — standard beam behavior, and the
 reason the event protocol distinguishes PARTIAL from FINAL.
 
@@ -35,7 +39,6 @@ import time
 from typing import Callable, List, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from trt_asr_tpu.config import ModelConfig
@@ -46,11 +49,7 @@ from trt_asr_tpu.decode.beam import (
     beam_finish,
     beam_start,
 )
-from trt_asr_tpu.models.parakeet.encoder import (
-    EncoderState,
-    encode,
-    init_encoder_state,
-)
+from trt_asr_tpu.models.parakeet.encoder import EncoderState, encode
 from trt_asr_tpu.models.parakeet.model import ParakeetTDT
 from trt_asr_tpu.streaming.session import Event, EventType, StreamingSession
 from trt_asr_tpu.debug.stage_markers import stage_marker
@@ -89,34 +88,12 @@ class BeamStreamingSession(StreamingSession):
         self.lm_fn = lm_fn
         self.lm_weight = float(lm_weight)
         self._nbest_hyps = []
-        # jitted single-step programs shared by every hypothesis branch
-        # (identical to the offline beam's callables, model.py:191-199)
-        from trt_asr_tpu.models.parakeet.joint import joint_single_step
-        from trt_asr_tpu.models.parakeet.predictor import predictor_step
+        # the shared host-callable triplet (decode/beam.py make_host_fns:
+        # jitted single-step joint/predictor + frontier-batched joint)
+        from trt_asr_tpu.decode.beam import make_host_fns
 
-        params = model.params
-
-        def j_fn(enc_t, g):
-            return np.asarray(
-                joint_single_step(params["joint"], enc_t[None], g[None]))[0]
-
-        def p_fn(tok, st):
-            h, c = st
-            g, h2, c2 = predictor_step(
-                params["predictor"], np.array([tok], np.int32), h, c)
-            return np.asarray(g)[0], (h2, c2)
-
-        def j_batch(enc_t, G):
-            # whole frontier in one device call (decode/beam.py
-            # joint_batch_fn contract) — enc frame broadcast across rows
-            k = G.shape[0]
-            return np.asarray(joint_single_step(
-                params["joint"],
-                jnp.broadcast_to(enc_t[None], (k, enc_t.shape[0])), G))
-
-        self._joint_fn = j_fn
-        self._predictor_fn = p_fn
-        self._joint_batch_fn = j_batch
+        (self._joint_fn, self._predictor_fn,
+         self._joint_batch_fn) = make_host_fns(model.params)
         super().__init__(model, **kw)
 
     # -- lifecycle ------------------------------------------------------
@@ -128,7 +105,10 @@ class BeamStreamingSession(StreamingSession):
             np.asarray(ds.g)[0], int(np.asarray(ds.y_id)[0]),
             (ds.h, ds.c), emitted_so_far=0)
         self._nbest_hyps = []
-        self._last_partial_tokens: Optional[Tuple[int, ...]] = None
+        # () not None: the no-tokens-yet state must compare equal to an
+        # empty decode, or the first push emits a spurious empty partial
+        # the greedy session never emits
+        self._last_partial_tokens: Tuple[int, ...] = ()
 
     def snapshot(self) -> dict:  # pragma: no cover - explicit unsupported
         raise NotImplementedError(
@@ -146,26 +126,10 @@ class BeamStreamingSession(StreamingSession):
         cfg = self.cfg
         rt = self.rt
         stage_marker(rt, f"beam chunk {spec.idx} enter [{self._debug_ctx}]")
-        from trt_asr_tpu.streaming.schedule import extract_chunk
-
-        x = extract_chunk(self._feat_buf, spec)
-        buflen = self._feat_buf.shape[0]
-        valid = (max(-spec.slice_start, 0)
-                 + max(min(spec.slice_end, buflen) - max(spec.slice_start, 0), 0))
-        cache_drop = 0 if is_last else cfg.cache_drop_size
-        if rt.disable_cache:
-            self._enc_state = init_encoder_state(cfg, 1)
-        if rt.cache_len_override >= 0:
-            forced = min(rt.cache_len_override, cfg.att_cache_size)
-            self._enc_state = self._enc_state._replace(
-                cache_len=jnp.full_like(self._enc_state.cache_len, forced))
-        tq_chunk = spec.frames
-        for _ in range(cfg.stride_stages):
-            tq_chunk = (tq_chunk - 1) // 2 + 1
-        tq_chunk -= spec.drop_extra
-        pos_proj = (self._pos_proj
-                    if tq_chunk * 2 - 1 + cfg.att_cache_size == self._pos_proj.shape[1]
-                    else None)
+        if self._profiler is not None:
+            self._profiler.chunk_start()
+        x, valid, cache_drop, pos_proj, _tq = self._chunk_inputs(
+            spec, is_last)
 
         t0 = time.perf_counter()
         enc, out_len, self._enc_state = _beam_encode_step(
@@ -195,6 +159,13 @@ class BeamStreamingSession(StreamingSession):
         if ms > rt.slow_step_ms:
             stage_marker(rt, f"SLOW beam chunk {spec.idx}: {ms:.1f} ms",
                          force=True)
+        if rt.nan_guard:
+            from trt_asr_tpu.debug.nan_guard import check_finite
+
+            check_finite(self._enc_state.att_cache, "att_cache",
+                         halt=rt.nan_guard_halt)
+        if self._profiler is not None:
+            self._profiler.chunk_end()
         stage_marker(rt, f"beam chunk {spec.idx} exit "
                          f"({ms:.1f} ms, {len(self._tokens)} tokens best)")
 

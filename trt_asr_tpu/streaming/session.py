@@ -340,12 +340,13 @@ class StreamingSession:
             return np.asarray(apply_per_feature_norm(feats, mean, std))
         return feats
 
-    def _run_chunk(self, spec, is_last: bool) -> None:
+    def _chunk_inputs(self, spec, is_last: bool):
+        """Shared chunk prologue (greedy and beam sessions): window
+        extraction, implicit-zero valid count, cache_drop, cache
+        fault-injection overrides, steady-shape positional table.
+        Returns (x, valid, cache_drop, pos_proj, tq_chunk)."""
         cfg = self.cfg
         rt = self.rt
-        stage_marker(rt, f"chunk {spec.idx} enter [{self._debug_ctx}]")
-        if self._profiler is not None:
-            self._profiler.chunk_start()
         from trt_asr_tpu.streaming.schedule import extract_chunk
 
         x = extract_chunk(self._feat_buf, spec)
@@ -363,14 +364,25 @@ class StreamingSession:
             forced = min(rt.cache_len_override, cfg.att_cache_size)
             self._enc_state = self._enc_state._replace(
                 cache_len=jnp.full_like(self._enc_state.cache_len, forced))
-
         # pos_proj is shape-specific: only pass it when this chunk's
         # post-drop step count matches the steady profile
         tq_chunk = spec.frames
         for _ in range(cfg.stride_stages):
             tq_chunk = (tq_chunk - 1) // 2 + 1
         tq_chunk -= spec.drop_extra
-        pos_proj = self._pos_proj if tq_chunk * 2 - 1 + cfg.att_cache_size == self._pos_proj.shape[1] else None
+        pos_proj = (self._pos_proj
+                    if tq_chunk * 2 - 1 + cfg.att_cache_size == self._pos_proj.shape[1]
+                    else None)
+        return x, valid, cache_drop, pos_proj, tq_chunk
+
+    def _run_chunk(self, spec, is_last: bool) -> None:
+        cfg = self.cfg
+        rt = self.rt
+        stage_marker(rt, f"chunk {spec.idx} enter [{self._debug_ctx}]")
+        if self._profiler is not None:
+            self._profiler.chunk_start()
+        x, valid, cache_drop, pos_proj, tq_chunk = self._chunk_inputs(
+            spec, is_last)
         # fused attention kernel only for the steady chunk shape (off-profile
         # chunks fall back to the XLA path — exactness proven equal)
         pal_att = self._pos_projT is not None and tq_chunk == self._tq_steady

@@ -75,8 +75,13 @@ class Tokenizer:
         logit-level parity fixtures."""
         pieces = getattr(self, "_pieces", None)
         if pieces is None:
-            pieces = {t: i for i, t in enumerate(self.vocab)
-                      if t and not self.is_control(t)}
+            # first occurrence wins, matching _tok_to_id's setdefault:
+            # duplicated vocab lines must encode to the same canonical id
+            # decode/token_id use
+            pieces = {}
+            for i, t in enumerate(self.vocab):
+                if t and not self.is_control(t) and t not in pieces:
+                    pieces[t] = i
             self._pieces = pieces
             self._max_piece = max(map(len, pieces), default=1)
         s = WORD_BOUNDARY + text.strip().replace(" ", WORD_BOUNDARY)

@@ -198,27 +198,25 @@ def make_train_step(cfg: ModelConfig, optimizer=None, compute_dtype=jnp.float32,
                                streaming=streaming)
         return jnp.mean(nll)
 
-    if augment is not None:
-        from trt_asr_tpu.train.augment import spec_augment
-
-        aug_kw = dict(augment)
-
-        def train_step(params, opt_state, batch: Batch, rng) -> Tuple[Any, Any, Dict[str, jnp.ndarray]]:
-            batch = batch._replace(feats=spec_augment(
-                rng, batch.feats, batch.feat_len, **aug_kw))
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            gnorm = optax.global_norm(grads)
-            return params, opt_state, {"loss": loss, "grad_norm": gnorm}
-
-        return optimizer.init, train_step
-
-    def train_step(params, opt_state, batch: Batch) -> Tuple[Any, Any, Dict[str, jnp.ndarray]]:
+    def _update(params, opt_state, batch: Batch) -> Tuple[Any, Any, Dict[str, jnp.ndarray]]:
+        # the single update body both variants share — augmentation only
+        # changes what the loss sees, never how the update happens
         loss, grads = jax.value_and_grad(loss_fn)(params, batch)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         gnorm = optax.global_norm(grads)
         return params, opt_state, {"loss": loss, "grad_norm": gnorm}
 
-    return optimizer.init, train_step
+    if augment is not None:
+        from trt_asr_tpu.train.augment import spec_augment
+
+        aug_kw = dict(augment)
+
+        def train_step(params, opt_state, batch: Batch, rng):
+            batch = batch._replace(feats=spec_augment(
+                rng, batch.feats, batch.feat_len, **aug_kw))
+            return _update(params, opt_state, batch)
+
+        return optimizer.init, train_step
+
+    return optimizer.init, _update
