@@ -97,6 +97,12 @@ def main(argv=None) -> int:
                          "path. >0 decodes with the streaming beam "
                          "session and prints NBest lines (capability "
                          "beyond the greedy-only reference)")
+    ap.add_argument("--continuous", action="store_true",
+                    help="energy-endpointed continuous mode: segment the "
+                         "input at sustained silence, print one "
+                         "'Segment: [start end] text' line per utterance "
+                         "(streaming/continuous.py; forces "
+                         "--feature-norm none)")
     args = ap.parse_args(argv)
 
     rt = RuntimeConfig.from_env()
@@ -139,6 +145,22 @@ def main(argv=None) -> int:
 
     # ---- audio load ----
     audio = load_raw_pcm_f32(args.input) if args.raw_pcm else load_wav(args.input)
+
+    if args.continuous:
+        from trt_asr_tpu.streaming.continuous import ContinuousTranscriber
+
+        ct = ContinuousTranscriber(make_session(runtime=rt,
+                                                feature_norm="none"))
+        hop = int(args.stream_sim * 16000) if args.stream_sim > 0 else len(audio)
+        for start in range(0, len(audio), max(hop, 1)):
+            ct.push_audio(audio[start : start + hop])
+        ct.flush()
+        for seg in ct.segments:
+            print(f"Segment: [{seg['start_s']:.2f} {seg['end_s']:.2f}] "
+                  f"{seg['text']}", flush=True)
+        print(f"Transcript: {' '.join(s['text'] for s in ct.segments if s['text'])}",
+              flush=True)
+        return 0
 
     if args.dump_features:
         feats = model.features(audio, norm=args.feature_norm)
