@@ -120,3 +120,80 @@ def test_busy_and_protocol_errors(model):
         assert ok, "slot did not free after client disconnect"
     finally:
         srv.stop()
+
+
+def test_continuous_client_segments(model):
+    """A continuous client (server-side endpointing) receives one
+    'segment' event per speech span, with absolute times, matching the
+    engine driven directly on the same samples; a plain client on the
+    same daemon is unaffected."""
+    import base64
+    import json
+
+    srv = AsrServer(model, batch_size=4,
+                    runtime=RuntimeConfig(suppress_leading_punct=False)).start()
+    host, port = srv.addr
+    z = np.zeros(16000, np.float32)
+    speech = [_audio(12800, 1), _audio(12800, 2)]
+    stream = np.concatenate([z, speech[0], z, speech[1], z])
+
+    plain = {}
+
+    def run_plain():
+        plain["r"] = transcribe(host, port, _audio(24000, 3),
+                                chunk_samples=6000)
+
+    t = threading.Thread(target=run_plain)
+    t.start()
+    try:
+        conn = socket.create_connection((host, port), timeout=300)
+        f = conn.makefile("rwb")
+
+        def send(obj):
+            f.write((json.dumps(obj) + "\n").encode())
+            f.flush()
+
+        def recv():
+            line = f.readline()
+            if not line:
+                raise ConnectionError("server closed")
+            return json.loads(line)
+
+        send({"op": "open", "continuous": True, "silence_s": 0.6})
+        assert recv()["ok"]
+        segs = []
+        for s in range(0, len(stream), 4000):
+            send({"op": "push",
+                  "pcm": base64.b64encode(
+                      stream[s : s + 4000].tobytes()).decode()})
+            while True:
+                msg = recv()
+                if "ok" in msg:
+                    break
+                if msg.get("event") == "segment":
+                    segs.append(msg)
+        deadline = 300
+        import time as _time
+        t0 = _time.monotonic()
+        conn.settimeout(1.0)
+        while len(segs) < 2 and _time.monotonic() - t0 < deadline:
+            try:
+                msg = recv()
+            except (TimeoutError, socket.timeout):
+                continue
+            if msg.get("event") == "segment":
+                segs.append(msg)
+        conn.close()
+        assert len(segs) == 2, segs
+        segs.sort(key=lambda m: m["start_s"])
+        # each segment matches the engine driven directly on its samples
+        for seg in segs:
+            a = int(round(seg["start_s"] * 16000))
+            b = int(round(seg["end_s"] * 16000))
+            want_text, _ = _direct(model, stream[a:b])
+            assert seg["text"] == want_text, seg
+        assert segs[0]["start_s"] <= 1.02 and segs[1]["start_s"] <= 2.82
+    finally:
+        t.join(timeout=420)
+        srv.stop()
+    assert plain["r"]["text"] == _direct(model, _audio(24000, 3))[0]

@@ -11,6 +11,9 @@ serving capacity rides the MXU batch axis instead of process-per-client.
 Wire protocol: newline-delimited JSON, one connection per client stream.
 
   -> {"op": "open"}                                <- {"ok": true, "sid": N}
+  -> {"op": "open", "continuous": true,
+      "silence_s": 0.6, "energy_threshold": 0.01,
+      "min_speech_s": 0.12, "preroll_s": 0.2}      <- {"ok": true, "sid": N}
   -> {"op": "push", "pcm": "<base64 f32le 16k>"}   <- {"ok": true}
   -> {"op": "push_features", "feats": "<base64 f32le [T,C]>", "frames": T}
   -> {"op": "finalize"}                            <- {"ok": true}
@@ -20,6 +23,19 @@ Wire protocol: newline-delimited JSON, one connection per client stream.
       "tokens": [...]}
      finals additionally carry "words": [{word, start_s, end_s}] —
      frame-anchored TDT timestamps (decode/timestamps.py).
+
+Continuous clients (streaming/continuous.py EndpointDetector per client,
+run in the client's handler thread — the endpointer costs the device
+nothing): audio between speech onset (with pre-roll) and a
+sustained-silence endpoint flows into an engine slot; at each endpoint
+the slot is finalized and TRANSPARENTLY swapped for a fresh one, and the
+finished utterance arrives as
+     {"event": "segment", "text": ..., "tokens": [...],
+      "start_s": S, "end_s": E, "words": [...]}
+with absolute stream times (words are relative to the segment start).
+An explicit finalize flushes a segment still in flight. Segment events
+are emitted when the old slot's flush drains, so they can interleave
+with the next segment's partials — order by start_s, not arrival.
 
 Threading model: shared engine state is serialized under one lock; a
 stepper thread runs the lockstep batched chunk whenever any stream has a
@@ -66,6 +82,12 @@ class AsrServer:
         self._outq: Dict[int, "deque"] = {}
         self._outcv: Dict[int, threading.Condition] = {}
         self._finalizing: set = set()
+        # continuous clients: sid -> {"det": EndpointDetector, "start": n}
+        # (owned by that client's handler thread; remapped on rollover)
+        self._cont: Dict[int, dict] = {}
+        # old sid -> {"start_s","end_s"}: segment metadata awaiting the
+        # slot's FINAL event (attached by _drain_events)
+        self._seg_pending: Dict[int, dict] = {}
         self._stop = threading.Event()
         self._srv = socket.create_server((host, port))
         self.addr = self._srv.getsockname()
@@ -158,6 +180,7 @@ class AsrServer:
             pass
         finally:
             if sid is not None:
+                self._cont.pop(sid, None)
                 with self._elock:
                     self._clients.pop(sid, None)
                     self._finalizing.discard(sid)
@@ -187,6 +210,15 @@ class AsrServer:
                     self._wlocks[new_sid] = threading.Lock()
                     self._outq[new_sid] = deque()
                     self._outcv[new_sid] = threading.Condition()
+                if msg.get("continuous"):
+                    from trt_asr_tpu.streaming.continuous import EndpointDetector
+
+                    self._cont[new_sid] = {"det": EndpointDetector(
+                        energy_threshold=float(msg.get("energy_threshold", 0.01)),
+                        silence_s=float(msg.get("silence_s", 0.6)),
+                        min_speech_s=float(msg.get("min_speech_s", 0.12)),
+                        preroll_s=float(msg.get("preroll_s", 0.2))),
+                        "start": 0}
                 threading.Thread(target=self._sender_loop,
                                  args=(new_sid, conn), daemon=True).start()
                 self._send(conn, {"ok": True, "sid": new_sid}, new_sid)
@@ -202,6 +234,9 @@ class AsrServer:
                 return sid
             if op == "push":
                 pcm = np.frombuffer(base64.b64decode(msg["pcm"]), np.float32)
+                if sid in self._cont:
+                    sid = self._push_continuous(conn, sid, pcm)
+                    return sid
                 # mel extraction runs OUTSIDE the engine lock: the per-slot
                 # streaming frontend is owned by this client's handler
                 # thread alone (engine.extract_features), so frontend CPU
@@ -217,6 +252,14 @@ class AsrServer:
                     self.engine.push_features(sid, feats)
                 self._send(conn, {"ok": True}, sid)
             elif op == "finalize":
+                if sid in self._cont:
+                    # continuous: flush a segment still in flight; the
+                    # (fresh) slot stays open for more audio
+                    end = self._cont[sid]["det"].flush()
+                    if end is not None:
+                        sid = self._segment_rollover(conn, sid, end)
+                    self._send(conn, {"ok": True}, sid)
+                    return sid
                 with self._elock:
                     self.engine.finalize_stream(sid)
                     self._finalizing.add(sid)
@@ -228,6 +271,53 @@ class AsrServer:
             # daemon stays up for other streams
             self._send(conn, {"ok": False, "error": repr(e)}, sid)
         return sid
+
+    # -- continuous clients ------------------------------------------------
+
+    def _push_continuous(self, conn: socket.socket, sid: int,
+                         pcm: np.ndarray) -> int:
+        """Run the client's endpoint detector over the pushed audio; only
+        speech (plus pre-roll) reaches the engine slot. Returns the
+        (possibly remapped) sid — an endpoint swaps the slot."""
+        st = self._cont[sid]
+        for kind, payload in st["det"].feed(pcm):
+            if kind == "onset":
+                audio, st["start"] = payload
+            elif kind == "speech":
+                audio = payload
+            else:                       # endpoint
+                sid = self._segment_rollover(conn, sid, payload)
+                st = self._cont[sid]
+                continue
+            feats = self.engine.extract_features(sid, audio)
+            with self._elock:
+                self.engine.push_features(sid, feats)
+        self._send(conn, {"ok": True}, sid)
+        return sid
+
+    def _segment_rollover(self, conn: socket.socket, old_sid: int,
+                          end_sample: int) -> int:
+        """Finalize the current slot as one segment and swap in a fresh
+        one for the same client. The segment event is emitted by
+        _drain_events when the old slot's flush drains (its FINAL event),
+        stamped with the absolute stream times recorded here."""
+        st = self._cont.pop(old_sid)
+        with self._elock:
+            self.engine.finalize_stream(old_sid)
+            self._seg_pending[old_sid] = {
+                "start_s": st["start"] / 16000.0,
+                "end_s": end_sample / 16000.0,
+            }
+            new_sid = self.engine.open_stream()
+            self._clients[new_sid] = conn
+            # both sids' sender threads write ONE socket: share the lock
+            self._wlocks[new_sid] = self._wlocks[old_sid]
+            self._outq[new_sid] = deque()
+            self._outcv[new_sid] = threading.Condition()
+            self._cont[new_sid] = st
+        threading.Thread(target=self._sender_loop,
+                         args=(new_sid, conn), daemon=True).start()
+        return new_sid
 
     # -- the serving loop -------------------------------------------------
 
@@ -261,6 +351,23 @@ class AsrServer:
                 name = {EventType.PARTIAL_TEXT: "partial",
                         EventType.FINAL_TEXT: "final",
                         EventType.ERROR: "error"}[ev.type]
+                if ev.type == EventType.FINAL_TEXT and sid in self._seg_pending:
+                    # a continuous client's retired slot finished flushing:
+                    # emit the segment, then dispose of the slot + its
+                    # sender thread (the client already talks on a new sid)
+                    meta = self._seg_pending.pop(sid)
+                    self._enqueue(sid, {
+                        "event": "segment", "text": ev.text,
+                        "tokens": list(ev.tokens),
+                        "start_s": meta["start_s"], "end_s": meta["end_s"],
+                        "words": self.engine.word_timestamps(sid)})
+                    self.engine.close_stream(sid)
+                    self._clients.pop(sid, None)
+                    self._enqueue(sid, None)
+                    self._outq.pop(sid, None)
+                    self._outcv.pop(sid, None)
+                    self._wlocks.pop(sid, None)   # shared object lives on
+                    break
                 out = {"event": name, "segment": ev.segment_id,
                        "text": ev.text, "tokens": list(ev.tokens)}
                 if ev.type == EventType.ERROR:
