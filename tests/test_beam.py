@@ -217,3 +217,62 @@ def test_model_level_beam(setup, rng, suppress):
     text_g, ids_g = model.transcribe_offline(audio)
     (text_b1, ids_b1, _), = model.transcribe_offline_beam(audio, beam=1)
     assert ids_b1 == ids_g and text_b1 == text_g
+
+def test_contextual_biasing_steers_the_beam():
+    """make_biasing_lm: a two-token phrase (7, 9) gets a per-token bonus,
+    flipping the scripted case where acoustics prefer stopping at [7]
+    (frame 1 after 7: blank 0.1 vs token 9 at 0.0)."""
+    from trt_asr_tpu.decode.biasing import make_biasing_lm
+
+    cfg, joint_fn, pred_fn = _scripted()
+    blank = cfg.blank_id
+    enc = np.arange(2, dtype=np.float32)[:, None]
+    kw = dict(blank_id=blank, token_head_size=cfg.token_head_size,
+              duration_values=cfg.duration_values, beam=3, expansion_k=3,
+              max_symbols=4)
+    base = tdt_beam_decode_host(enc, joint_fn, pred_fn, (blank,),
+                                np.array([blank], np.float32), blank, **kw)
+    assert 9 not in base[0].tokens
+
+    class TwoTok:
+        def encode(self, text):
+            assert text == "seventy-nine"
+            return [7, 9]
+
+    lm = make_biasing_lm(["seventy-nine"], TwoTok(), bonus=3.0)
+    assert lm([], 7) == 3.0          # phrase start
+    assert lm([7], 9) == 3.0         # continuation
+    assert lm([8], 9) == 0.0         # no matched prefix
+    assert lm([7], 8) == 0.0         # wrong continuation
+
+    fused = tdt_beam_decode_host(enc, joint_fn, pred_fn, (blank,),
+                                 np.array([blank], np.float32), blank,
+                                 lm_fn=lm, lm_weight=1.0, **kw)
+    assert fused[0].tokens == [7, 9], [h.tokens for h in fused]
+
+
+def test_biasing_lm_with_real_tokenizer():
+    from trt_asr_tpu.decode.biasing import make_biasing_lm
+    from trt_asr_tpu.tokenizer import Tokenizer, make_synthetic_vocab
+
+    tok = Tokenizer(make_synthetic_vocab(64))
+    aa = tok.token_id("▁aa")
+    assert aa >= 0
+    lm = make_biasing_lm(["aa"], tok, bonus=2.5)
+    assert lm([], aa) == 2.5
+    assert lm([], aa + 1 if aa + 1 != tok.blank_id else aa + 2) == 0.0
+
+
+def test_biasing_ignores_unrepresentable_phrases():
+    """A phrase the vocab cannot encode (falls to <unk>) must be dropped:
+    rewarding <unk> emissions would distort every score stream-wide."""
+    from trt_asr_tpu.decode.biasing import make_biasing_lm
+    from trt_asr_tpu.tokenizer import Tokenizer, make_synthetic_vocab
+
+    tok = Tokenizer(make_synthetic_vocab(64))
+    unk = tok.token_id("<unk>")
+    assert unk >= 0 and unk in tok.encode("@@@")
+    lm = make_biasing_lm(["@@@", "zzzqqq"], tok, bonus=3.0)
+    for t in range(len(tok.vocab)):
+        assert lm([], t) == 0.0
+    assert lm([unk], unk) == 0.0

@@ -97,6 +97,12 @@ def main(argv=None) -> int:
                          "path. >0 decodes with the streaming beam "
                          "session and prints NBest lines (capability "
                          "beyond the greedy-only reference)")
+    ap.add_argument("--bias", default="",
+                    help="comma-separated hotword phrases boosted during "
+                         "beam decoding (decode/biasing.py contextual "
+                         "biasing; requires --beam N)")
+    ap.add_argument("--bias-bonus", type=float, default=3.0,
+                    help="per-matched-token log-prob reward for --bias")
     ap.add_argument("--continuous", action="store_true",
                     help="energy-endpointed continuous mode: segment the "
                          "input at sustained silence, print one "
@@ -116,12 +122,21 @@ def main(argv=None) -> int:
         ap.error("provide --model-dir or --synthetic-model")
 
     beam = args.beam if args.beam > 0 else rt.beam_width  # flag > env
+    if args.bias and beam <= 0:
+        ap.error("--bias requires beam decoding (--beam N)")
 
     def make_session(**kw) -> StreamingSession:
         if beam > 0:
             from trt_asr_tpu.streaming.beam_session import BeamStreamingSession
 
-            return BeamStreamingSession(model, beam=beam, **kw)
+            lm_kw = {}
+            if args.bias:
+                from trt_asr_tpu.decode.biasing import make_biasing_lm
+
+                lm_kw = dict(lm_fn=make_biasing_lm(
+                    args.bias.split(","), model.tokenizer,
+                    bonus=args.bias_bonus), lm_weight=1.0)
+            return BeamStreamingSession(model, beam=beam, **lm_kw, **kw)
         return StreamingSession(model, **kw)
 
     def print_nbest(sess) -> None:

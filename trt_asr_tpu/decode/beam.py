@@ -281,7 +281,26 @@ def beam_advance(
                 merged[k] = h
                 best_ind[k] = h.score
         pool = sorted(merged.values(), key=lambda h: h.score, reverse=True)
-        active = pool[:beam]
+        # label-diverse pruning: a single token expanded with 5 duration
+        # bins yields 5 pool entries with identical labels at different
+        # cursors, which can flood a small beam and evict the blank
+        # continuation (and with it every alternative label). Keep the
+        # best entry per distinct label sequence first, then fill the
+        # remaining slots by raw score — beam=1 reduces to plain top-1,
+        # preserving exact greedy parity.
+        survivors: List[Hypothesis] = []
+        rest: List[Hypothesis] = []
+        seen_labels = set()
+        for h in pool:
+            lk = tuple(h.tokens)
+            if lk not in seen_labels and len(survivors) < beam:
+                seen_labels.add(lk)
+                survivors.append(h)
+            else:
+                rest.append(h)
+        if len(survivors) < beam:
+            survivors.extend(rest[: beam - len(survivors)])
+        active = survivors
     bs.active = active
     bs.offset += n
     return bs

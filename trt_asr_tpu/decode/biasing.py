@@ -1,0 +1,54 @@
+"""Contextual biasing (hotwords) for the beam decoder's LM-fusion hook.
+
+Beyond-reference capability. ``make_biasing_lm`` compiles a phrase list
+(product names, contacts, jargon — text, via Tokenizer.encode) into a
+token-prefix trie and returns an ``lm_fn(prefix_tokens, candidate)``
+suitable for decode/beam.py's shallow fusion: a candidate token earns
+``bonus`` log-probability iff it starts a phrase or continues one that a
+suffix of the decoded prefix has partially matched. This is the standard
+per-token contextual-biasing scheme for transducers — the boost applies
+while INSIDE a phrase, so multi-token phrases accumulate an advantage
+proportional to their length, and hypotheses that abandon a phrase
+midway keep only the tokens they actually matched (no lookahead debt to
+unwind: the beam's per-emission fusion is already path-additive).
+
+Works on every surface that accepts lm_fn/lm_weight: offline beam
+(ParakeetTDT.transcribe_offline_beam), the streaming beam session, and
+the CLI (--bias/--bias-bonus). Greedy paths are untouched (fusion is a
+beam feature; beam=1 stays exactly greedy by design).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, List, Sequence
+
+
+def make_biasing_lm(phrases: Iterable[str], tokenizer, *,
+                    bonus: float = 3.0) -> Callable[[List[int], int], float]:
+    """Compile phrase strings into a biasing lm_fn. ``bonus`` is the
+    log-prob reward per matched token (pre lm_weight scaling)."""
+    unk = tokenizer.token_id("<unk>") if hasattr(tokenizer, "token_id") else -1
+    token_phrases: List[Sequence[int]] = []
+    for p in phrases:
+        ids = tuple(tokenizer.encode(p))
+        # a phrase the vocab cannot represent encodes (partly) to <unk>;
+        # biasing it would reward EVERY <unk> emission (+bonus each) and
+        # silently distort scores stream-wide — drop it instead
+        if ids and unk not in ids:
+            token_phrases.append(ids)
+    # trie as a set of proper prefixes -> continuations
+    starts = {p[0] for p in token_phrases}
+    max_len = max((len(p) for p in token_phrases), default=0)
+
+    def lm(prefix: List[int], tok: int) -> float:
+        if tok in starts:
+            return bonus
+        # does tok continue a phrase some suffix of prefix has started?
+        for p in token_phrases:
+            for k in range(1, min(len(p), len(prefix), max_len) + 1):
+                if k < len(p) and p[k] == tok \
+                        and tuple(prefix[-k:]) == tuple(p[:k]):
+                    return bonus
+        return 0.0
+
+    return lm
