@@ -215,3 +215,26 @@ def test_concurrent_push_poll(model):
     finals = [e for e in events if e.type == EventType.FINAL_TEXT]
     assert finals and finals[-1].text == serial_final
     assert not any(e.type == EventType.ERROR for e in events)
+
+
+def test_language_prompt_selection(monkeypatch):
+    """TRT_ASR_LANG selects the language prompt token; a missing token
+    primes nothing (fallback); default stays <|en|> (reference hardcodes
+    it, parakeet_trt.cpp:1931-1942 — this generalizes to the 0.6B-v3's
+    25 languages)."""
+    from trt_asr_tpu.config import RuntimeConfig
+    from trt_asr_tpu.tokenizer import Tokenizer, make_synthetic_vocab
+
+    vocab = make_synthetic_vocab(
+        64, prompt_tokens=("<|startoftranscript|>", "<|en|>", "<|de|>"))
+    m = ParakeetTDT.random(ModelConfig.tiny(), seed=1)
+    m.tokenizer = Tokenizer(vocab, blank_id=m.cfg.blank_id)
+    sot = m.tokenizer.token_id("<|startoftranscript|>")
+
+    assert m.prompt_ids == [sot, m.tokenizer.token_id("<|en|>")]
+    m.runtime = RuntimeConfig(language="de")
+    assert m.prompt_ids == [sot, m.tokenizer.token_id("<|de|>")]
+    m.runtime = RuntimeConfig(language="xx")   # not in vocab
+    assert m.prompt_ids == [sot]
+    monkeypatch.setenv("TRT_ASR_LANG", "de")
+    assert RuntimeConfig.from_env().language == "de"

@@ -235,6 +235,14 @@ class RuntimeConfig:
                                              # the surface supports it (C-ABI
                                              # bridge; python CLI --beam
                                              # overrides). 0 = greedy.
+    language: str = "en"                     # TRT_ASR_LANG: language prompt
+                                             # token <|xx|> primed after
+                                             # <|startoftranscript|> (the
+                                             # 0.6B-v3 model is 25-language;
+                                             # the reference hardcodes <|en|>,
+                                             # parakeet_trt.cpp:1764). Falls
+                                             # back to no language priming if
+                                             # the vocab lacks the token.
     partial_min_interval_ms: int = 100
     # events
     final_on_push: bool = False              # emit FinalText after every push
@@ -276,6 +284,7 @@ class RuntimeConfig:
                  "PARAKEET_DISABLE_PUNCT_SUPPRESSION"),
                 not d.suppress_leading_punct),
             beam_width=_env_int("TRT_ASR_BEAM", None, d.beam_width),
+            language=_env_str("TRT_ASR_LANG", None, d.language),
             partial_min_interval_ms=_env_int("TRT_ASR_PARTIAL_MIN_INTERVAL_MS", "PARAKEET_PARTIAL_MIN_INTERVAL_MS", d.partial_min_interval_ms),
             final_on_push=_env_bool("TRT_ASR_FINAL_ON_PUSH",
                                     "PARAKEET_EMIT_FINAL_EACH_CHUNK",

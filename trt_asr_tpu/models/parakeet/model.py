@@ -113,7 +113,12 @@ class ParakeetTDT:
         if self.runtime.y0_override >= 0:
             return [self.runtime.y0_override]
         ids = []
-        for t in ("<|startoftranscript|>", "<|en|>"):
+        # start token, then the language token (reference prime order,
+        # parakeet_trt.cpp:1931-1942 — hardcoded <|en|> there; here
+        # RuntimeConfig.language / TRT_ASR_LANG selects any of the
+        # model's language tokens, absent ones prime nothing)
+        lang = f"<|{self.runtime.language}|>"
+        for t in ("<|startoftranscript|>", lang):
             i = self.tokenizer.token_id(t)
             if i >= 0:
                 ids.append(i)
