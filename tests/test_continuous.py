@@ -117,3 +117,64 @@ def test_cli_continuous_flag(tmp_path):
     segs = [l for l in out.splitlines() if l.startswith("Segment: ")]
     assert len(segs) == 2, out
     assert any(l.startswith("Transcript: ") for l in out.splitlines())
+
+
+def test_preroll_holds_full_onset_debounce(model):
+    """min_speech_s > preroll_s must not clip the debounced speech hops:
+    the onset payload has to contain the whole onset run plus pre-roll
+    (the ring is sized need_on + preroll)."""
+    from trt_asr_tpu.streaming.continuous import HOP, EndpointDetector
+
+    det = EndpointDetector(min_speech_s=0.5, preroll_s=0.1)
+    audio = np.concatenate([np.zeros(16000, np.float32),
+                            _speech(16000, 300, 0)])
+    onsets = [p for k, p in det.feed(audio) if k == "onset"]
+    assert len(onsets) == 1
+    onset_audio, start = onsets[0]
+    need_on = int(0.5 * 16000 / HOP)
+    assert len(onset_audio) >= need_on * HOP
+    # the onset run begins at 1.0s; start covers it plus pre-roll context
+    assert start <= 16000 - int(0.1 * 16000) + HOP
+
+
+def test_flush_end_matches_samples_fed(model):
+    """A flushed (mid-speech) segment's end_s covers exactly the audio
+    the session saw: a dedicated re-decode of [start_s, end_s) is
+    token-exact, and end_s never exceeds the stream length."""
+    audio = np.concatenate([np.zeros(16000, np.float32),
+                            _speech(12800, 300, 0)])
+    sess = StreamingSession(model, RuntimeConfig())
+    ct = ContinuousTranscriber(sess)
+    ct.push_audio(audio)
+    assert ct.flush() == 1
+    seg = ct.segments[0]
+    assert seg["end_s"] <= len(audio) / 16000 + 1e-9
+    a, b = int(round(seg["start_s"] * 16000)), int(round(seg["end_s"] * 16000))
+    ref = StreamingSession(model, RuntimeConfig())
+    ref.push_audio(audio[a:b])
+    ref.finalize()
+    assert seg["tokens"] == ref._tokens
+
+
+def test_cli_continuous_subhop_stream_sim(tmp_path):
+    """Regression: --stream-sim below one hop used to compute hop=0 and
+    push empty slices (zero segments, silent success)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from trt_asr_tpu.cli import main as cli_main
+
+    pcm = tmp_path / "s.f32"
+    audio = np.concatenate([np.zeros(16000, np.float32),
+                            _speech(12800, 300, 0),
+                            np.zeros(16000, np.float32)])
+    audio.astype("<f4").tofile(pcm)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli_main([str(pcm), "--raw-pcm", "--synthetic-model", "tiny",
+                       "--continuous", "--stream-sim", "0.00005",
+                       "--no-sleep"])
+    out = buf.getvalue()
+    assert rc == 0
+    assert len([l for l in out.splitlines()
+                if l.startswith("Segment: ")]) == 1, out

@@ -197,3 +197,67 @@ def test_continuous_client_segments(model):
         t.join(timeout=420)
         srv.stop()
     assert plain["r"]["text"] == _direct(model, _audio(24000, 3))[0]
+
+
+def test_continuous_rollover_capacity_error_is_recoverable(model):
+    """batch_size=1: a continuous client's endpoint rollover needs a
+    second (transient) slot, so it must fail with an error REPLY — the
+    detector and slot stay intact (regression: the old code popped the
+    detector and finalized the slot before open_stream could raise) —
+    and the daemon keeps serving after the client leaves."""
+    import base64
+    import json
+
+    srv = AsrServer(model, batch_size=1,
+                    runtime=RuntimeConfig(suppress_leading_punct=False)).start()
+    host, port = srv.addr
+    try:
+        conn = socket.create_connection((host, port), timeout=300)
+        f = conn.makefile("rwb")
+
+        def send(obj):
+            f.write((json.dumps(obj) + "\n").encode())
+            f.flush()
+
+        def recv():
+            line = f.readline()
+            if not line:
+                raise ConnectionError("server closed")
+            return json.loads(line)
+
+        send({"op": "open", "continuous": True, "silence_s": 0.4})
+        assert recv()["ok"]
+        z = np.zeros(16000, np.float32)
+        stream = np.concatenate([z, _audio(12800, 1), z])
+        got_error = False
+        for s in range(0, len(stream), 4000):
+            send({"op": "push",
+                  "pcm": base64.b64encode(
+                      stream[s : s + 4000].tobytes()).decode()})
+            while True:
+                msg = recv()
+                if "ok" in msg:
+                    got_error = got_error or not msg["ok"]
+                    break
+        assert got_error, "rollover on a full server must surface an error"
+        f.close()     # the makefile dup holds the fd: close it too or the
+        conn.close()  # server never sees FIN and the slot never frees
+    finally:
+        pass
+    # the slot frees once the server notices the disconnect (async);
+    # then a plain client works
+    import time as _time
+
+    try:
+        r = None
+        for _ in range(100):
+            try:
+                r = transcribe(host, port, _audio(24000, 3),
+                               chunk_samples=8000)
+                break
+            except RuntimeError:
+                _time.sleep(0.2)
+        assert r is not None, "slot never freed after disconnect"
+        assert r["text"] == _direct(model, _audio(24000, 3))[0]
+    finally:
+        srv.stop()

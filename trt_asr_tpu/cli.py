@@ -166,8 +166,9 @@ def main(argv=None) -> int:
 
         ct = ContinuousTranscriber(make_session(runtime=rt,
                                                 feature_norm="none"))
-        hop = int(args.stream_sim * 16000) if args.stream_sim > 0 else len(audio)
-        for start in range(0, len(audio), max(hop, 1)):
+        hop = (max(int(args.stream_sim * 16000), 1) if args.stream_sim > 0
+               else max(len(audio), 1))
+        for start in range(0, len(audio), hop):
             ct.push_audio(audio[start : start + hop])
         ct.flush()
         for seg in ct.segments:

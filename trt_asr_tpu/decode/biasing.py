@@ -36,19 +36,20 @@ def make_biasing_lm(phrases: Iterable[str], tokenizer, *,
         # silently distort scores stream-wide — drop it instead
         if ids and unk not in ids:
             token_phrases.append(ids)
-    # trie as a set of proper prefixes -> continuations
-    starts = {p[0] for p in token_phrases}
-    max_len = max((len(p) for p in token_phrases), default=0)
+    # precompiled trie: proper prefix -> continuation tokens. lm_fn runs
+    # inside the beam's per-frame hot loop, so a query must be a handful
+    # of dict lookups, not a rescan of the phrase list
+    cont: dict = {}
+    for p in token_phrases:
+        for k in range(len(p)):
+            cont.setdefault(p[:k], set()).add(p[k])
+    max_pfx = max((len(p) - 1 for p in token_phrases), default=0)
 
     def lm(prefix: List[int], tok: int) -> float:
-        if tok in starts:
-            return bonus
-        # does tok continue a phrase some suffix of prefix has started?
-        for p in token_phrases:
-            for k in range(1, min(len(p), len(prefix), max_len) + 1):
-                if k < len(p) and p[k] == tok \
-                        and tuple(prefix[-k:]) == tuple(p[:k]):
-                    return bonus
+        for k in range(0, min(max_pfx, len(prefix)) + 1):
+            nexts = cont.get(tuple(prefix[len(prefix) - k:]))
+            if nexts and tok in nexts:
+                return bonus
         return 0.0
 
     return lm

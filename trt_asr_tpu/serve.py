@@ -129,9 +129,11 @@ class AsrServer:
             threading.Thread(target=self._client_loop, args=(conn,),
                              daemon=True).start()
 
-    def _send(self, conn: socket.socket, obj: dict, sid: Optional[int] = None) -> None:
+    def _send(self, conn: socket.socket, obj: dict, sid: Optional[int] = None,
+              lock: Optional[threading.Lock] = None) -> None:
         data = (json.dumps(obj) + "\n").encode()
-        lock = self._wlocks.get(sid) if sid is not None else None
+        if lock is None:
+            lock = self._wlocks.get(sid) if sid is not None else None
         try:
             if lock is not None:
                 with lock:
@@ -143,8 +145,13 @@ class AsrServer:
 
     def _sender_loop(self, sid: int, conn: socket.socket) -> None:
         """Drains one stream's outbound event queue to its socket. Runs in
-        its own thread so a stalled consumer only blocks itself."""
+        its own thread so a stalled consumer only blocks itself. The write
+        lock is captured by reference like cv/q: a retired continuous slot
+        has its dict entries popped while its last events are still in
+        flight, and those final sends must still synchronize with the
+        connection's other writers."""
         cv, q = self._outcv[sid], self._outq[sid]
+        lock = self._wlocks.get(sid)
         while True:
             with cv:
                 while not q:
@@ -152,7 +159,7 @@ class AsrServer:
                 item = q.popleft()
             if item is None:   # sentinel: client gone
                 return
-            self._send(conn, item, sid)
+            self._send(conn, item, sid, lock=lock)
 
     def _enqueue(self, sid: int, obj: dict) -> None:
         cv = self._outcv.get(sid)
@@ -254,10 +261,14 @@ class AsrServer:
             elif op == "finalize":
                 if sid in self._cont:
                     # continuous: flush a segment still in flight; the
-                    # (fresh) slot stays open for more audio
-                    end = self._cont[sid]["det"].flush()
+                    # (fresh) slot stays open for more audio. Rollover is
+                    # fallible (slot capacity) — only mark the detector
+                    # flushed once it succeeded
+                    det = self._cont[sid]["det"]
+                    end = det.pending_end
                     if end is not None:
                         sid = self._segment_rollover(conn, sid, end)
+                        det.flush()
                     self._send(conn, {"ok": True}, sid)
                     return sid
                 with self._elock:
@@ -300,15 +311,21 @@ class AsrServer:
         """Finalize the current slot as one segment and swap in a fresh
         one for the same client. The segment event is emitted by
         _drain_events when the old slot's flush drains (its FINAL event),
-        stamped with the absolute stream times recorded here."""
-        st = self._cont.pop(old_sid)
+        stamped with the absolute stream times recorded here.
+
+        A rollover transiently holds TWO slots (the retiring one until
+        its flush drains, plus the fresh one) — size batch_size with that
+        headroom. The fresh slot is claimed FIRST: if the server is full,
+        open_stream raises before anything is mutated, the client gets an
+        error reply, and its detector/slot keep working untouched."""
         with self._elock:
+            new_sid = self.engine.open_stream()   # may raise: state intact
+            st = self._cont.pop(old_sid)
             self.engine.finalize_stream(old_sid)
             self._seg_pending[old_sid] = {
                 "start_s": st["start"] / 16000.0,
                 "end_s": end_sample / 16000.0,
             }
-            new_sid = self.engine.open_stream()
             self._clients[new_sid] = conn
             # both sids' sender threads write ONE socket: share the lock
             self._wlocks[new_sid] = self._wlocks[old_sid]

@@ -59,7 +59,11 @@ class EndpointDetector:
             lambda hop: float(np.sqrt(np.mean(hop ** 2))) > energy_threshold)
         self._need_on = max(1, int(min_speech_s * 16000 / HOP))
         self._need_off = max(1, int(silence_s * 16000 / HOP))
-        self._preroll: deque = deque(maxlen=max(1, int(preroll_s * 16000 / HOP)))
+        # the ring must hold the whole onset-debounce run PLUS the wanted
+        # pre-roll context — otherwise min_speech_s > preroll_s would
+        # evict (and silently drop) the first debounced speech hops
+        self._preroll: deque = deque(
+            maxlen=self._need_on + max(1, int(preroll_s * 16000 / HOP)))
         self._carry = np.zeros(0, np.float32)
         self._pos = 0                       # absolute stream sample cursor
         self.in_speech = False
@@ -70,6 +74,10 @@ class EndpointDetector:
         buf = np.concatenate([self._carry, np.asarray(samples, np.float32)])
         n_hops = len(buf) // HOP
         events: List[Tuple[str, object]] = []
+        run: List[np.ndarray] = []   # contiguous in-speech hops coalesced
+                                     # into ONE speech event (one feature
+                                     # extraction / engine push per feed,
+                                     # not one per 10 ms hop)
         for k in range(n_hops):
             hop = buf[k * HOP : (k + 1) * HOP]
             speech = self._is_speech(hop)
@@ -84,26 +92,41 @@ class EndpointDetector:
                     start = self._pos - (len(pre) - 1) * HOP
                     events.append(("onset", (np.concatenate(pre), start)))
             else:
-                events.append(("speech", hop))
+                run.append(hop)
                 self._off_run = 0 if speech else self._off_run + 1
                 if self._off_run >= self._need_off:
+                    events.append(("speech", np.concatenate(run)))
+                    run = []
                     events.append(("endpoint", self._pos + HOP))
                     self.in_speech = False
                     self._on_run = 0
                     self._off_run = 0
             self._pos += HOP
+        if run:
+            events.append(("speech", np.concatenate(run)))
         self._carry = buf[n_hops * HOP :]
         return events
 
+    @property
+    def pending_end(self) -> Optional[int]:
+        """Non-mutating flush preview: the end sample a flush() would
+        report, or None when no speech is in flight (callers that must
+        do fallible work before committing — the daemon's slot rollover —
+        read this first and flush() only on success)."""
+        return self._pos if self.in_speech else None
+
     def flush(self) -> Optional[int]:
         """End of stream: if speech is in flight, return its end sample
-        (caller finalizes); resets to the listening state."""
+        (caller finalizes); resets to the listening state. The end is
+        ``_pos`` — the end of the last hop actually forwarded — so a
+        dedicated re-decode of [start_s, end_s) sees exactly the samples
+        the live session saw (a sub-hop carry never entered either)."""
         if not self.in_speech:
             return None
         self.in_speech = False
         self._on_run = 0
         self._off_run = 0
-        return self._pos + HOP
+        return self._pos
 
 
 class ContinuousTranscriber:
