@@ -261,3 +261,80 @@ def test_continuous_rollover_capacity_error_is_recoverable(model):
         assert r["text"] == _direct(model, _audio(24000, 3))[0]
     finally:
         srv.stop()
+
+
+def test_many_rollovers_no_slot_leak(model):
+    """Six utterances through one continuous client: every rollover
+    retires the old slot when its flush drains — at the end exactly one
+    slot is active, no pending segments, and the per-sid maps hold only
+    the live sid (leak check across repeated rollovers)."""
+    import base64
+    import json
+    import time as _time
+
+    srv = AsrServer(model, batch_size=3,
+                    runtime=RuntimeConfig(suppress_leading_punct=False)).start()
+    host, port = srv.addr
+    try:
+        conn = socket.create_connection((host, port), timeout=300)
+        f = conn.makefile("rwb")
+
+        def send(obj):
+            f.write((json.dumps(obj) + "\n").encode())
+            f.flush()
+
+        def recv():
+            line = f.readline()
+            if not line:
+                raise ConnectionError("server closed")
+            return json.loads(line)
+
+        send({"op": "open", "continuous": True, "silence_s": 0.4})
+        assert recv()["ok"]
+        gap = np.zeros(int(0.7 * 16000), np.float32)
+        parts = [gap]
+        for k in range(6):
+            parts += [_audio(int(0.45 * 16000), k + 1), gap]
+        stream = np.concatenate(parts)
+        segs = []
+        for s in range(0, len(stream), 4000):
+            send({"op": "push",
+                  "pcm": base64.b64encode(
+                      stream[s : s + 4000].tobytes()).decode()})
+            while True:
+                msg = recv()
+                if "ok" in msg:
+                    assert msg["ok"], msg
+                    break
+                if msg.get("event") == "segment":
+                    segs.append(msg)
+        conn.settimeout(1.0)
+        t0 = _time.monotonic()
+        while len(segs) < 6 and _time.monotonic() - t0 < 300:
+            try:
+                msg = recv()
+            except (TimeoutError, socket.timeout):
+                continue
+            if msg.get("event") == "segment":
+                segs.append(msg)
+        assert len(segs) == 6, [s.get("text") for s in segs]
+        starts = [s["start_s"] for s in segs]
+        assert starts == sorted(starts)
+        # steady state: exactly the live slot remains
+        t0 = _time.monotonic()
+        while _time.monotonic() - t0 < 60:
+            with srv._elock:
+                if (sum(srv.engine._active) == 1
+                        and not srv._seg_pending
+                        and len(srv._clients) == 1):
+                    break
+            _time.sleep(0.2)
+        with srv._elock:
+            assert sum(srv.engine._active) == 1
+            assert not srv._seg_pending
+            assert len(srv._clients) == 1
+            assert len(srv._outq) == 1 and len(srv._wlocks) == 1
+        f.close()
+        conn.close()
+    finally:
+        srv.stop()
