@@ -103,6 +103,12 @@ def main(argv=None) -> int:
                          "biasing; requires --beam N)")
     ap.add_argument("--bias-bonus", type=float, default=3.0,
                     help="per-matched-token log-prob reward for --bias")
+    ap.add_argument("--srt", default="",
+                    help="write an SRT subtitle file from the word "
+                         "timestamps (io/subtitles.py; works with "
+                         "--continuous too)")
+    ap.add_argument("--vtt", default="",
+                    help="write a WebVTT subtitle file (see --srt)")
     ap.add_argument("--continuous", action="store_true",
                     help="energy-endpointed continuous mode: segment the "
                          "input at sustained silence, print one "
@@ -144,6 +150,22 @@ def main(argv=None) -> int:
             for text, _ids, score in sess.nbest():
                 print(f"NBest: {score:.4f} {text}", flush=True)
 
+    def write_subs(cues) -> None:
+        from trt_asr_tpu.io.subtitles import format_srt, format_vtt
+
+        if args.srt:
+            with open(args.srt, "w") as fh:
+                fh.write(format_srt(cues))
+        if args.vtt:
+            with open(args.vtt, "w") as fh:
+                fh.write(format_vtt(cues))
+
+    def write_subs_from_session(sess) -> None:
+        if args.srt or args.vtt:
+            from trt_asr_tpu.io.subtitles import pack_cues
+
+            write_subs(pack_cues(sess.word_timestamps()))
+
     # ---- feature replay path ----
     if args.features_input:
         feats = _load_features_replay(args.input, model.cfg.feat_in)
@@ -156,6 +178,7 @@ def main(argv=None) -> int:
         print(f"Transcript: {sess.text}", flush=True)
         print_nbest(sess)
         _print_timestamps(sess, args)
+        write_subs_from_session(sess)
         return 0
 
     # ---- audio load ----
@@ -176,6 +199,10 @@ def main(argv=None) -> int:
                   f"{seg['text']}", flush=True)
         print(f"Transcript: {' '.join(s['text'] for s in ct.segments if s['text'])}",
               flush=True)
+        if args.srt or args.vtt:
+            from trt_asr_tpu.io.subtitles import cues_from_segments
+
+            write_subs(cues_from_segments(ct.segments))
         return 0
 
     if args.dump_features:
@@ -214,6 +241,7 @@ def main(argv=None) -> int:
     print(f"Transcript: {sess.text}", flush=True)
     print_nbest(sess)
     _print_timestamps(sess, args)
+    write_subs_from_session(sess)
     lat = sess.chunk_latencies_ms
     if lat:
         print(f"ChunkLatencyMs: p50={np.percentile(lat, 50):.2f} "
