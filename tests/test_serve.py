@@ -338,3 +338,29 @@ def test_many_rollovers_no_slot_leak(model):
         conn.close()
     finally:
         srv.stop()
+
+
+def test_transcribe_continuous_helper(model):
+    """The blocking continuous client helper returns the ordered segment
+    list, including a flushed (no trailing silence) final segment."""
+    from trt_asr_tpu.serve import transcribe_continuous
+
+    srv = AsrServer(model, batch_size=3,
+                    runtime=RuntimeConfig(suppress_leading_punct=False)).start()
+    host, port = srv.addr
+    z = np.zeros(16000, np.float32)
+    # second utterance has NO trailing silence: only the finalize flush
+    # can close it
+    stream = np.concatenate([z, _audio(12800, 1), z, _audio(12800, 2)])
+    try:
+        segs = transcribe_continuous(host, port, stream, chunk_samples=4000,
+                                     n_segments=2, silence_s=0.5)
+        assert len(segs) == 2
+        assert segs[0]["start_s"] < segs[1]["start_s"]
+        a, b = (int(round(segs[1]["start_s"] * 16000)),
+                int(round(segs[1]["end_s"] * 16000)))
+        assert b <= len(stream)
+        want_text, _ = _direct(model, stream[a:b])
+        assert segs[1]["text"] == want_text
+    finally:
+        srv.stop()

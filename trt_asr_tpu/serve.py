@@ -458,6 +458,79 @@ def transcribe(host: str, port: int, audio: np.ndarray,
             "partials": partials}
 
 
+def transcribe_continuous(host: str, port: int, audio: np.ndarray,
+                          chunk_samples: int = 8000,
+                          timeout_s: float = 300.0, *,
+                          n_segments: Optional[int] = None,
+                          **open_kw) -> list:
+    """Blocking convenience client for a continuous stream: push ``audio``
+    through a `{"op":"open","continuous":true}` stream (``open_kw``:
+    silence_s / energy_threshold / min_speech_s / preroll_s), issue a
+    final flush, and return the segment events sorted by start_s. With
+    ``n_segments`` the call returns as soon as that many segments arrived
+    (otherwise it waits ``timeout_s`` after the flush for stragglers,
+    returning at the first quiet second)."""
+    conn = socket.create_connection((host, port), timeout=timeout_s)
+    f = conn.makefile("rwb")
+
+    def send(obj):
+        f.write((json.dumps(obj) + "\n").encode())
+        f.flush()
+
+    def recv():
+        line = f.readline()
+        if not line:
+            raise ConnectionError("server closed")
+        return json.loads(line)
+
+    send({"op": "open", "continuous": True, **open_kw})
+    r = recv()
+    if not r.get("ok"):
+        conn.close()
+        raise RuntimeError(r.get("error", "open failed"))
+    audio = np.asarray(audio, np.float32)
+    segments = []
+
+    def sift(r):
+        if r.get("event") == "error":
+            raise RuntimeError(f"stream error: {r.get('error', r)}")
+        if r.get("event") == "segment":
+            segments.append(r)
+
+    for s in range(0, len(audio), chunk_samples):
+        send({"op": "push",
+              "pcm": base64.b64encode(
+                  audio[s : s + chunk_samples].tobytes()).decode()})
+        while True:
+            r = recv()
+            if "ok" in r:
+                if not r["ok"]:
+                    raise RuntimeError(r.get("error", f"push rejected: {r}"))
+                break
+            sift(r)
+    send({"op": "finalize"})
+    while True:
+        r = recv()
+        if "ok" in r:
+            break
+        sift(r)
+    # drain stragglers: retired slots flush asynchronously
+    conn.settimeout(1.0)
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        if n_segments is not None and len(segments) >= n_segments:
+            break
+        try:
+            sift(recv())
+        except (TimeoutError, socket.timeout):
+            if n_segments is None:
+                break   # one quiet second after the flush: done
+    f.close()   # makefile dups the fd — close both so the server sees EOF
+    conn.close()
+    segments.sort(key=lambda m: m["start_s"])
+    return segments
+
+
 def main(argv=None) -> int:
     from trt_asr_tpu.runtime.platform import ensure_requested_platform
 
