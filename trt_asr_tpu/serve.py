@@ -33,9 +33,13 @@ finished utterance arrives as
      {"event": "segment", "text": ..., "tokens": [...],
       "start_s": S, "end_s": E, "words": [...]}
 with absolute stream times (words are relative to the segment start).
-An explicit finalize flushes a segment still in flight. Segment events
-are emitted when the old slot's flush drains, so they can interleave
-with the next segment's partials — order by start_s, not arrival.
+An explicit finalize flushes a segment still in flight; its ack carries
+{"total_segments": N} — the number of segment events this stream will
+have emitted once all retired slots drain — so clients can wait for
+completion deterministically (serve.transcribe_continuous does).
+Segment events are emitted when the old slot's flush drains, so they
+can interleave with the next segment's partials — order by start_s,
+not arrival.
 
 Threading model: shared engine state is serialized under one lock; a
 stepper thread runs the lockstep batched chunk whenever any stream has a
@@ -57,7 +61,7 @@ import sys
 import threading
 import time
 from collections import deque
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -225,7 +229,7 @@ class AsrServer:
                         silence_s=float(msg.get("silence_s", 0.6)),
                         min_speech_s=float(msg.get("min_speech_s", 0.12)),
                         preroll_s=float(msg.get("preroll_s", 0.2))),
-                        "start": 0}
+                        "start": 0, "segments": 0}
                 threading.Thread(target=self._sender_loop,
                                  args=(new_sid, conn), daemon=True).start()
                 self._send(conn, {"ok": True, "sid": new_sid}, new_sid)
@@ -269,7 +273,13 @@ class AsrServer:
                     if end is not None:
                         sid = self._segment_rollover(conn, sid, end)
                         det.flush()
-                    self._send(conn, {"ok": True}, sid)
+                    # total_segments = every rollover this client ever
+                    # triggered: a client can drain deterministically
+                    # (wait until that many segment events arrived)
+                    # instead of guessing with quiet-window heuristics
+                    self._send(conn, {
+                        "ok": True,
+                        "total_segments": self._cont[sid]["segments"]}, sid)
                     return sid
                 with self._elock:
                     self.engine.finalize_stream(sid)
@@ -321,6 +331,7 @@ class AsrServer:
         with self._elock:
             new_sid = self.engine.open_stream()   # may raise: state intact
             st = self._cont.pop(old_sid)
+            st["segments"] += 1
             self.engine.finalize_stream(old_sid)
             self._seg_pending[old_sid] = {
                 "start_s": st["start"] / 16000.0,
@@ -398,63 +409,96 @@ class AsrServer:
 # -- client helper --------------------------------------------------------
 
 
-def transcribe(host: str, port: int, audio: np.ndarray,
-               chunk_samples: int = 8000, timeout_s: float = 300.0) -> dict:
-    """Blocking convenience client: stream ``audio`` (16 kHz f32), return
-    {"text", "words", "partials"} from the stream's final event."""
-    conn = socket.create_connection((host, port), timeout=timeout_s)
-    f = conn.makefile("rwb")
+class _Client:
+    """Shared blocking-client core: connect, open handshake, chunked
+    base64 push with strict ack checking, event routing to a callback,
+    guaranteed cleanup (both the socket AND its makefile dup must close
+    or the server never sees EOF and the slot leaks)."""
 
-    def send(obj):
-        f.write((json.dumps(obj) + "\n").encode())
-        f.flush()
+    def __init__(self, host: str, port: int, timeout_s: float,
+                 open_msg: dict, on_event):
+        self.conn = socket.create_connection((host, port), timeout=timeout_s)
+        self.f = self.conn.makefile("rwb")
+        self.on_event = on_event
+        self.send(open_msg)
+        r = self.recv()
+        if not r.get("ok"):
+            self.close()
+            raise RuntimeError(r.get("error", "open failed"))
 
-    def recv():
-        line = f.readline()
+    def send(self, obj: dict) -> None:
+        self.f.write((json.dumps(obj) + "\n").encode())
+        self.f.flush()
+
+    def recv(self) -> dict:
+        line = self.f.readline()
         if not line:
             raise ConnectionError("server closed")
         return json.loads(line)
 
-    send({"op": "open"})
-    r = recv()
-    if not r.get("ok"):
-        conn.close()
-        raise RuntimeError(r.get("error", "open failed"))
-    audio = np.asarray(audio, np.float32)
-    partials = []
-
-    def check(r):
-        """Stream errors and rejected ops raise instead of hanging."""
+    def recv_routed(self) -> Optional[dict]:
+        """One message: events go to on_event (errors raise), acks are
+        returned after strict checking."""
+        r = self.recv()
         if r.get("event") == "error":
             raise RuntimeError(f"stream error: {r.get('error', r)}")
-        if "event" not in r and not r.get("ok", False):
+        if "event" in r:
+            self.on_event(r)
+            return None
+        if not r.get("ok", False):
             raise RuntimeError(r.get("error", f"request rejected: {r}"))
+        return r
 
-    for s in range(0, len(audio), chunk_samples):
-        send({"op": "push",
-              "pcm": base64.b64encode(audio[s : s + chunk_samples].tobytes()).decode()})
+    def request(self, obj: dict) -> dict:
+        """Send an op; route events until its ack arrives."""
+        self.send(obj)
         while True:
-            r = recv()
-            check(r)
-            if "event" in r:
-                partials.append(r)
-            else:
-                break
-    send({"op": "finalize"})
-    final = None
-    deadline = time.monotonic() + timeout_s
-    while final is None and time.monotonic() < deadline:
-        r = recv()
-        check(r)
+            ack = self.recv_routed()
+            if ack is not None:
+                return ack
+
+    def push_all(self, audio: np.ndarray, chunk_samples: int) -> None:
+        audio = np.asarray(audio, np.float32)
+        for s in range(0, len(audio), chunk_samples):
+            self.request({"op": "push", "pcm": base64.b64encode(
+                audio[s : s + chunk_samples].tobytes()).decode()})
+
+    def close(self) -> None:
+        try:
+            self.f.close()
+        except OSError:
+            pass
+        try:
+            self.conn.close()
+        except OSError:
+            pass
+
+
+def transcribe(host: str, port: int, audio: np.ndarray,
+               chunk_samples: int = 8000, timeout_s: float = 300.0) -> dict:
+    """Blocking convenience client: stream ``audio`` (16 kHz f32), return
+    {"text", "words", "partials"} from the stream's final event."""
+    partials = []
+    final: List[dict] = []
+
+    def on_event(r):
         if r.get("event") == "final":
-            final = r
-        elif "event" in r:
+            final.append(r)
+        else:
             partials.append(r)
-    f.close()   # makefile dups the fd — close both so the server sees EOF
-    conn.close()
-    if final is None:
+
+    cli = _Client(host, port, timeout_s, {"op": "open"}, on_event)
+    try:
+        cli.push_all(audio, chunk_samples)
+        cli.request({"op": "finalize"})
+        deadline = time.monotonic() + timeout_s
+        while not final and time.monotonic() < deadline:
+            cli.recv_routed()
+    finally:
+        cli.close()
+    if not final:
         raise TimeoutError("no final event")
-    return {"text": final["text"], "words": final.get("words", []),
+    return {"text": final[0]["text"], "words": final[0].get("words", []),
             "partials": partials}
 
 
@@ -465,68 +509,32 @@ def transcribe_continuous(host: str, port: int, audio: np.ndarray,
                           **open_kw) -> list:
     """Blocking convenience client for a continuous stream: push ``audio``
     through a `{"op":"open","continuous":true}` stream (``open_kw``:
-    silence_s / energy_threshold / min_speech_s / preroll_s), issue a
-    final flush, and return the segment events sorted by start_s. With
-    ``n_segments`` the call returns as soon as that many segments arrived
-    (otherwise it waits ``timeout_s`` after the flush for stragglers,
-    returning at the first quiet second)."""
-    conn = socket.create_connection((host, port), timeout=timeout_s)
-    f = conn.makefile("rwb")
+    silence_s / energy_threshold / min_speech_s / preroll_s), flush, and
+    return the segment events sorted by start_s.
 
-    def send(obj):
-        f.write((json.dumps(obj) + "\n").encode())
-        f.flush()
-
-    def recv():
-        line = f.readline()
-        if not line:
-            raise ConnectionError("server closed")
-        return json.loads(line)
-
-    send({"op": "open", "continuous": True, **open_kw})
-    r = recv()
-    if not r.get("ok"):
-        conn.close()
-        raise RuntimeError(r.get("error", "open failed"))
-    audio = np.asarray(audio, np.float32)
-    segments = []
-
-    def sift(r):
-        if r.get("event") == "error":
-            raise RuntimeError(f"stream error: {r.get('error', r)}")
-        if r.get("event") == "segment":
-            segments.append(r)
-
-    for s in range(0, len(audio), chunk_samples):
-        send({"op": "push",
-              "pcm": base64.b64encode(
-                  audio[s : s + chunk_samples].tobytes()).decode()})
-        while True:
-            r = recv()
-            if "ok" in r:
-                if not r["ok"]:
-                    raise RuntimeError(r.get("error", f"push rejected: {r}"))
-                break
-            sift(r)
-    send({"op": "finalize"})
-    while True:
-        r = recv()
-        if "ok" in r:
-            break
-        sift(r)
-    # drain stragglers: retired slots flush asynchronously
-    conn.settimeout(1.0)
-    deadline = time.monotonic() + timeout_s
-    while time.monotonic() < deadline:
-        if n_segments is not None and len(segments) >= n_segments:
-            break
-        try:
-            sift(recv())
-        except (TimeoutError, socket.timeout):
-            if n_segments is None:
-                break   # one quiet second after the flush: done
-    f.close()   # makefile dups the fd — close both so the server sees EOF
-    conn.close()
+    Completion is DETERMINISTIC: the finalize ack carries the server's
+    total_segments count (every endpoint this stream ever hit), and the
+    drain waits until exactly that many segment events arrived — retired
+    slots flush asynchronously, so no quiet-window guessing is involved.
+    ``n_segments`` overrides the target (e.g. return early)."""
+    segments: List[dict] = []
+    cli = _Client(host, port, timeout_s,
+                  {"op": "open", "continuous": True, **open_kw},
+                  lambda r: segments.append(r)
+                  if r.get("event") == "segment" else None)
+    try:
+        cli.push_all(audio, chunk_samples)
+        ack = cli.request({"op": "finalize"})
+        want = n_segments if n_segments is not None \
+            else int(ack.get("total_segments", 0))
+        deadline = time.monotonic() + timeout_s
+        while len(segments) < want:
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"{len(segments)}/{want} segments before timeout")
+            cli.recv_routed()
+    finally:
+        cli.close()
     segments.sort(key=lambda m: m["start_s"])
     return segments
 
