@@ -182,7 +182,23 @@ def main(argv=None) -> int:
         return 0
 
     # ---- audio load ----
-    audio = load_raw_pcm_f32(args.input) if args.raw_pcm else load_wav(args.input)
+    if args.raw_pcm:
+        audio = load_raw_pcm_f32(args.input)
+    else:
+        # auto-resample non-16k files (io/resample.py) — the reference
+        # CLI hard-rejects them; strict harnesses still use load_wav
+        import wave as _wave
+
+        with _wave.open(args.input, "rb") as _w:
+            in_rate = _w.getframerate()
+        if in_rate != 16000:
+            from trt_asr_tpu.io.resample import load_audio
+
+            print(f"note: resampling {in_rate} Hz -> 16000 Hz",
+                  file=sys.stderr)
+            audio = load_audio(args.input)
+        else:
+            audio = load_wav(args.input)
 
     if args.continuous:
         from trt_asr_tpu.streaming.continuous import ContinuousTranscriber
