@@ -100,6 +100,14 @@ int trt_asr_n_mels(ParakeetSession* session);
  * Empty string when nothing has been emitted. */
 const char* trt_asr_word_timestamps(ParakeetSession* session);
 
+/* Committed transcript prefix — text no future decoding can rewrite.
+ * Greedy sessions never revise, so this equals the transcript; under
+ * TRT_ASR_BEAM the beam session returns the hypothesis pool's common
+ * prefix (partials may rewrite beyond it). Lets a native consumer
+ * render flicker-free partial captions. Owned by the session, valid
+ * until the next call. */
+const char* trt_asr_stable_text(ParakeetSession* session);
+
 #ifdef __cplusplus
 }
 #endif

@@ -34,6 +34,10 @@ class Backend {
     // beyond the reference's text-only events). Empty string when none
     // are available yet.
     virtual std::string word_timestamps_tsv() { return ""; }
+    // Committed transcript prefix (never rewritten by later decoding).
+    // Greedy backends: the whole transcript; beam (TRT_ASR_BEAM): the
+    // hypothesis pool's common prefix.
+    virtual std::string stable_text() { return ""; }
 };
 
 Backend* make_mock_backend();

@@ -58,6 +58,13 @@ class MockBackend final : public Backend {
     std::string info() const override { return "backend=mock"; }
     int n_mels() const override { return 128; }
 
+    std::string stable_text() override {
+        // mock transcripts never rewrite: stable == the final-form text
+        std::lock_guard<std::mutex> lk(mu_);
+        return "Mock transcription for " + std::to_string(total_frames_) +
+               " frames";
+    }
+
     std::string word_timestamps_tsv() override {
         // Deterministic stand-in mirroring the mock transcript: one "word"
         // per 100 pushed frames (10 ms each), evenly tiled — enough for

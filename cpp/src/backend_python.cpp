@@ -156,6 +156,21 @@ class PythonBackend final : public Backend {
     std::string info() const override { return "backend=tpu(jax embedded)"; }
     int n_mels() const override { return n_mels_; }
 
+    std::string stable_text() override {
+        Gil g;
+        PyObject* r = PyObject_CallMethod(bridge_, "stable_text", "O",
+                                          session_);
+        if (!r) {
+            PyErr_Clear();
+            return "";
+        }
+        const char* s = PyUnicode_AsUTF8(r);
+        if (!s) PyErr_Clear();
+        std::string out = s ? s : "";
+        Py_DECREF(r);
+        return out;
+    }
+
     std::string word_timestamps_tsv() override {
         Gil g;
         PyObject* r = PyObject_CallMethod(bridge_, "word_timestamps_tsv", "O",

@@ -26,6 +26,8 @@ struct ParakeetSession {
     std::string ev_text, ev_err;
     // timestamp TSV storage (valid until next trt_asr_word_timestamps call)
     std::string ts_tsv;
+    // stable-text storage (valid until next trt_asr_stable_text call)
+    std::string stable_txt;
     bool finalized = false;
 };
 
@@ -188,6 +190,12 @@ const char* trt_asr_word_timestamps(ParakeetSession* s) {
     if (!s || !s->backend) return "";
     s->ts_tsv = s->backend->word_timestamps_tsv();
     return s->ts_tsv.c_str();
+}
+
+const char* trt_asr_stable_text(ParakeetSession* s) {
+    if (!s || !s->backend) return "";
+    s->stable_txt = s->backend->stable_text();
+    return s->stable_txt.c_str();
 }
 
 }  // extern "C"

@@ -292,3 +292,34 @@ def test_python_backend_beam_env(built, tmp_path):
     assert beamed.returncode == 0, beamed.stderr[-1500:]
     assert beamed.stdout.splitlines()[-1].startswith("Transcript:")
     assert beamed.stdout.splitlines()[-1] == base.stdout.splitlines()[-1]
+
+
+def test_stable_text_abi_getter(built):
+    """trt_asr_stable_text: committed-prefix getter over the C ABI (mock
+    backend: stable == the mock transcript form after frames are pushed;
+    empty before any push)."""
+    import ctypes
+
+    lib = ctypes.CDLL(os.path.join(BUILD, "libtrt_asr_tpu.so"))
+
+    class Config(ctypes.Structure):
+        _fields_ = [("model_dir", ctypes.c_char_p), ("device_id", ctypes.c_int32),
+                    ("use_fp16", ctypes.c_bool), ("use_mock", ctypes.c_bool)]
+
+    lib.parakeet_create_session.restype = ctypes.c_void_p
+    lib.parakeet_create_session.argtypes = [ctypes.POINTER(Config)]
+    lib.trt_asr_stable_text.restype = ctypes.c_char_p
+    lib.trt_asr_stable_text.argtypes = [ctypes.c_void_p]
+    lib.parakeet_push_features.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_size_t]
+    lib.parakeet_destroy_session.argtypes = [ctypes.c_void_p]
+
+    cfg = Config(b"", 0, True, True)
+    s = lib.parakeet_create_session(ctypes.byref(cfg))
+    assert s
+    feats = (np.zeros((50, 128), np.float32)).ravel()
+    buf = feats.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    assert lib.parakeet_push_features(s, buf, 50) == 0
+    txt = lib.trt_asr_stable_text(s).decode()
+    assert txt.startswith("Mock transcription for"), txt
+    lib.parakeet_destroy_session(s)

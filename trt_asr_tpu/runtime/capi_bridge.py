@@ -103,6 +103,13 @@ def poll_event(s: _BridgeSession) -> Optional[Tuple[int, int, str, str]]:
     return (int(ev.type), int(ev.segment_id), ev.text, ev.error_message)
 
 
+def stable_text(s: _BridgeSession) -> str:
+    """Committed transcript prefix (the C ABI's trt_asr_stable_text):
+    the whole transcript for greedy sessions, the hypothesis pool's
+    common prefix for beam sessions (streaming/session.py stable_text)."""
+    return s.session.stable_text
+
+
 def word_timestamps_tsv(s: _BridgeSession) -> str:
     """Word timings as TSV lines ``start_s\\tend_s\\tlogp\\tword`` (the C
     ABI's trt_asr_word_timestamps payload — line-oriented so the native
