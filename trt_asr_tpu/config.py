@@ -246,6 +246,12 @@ class RuntimeConfig:
     partial_min_interval_ms: int = 100
     # events
     final_on_push: bool = False              # emit FinalText after every push
+    # AOT / cold start (runtime/engine.py)
+    compile_cache_dir: str = ""              # TRT_ASR_COMPILE_CACHE: XLA
+                                             # persistent compilation cache
+                                             # dir — fresh processes reuse
+                                             # compiled programs (the TRT
+                                             # load-.engine cold-start analog)
 
     @classmethod
     def from_env(cls) -> "RuntimeConfig":
@@ -289,4 +295,6 @@ class RuntimeConfig:
             final_on_push=_env_bool("TRT_ASR_FINAL_ON_PUSH",
                                     "PARAKEET_EMIT_FINAL_EACH_CHUNK",
                                     d.final_on_push),
+            compile_cache_dir=_env_str("TRT_ASR_COMPILE_CACHE", None,
+                                       d.compile_cache_dir),
         )

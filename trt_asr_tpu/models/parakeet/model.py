@@ -56,6 +56,12 @@ class ParakeetTDT:
         self.tokenizer = tokenizer
         self.frontend = frontend or LogMelFrontend(FrontendSpec(n_mels=cfg.feat_in))
         self.runtime = runtime or RuntimeConfig.from_env()
+        if self.runtime.compile_cache_dir:
+            # persistent XLA compilation cache (TRT_ASR_COMPILE_CACHE): the
+            # engine-load cold-start analog — see runtime/engine.py
+            from trt_asr_tpu.runtime.engine import apply_compile_cache
+
+            apply_compile_cache(self.runtime.compile_cache_dir)
         self._punct_mask = None
         if self.runtime.joint_dur_first:
             # export compat (reference PARAKEET_JOINT_DUR_FIRST,

@@ -69,12 +69,22 @@ class Event:
 class StreamingSession:
     def __init__(self, model: ParakeetTDT, runtime: Optional[RuntimeConfig] = None,
                  feature_norm: str = "none",
-                 norm_stats: Optional[tuple] = None):
+                 norm_stats: Optional[tuple] = None,
+                 engines=None):
         self.model = model
         self.cfg = model.cfg
         self.rt = runtime or model.runtime
         self.feature_norm = feature_norm
         self.norm_stats = norm_stats
+        # AOT engine serving (runtime/engine.py): when an EngineSet is
+        # given, chunks whose program signature matches a built engine run
+        # through the deserialized artifact (the reference's load-.engine-
+        # and-execute path, parakeet_trt.cpp:1720-1738); misses fall back
+        # to the live jit. Counters are test/diagnostic surface.
+        self._engines = engines
+        self._engine_key_memo = {}
+        self.engine_hits = 0
+        self.engine_misses = 0
         self._events: Deque[Event] = deque()
         self._lock = threading.Lock()
         self._debug_ctx = ""
@@ -375,22 +385,22 @@ class StreamingSession:
                     else None)
         return x, valid, cache_drop, pos_proj, tq_chunk
 
-    def _run_chunk(self, spec, is_last: bool) -> None:
+    def _step_kwargs(self, spec, is_last: bool):
+        """The exact ``(args, kwargs)`` the fused chunk program is invoked
+        with — the single source of truth shared by the live path
+        (_run_chunk) and the AOT engine builder (runtime/engine.py
+        session_program_specs), so serialized engines can never drift from
+        the serving signature."""
         cfg = self.cfg
         rt = self.rt
-        stage_marker(rt, f"chunk {spec.idx} enter [{self._debug_ctx}]")
-        if self._profiler is not None:
-            self._profiler.chunk_start()
         x, valid, cache_drop, pos_proj, tq_chunk = self._chunk_inputs(
             spec, is_last)
         # fused attention kernel only for the steady chunk shape (off-profile
         # chunks fall back to the XLA path — exactness proven equal)
         pal_att = self._pos_projT is not None and tq_chunk == self._tq_steady
-
-        t0 = time.perf_counter()
-        out = _session_step(
-            self.model.params, cfg, x[None], np.int32(valid),
-            self._enc_state, self._dec_state,
+        args = (self.model.params, cfg, x[None], np.int32(valid),
+                self._enc_state, self._dec_state)
+        kwargs = dict(
             drop_extra=spec.drop_extra, cache_drop=cache_drop,
             valid_cap=None if is_last else cfg.valid_out_len,
             blank_penalty=rt.blank_penalty,
@@ -407,6 +417,33 @@ class StreamingSession:
             trace=rt.debug_tdt_steps or rt.debug_blank_scan,
             use_batched_decode=rt.batched_decode,
             with_timestamps=True)
+        return args, kwargs
+
+    def _run_chunk(self, spec, is_last: bool) -> None:
+        rt = self.rt
+        stage_marker(rt, f"chunk {spec.idx} enter [{self._debug_ctx}]")
+        if self._profiler is not None:
+            self._profiler.chunk_start()
+        args, kwargs = self._step_kwargs(spec, is_last)
+
+        t0 = time.perf_counter()
+        out = None
+        if self._engines is not None:
+            memo_key = (spec.frames, spec.drop_extra, is_last)
+            prog_key = self._engine_key_memo.get(memo_key)
+            if prog_key is None:
+                from trt_asr_tpu.runtime.engine import program_key
+
+                prog_key = program_key(args, kwargs)
+                self._engine_key_memo[memo_key] = prog_key
+            prog = self._engines.get(prog_key)
+            if prog is not None:
+                out = self._engines.call(prog, args, kwargs)
+                self.engine_hits += 1
+            else:
+                self.engine_misses += 1
+        if out is None:
+            out = _session_step(*args, **kwargs)
         if rt.debug_tdt_steps or rt.debug_blank_scan:
             (toks, n, self._enc_state, self._dec_state, stamps, t_out,
              (rec_buf, n_steps)) = out
