@@ -306,3 +306,33 @@ def test_batch_step_pallas_att_token_exact(model):
         na = int(n_a[0])
         assert np.array_equal(np.asarray(toks_a)[0, :na],
                               np.asarray(toks_b)[0, :na]), f"chunk {k}"
+
+
+def test_warmup_precompiles_without_touching_slots(model):
+    """warmup() must (a) run the real lockstep program, (b) leave slot
+    state untouched, and (c) change nothing about subsequent serving —
+    transcript identical to an un-warmed engine (serve.py runs warmup
+    before accepting clients)."""
+    rt = RuntimeConfig(suppress_leading_punct=False)
+    audio = _audio(30000, 5)
+
+    cold = BatchStreamingEngine(model, batch_size=2, runtime=rt)
+    s0 = cold.open_stream()
+    cold.push_audio(s0, audio)
+    cold.finalize_stream(s0)
+    cold.run_until_drained()
+    want = list(cold._tokens[s0])
+
+    warm = BatchStreamingEngine(model, batch_size=2, runtime=rt)
+    sid = warm.open_stream()
+    warm.push_audio(sid, audio[:4000])   # state in flight before warmup
+    warm.step()
+    mid_tokens = list(warm._tokens[sid])
+    wall = warm.warmup()
+    assert wall > 0
+    assert warm._tokens[sid] == mid_tokens          # slots untouched
+    assert warm._active[sid] and not warm._finalized[sid]
+    warm.push_audio(sid, audio[4000:])
+    warm.finalize_stream(sid)
+    warm.run_until_drained()
+    assert list(warm._tokens[sid]) == want

@@ -102,7 +102,15 @@ class AsrServer:
 
     # -- lifecycle -------------------------------------------------------
 
-    def start(self) -> "AsrServer":
+    def start(self, warmup: bool = True) -> "AsrServer":
+        if warmup:
+            # compile the lockstep + slot-reset programs before accepting
+            # clients: the first connection must never pay trace+compile
+            # (BatchStreamingEngine.warmup; with TRT_ASR_COMPILE_CACHE the
+            # compile is fetched from the persistent cache)
+            with self._elock:
+                wall = self.engine.warmup()
+            print(f"warmup: serving programs ready in {wall:.2f}s", flush=True)
         for t in self._threads:
             t.start()
         return self
@@ -549,6 +557,8 @@ def main(argv=None) -> int:
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--model-dir", default="")
     ap.add_argument("--synthetic-model", choices=["tiny", "full"], default="")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip precompiling the serving programs at startup")
     args = ap.parse_args(argv)
 
     rt = RuntimeConfig.from_env()
@@ -564,7 +574,12 @@ def main(argv=None) -> int:
                     port=args.port, runtime=rt)
     print(f"trt-asr-tpu-serve listening on {srv.addr[0]}:{srv.addr[1]} "
           f"(batch_size={args.batch_size})", flush=True)
-    srv.serve_forever()
+    srv.start(warmup=not args.no_warmup)
+    try:
+        while not srv._stop.is_set():
+            time.sleep(0.2)
+    except KeyboardInterrupt:
+        srv.stop()
     return 0
 
 

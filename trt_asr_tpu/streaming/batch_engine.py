@@ -243,6 +243,54 @@ class BatchStreamingEngine:
 
     # -- the batched step -------------------------------------------------
 
+    def _step_call_kwargs(self) -> dict:
+        """The lockstep program's keyword invocation — single source of
+        truth for step() and warmup(), so the warmed program is always the
+        served program."""
+        cfg = self.cfg
+        return dict(
+            drop_extra=cfg.drop_extra_pre_encoded,
+            max_tokens=cfg.max_symbols_per_timestep
+            * (self._frames // cfg.subsampling_factor + 1),
+            blank_penalty=self.rt.blank_penalty,
+            punct_mask=(jnp.asarray(self.model.punct_mask)
+                        if self.rt.suppress_leading_punct else None),
+            use_punct_mask=self.rt.suppress_leading_punct,
+            pos_proj=self._pos_proj,
+            use_pallas_joint=self.rt.use_pallas_joint,
+            with_timestamps=True)
+
+    def warmup(self) -> float:
+        """Compile+execute every program the serving loop needs — the
+        lockstep chunk step (steady and flush rows share it) and the
+        slot-reset programs — ONCE on scratch state, without touching live
+        slots. The first real client then never pays trace+compile; with
+        TRT_ASR_COMPILE_CACHE set the compile itself is fetched from the
+        persistent cache (runtime/engine.py). The serving daemon runs this
+        before accepting connections (serve.py). Returns wall seconds."""
+        cfg = self.cfg
+        t0 = time.perf_counter()
+        enc = self._place_enc(init_encoder_state(cfg, self.b))
+        dec = self._place_dec(prime_decode_state(
+            self.model.params, cfg, init_decode_state(cfg, self.b),
+            self.model.prompt_ids))
+        mask = np.zeros(self.b, bool)
+        mask[0] = True
+        enc = reset_encoder_state_rows(enc, self._feed(mask))
+        dec = reset_decode_state_rows(self._params, cfg, dec,
+                                      self._feed(mask), self.model.prompt_ids)
+        out = _batch_step(
+            self._params, cfg,
+            self._feed(np.zeros((self.b, self._frames, cfg.feat_in), np.float32)),
+            self._feed(np.zeros((self.b,), np.int32)),
+            enc, dec,
+            self._feed(np.zeros((self.b,), np.int32)),
+            self._feed(np.full((self.b,), cfg.cache_drop_size, np.int32)),
+            self._feed(np.full((self.b,), cfg.valid_out_len, np.int32)),
+            **self._step_call_kwargs())
+        np.asarray(out[1])  # fence: the compiled program actually ran
+        return time.perf_counter() - t0
+
     def pending(self) -> int:
         return sum(1 for sid in range(self.b)
                    if self._active[sid] and self._peek_ready(sid))
@@ -293,20 +341,12 @@ class BatchStreamingEngine:
                 self._enc_state, self._feed(np.ones(self.b, bool)))
 
         t0 = time.perf_counter()
-        max_tokens = cfg.max_symbols_per_timestep * (self._frames // cfg.subsampling_factor + 1)
         emitted = np.asarray([len(t) for t in self._tokens], np.int32)
         toks, n, self._enc_state, self._dec_state, stamps, out_len = _batch_step(
             self._params, cfg, self._feed(feats), self._feed(valid),
             self._enc_state, self._dec_state, self._feed(emitted),
             self._feed(cache_drop), self._feed(valid_cap),
-            drop_extra=cfg.drop_extra_pre_encoded,
-            max_tokens=max_tokens, blank_penalty=self.rt.blank_penalty,
-            punct_mask=(jnp.asarray(self.model.punct_mask)
-                        if self.rt.suppress_leading_punct else None),
-            use_punct_mask=self.rt.suppress_leading_punct,
-            pos_proj=self._pos_proj,
-            use_pallas_joint=self.rt.use_pallas_joint,
-            with_timestamps=True)
+            **self._step_call_kwargs())
         if self.rt.sabotage == "drop_time_carry":
             # same fault-injection seam as StreamingSession._run_chunk: the
             # WER gate's sensitivity proof must fail on THIS surface too
