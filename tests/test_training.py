@@ -236,3 +236,46 @@ def test_train_state_checkpoint_resume_bitwise(tiny_train, tmp_path):
     np.savez(npz_path, **data)
     with pytest.raises(ValueError, match="sha256 mismatch"):
         load_train_state(str(tmp_path / "ts"), init_opt(params0))
+
+
+def test_remat_identical_gradients_less_memory():
+    """remat=True must change NOTHING about the gradients (rematerialized
+    backward == stored-activation backward) while measurably shrinking the
+    compiled program's temp (activation) memory — in BOTH training modes,
+    with the streaming mode's chunk axis checkpointed too. Needs multiple
+    layers and chunks or there is nothing to rematerialize (the tiny_train
+    fixture is 1-layer/1-chunk)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    cfg = ModelConfig.tiny()
+    params = init_params(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    b, t, u = 2, 200, 4
+    batch = Batch(
+        feats=rng.standard_normal((b, t, cfg.feat_in)).astype(np.float32),
+        feat_len=np.array([t, 150], np.int32),
+        labels=rng.integers(0, cfg.vocab_size, (b, u)).astype(np.int32),
+        label_len=np.array([u, 3], np.int32),
+    )
+    for streaming in (False, True):
+        def loss(p, rm):
+            return jnp.mean(training_forward(p, cfg, batch,
+                                             streaming=streaming, remat=rm))
+
+        g0 = jax.grad(functools.partial(loss, rm=False))(params)
+        g1 = jax.grad(functools.partial(loss, rm=True))(params)
+        deltas = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), g0, g1)
+        assert max(jax.tree_util.tree_leaves(deltas)) < 1e-5, streaming
+
+        temps = {}
+        for rm in (False, True):
+            f = jax.jit(jax.grad(functools.partial(loss, rm=rm)))
+            ma = f.lower(params).compile().memory_analysis()
+            if ma is None:  # backend without memory analysis
+                pytest.skip("no memory_analysis on this backend")
+            temps[rm] = ma.temp_size_in_bytes
+        assert temps[True] < temps[False], (streaming, temps)

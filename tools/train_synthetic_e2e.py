@@ -137,6 +137,13 @@ def main() -> int:
                          "attention (measured: held-out loss 0.23 but 84% "
                          "streaming WER at 8-13 words). Matches serving "
                          "to float precision per steady chunk")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize encoder activations on backward "
+                         "(jax.checkpoint over the layer scan, plus the "
+                         "chunk scan under --streaming-train): identical "
+                         "gradients, O(1) activation memory, ~1 extra "
+                         "forward of compute — the big-batch/long-utterance "
+                         "HBM lever (tests/test_training.py pins both)")
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu", "env"])
     ap.add_argument("--gate-wer", type=float, default=0.05)
     ap.add_argument("--vocab-size", type=int, default=200,
@@ -281,7 +288,8 @@ def main() -> int:
                if args.spec_augment else None)
     init_opt, train_step = make_train_step(cfg, opt,
                                            streaming=args.streaming_train,
-                                           augment=augment)
+                                           augment=augment,
+                                           remat=args.remat)
     step = jax.jit(train_step, donate_argnums=(0, 1))
     opt_state = init_opt(params)
     bs = 16

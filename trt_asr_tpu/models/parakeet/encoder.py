@@ -282,6 +282,13 @@ def encode(
     use_pallas_conv: bool = False,   # fused conv-module kernel (B=1)
     use_flash_att: bool = False,     # offline: blocked (flash) attention —
                                      # no [B,H,T,T] HBM score tensors
+    remat: bool = False,             # rematerialize layer activations on the
+                                     # backward pass (jax.checkpoint around
+                                     # the scanned layer body): activation
+                                     # HBM drops from O(L) layers to O(1) at
+                                     # the cost of one extra forward — the
+                                     # long-utterance / big-batch training
+                                     # memory lever (no effect on inference)
     mask_pad_subsample: bool = False,  # zero padded tails between subsample
                                      # stages so a padded batch row equals
                                      # the exact-length run (ops/conv.py);
@@ -426,6 +433,8 @@ def encode(
               time_cache0, kv_cache0, pos_proj)
         if pallas_shared is not None:
             xs = xs + (pos_projT,)
+        if remat:
+            body = jax.checkpoint(body)
         x, (new_att, new_time, new_kv) = lax.scan(body, x, xs)
     else:
         def body_off(carry, layer_in):
@@ -437,6 +446,8 @@ def encode(
                 use_flash_att=use_flash_att)
             return y, new_tc
 
+        if remat:
+            body_off = jax.checkpoint(body_off)
         x, _ = lax.scan(
             body_off, x, (_layer_params_slice(enc_p["layers"]), time_cache0,
                           pos_proj))

@@ -36,7 +36,7 @@ class Batch(NamedTuple):
 
 def streaming_encode_train(params: Dict[str, Any], cfg: ModelConfig,
                            feats: jnp.ndarray, feat_len: jnp.ndarray,
-                           compute_dtype=jnp.float32):
+                           compute_dtype=jnp.float32, remat: bool = False):
     """Streaming-consistent encoder forward for TRAINING: a `lax.scan` over
     the SAME unified steady-chunk program the serving session runs
     (`streaming/session.py:_run_chunk`: drop_extra, cache_drop,
@@ -109,9 +109,13 @@ def streaming_encode_train(params: Dict[str, Any], cfg: ModelConfig,
         enc, out_len, state = encode(
             params, cfg, win, valid, state, drop_extra=drop,
             cache_drop=cfg.cache_drop_size, valid_cap=v,
-            pos_proj=pos_proj, compute_dtype=compute_dtype)
+            pos_proj=pos_proj, compute_dtype=compute_dtype, remat=remat)
         return state, (enc[:, :v, :], out_len)
 
+    if remat:
+        # checkpoint the chunk axis too: activation HBM becomes O(1) in
+        # BOTH layers and chunks (two nested recomputation levels)
+        body = jax.checkpoint(body)
     _, (encs, lens) = lax.scan(body, state0, jnp.arange(n_chunks))
     enc = jnp.swapaxes(encs, 0, 1).reshape(b, n_chunks * v, -1)
     return enc, jnp.sum(lens, axis=0)
@@ -119,18 +123,25 @@ def streaming_encode_train(params: Dict[str, Any], cfg: ModelConfig,
 
 def training_forward(params: Dict[str, Any], cfg: ModelConfig, batch: Batch,
                      compute_dtype=jnp.float32,
-                     streaming: bool = False) -> jnp.ndarray:
+                     streaming: bool = False,
+                     remat: bool = False) -> jnp.ndarray:
     """feats+labels -> per-example TDT NLL [B].
 
     streaming=True trains through the serving chunk schedule
     (streaming_encode_train) instead of the offline full-context encoder —
-    required when the trained model will be served streaming."""
+    required when the trained model will be served streaming.
+    remat=True rematerializes encoder-layer (and, streaming, per-chunk)
+    activations on the backward pass — identical gradients, O(1) instead
+    of O(layers [x chunks]) activation HBM, one extra forward of compute
+    (tests/test_training.py pins gradient equality and the measured
+    memory drop)."""
     if streaming:
         enc, t_len = streaming_encode_train(params, cfg, batch.feats,
-                                            batch.feat_len, compute_dtype)
+                                            batch.feat_len, compute_dtype,
+                                            remat=remat)
     else:
         enc, t_len, _ = encode(params, cfg, batch.feats, batch.feat_len, None,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype, remat=remat)
     b, u = batch.labels.shape
     # decoder input: [SOS(=blank, zero embedding)] ++ labels  (RNNT standard)
     sos = jnp.full((b, 1), cfg.blank_id, jnp.int32)
@@ -184,7 +195,8 @@ def make_optimizer(peak_lr: float = 1e-3, *, schedule: str = "cosine_warmup",
 
 
 def make_train_step(cfg: ModelConfig, optimizer=None, compute_dtype=jnp.float32,
-                    streaming: bool = False, augment: Optional[dict] = None):
+                    streaming: bool = False, augment: Optional[dict] = None,
+                    remat: bool = False):
     """Returns (init_opt_state, train_step). train_step is jit-able/pjit-able.
 
     ``augment``: kwargs for train/augment.py spec_augment; when set,
@@ -195,7 +207,7 @@ def make_train_step(cfg: ModelConfig, optimizer=None, compute_dtype=jnp.float32,
 
     def loss_fn(params, batch: Batch):
         nll = training_forward(params, cfg, batch, compute_dtype,
-                               streaming=streaming)
+                               streaming=streaming, remat=remat)
         return jnp.mean(nll)
 
     def _update(params, opt_state, batch: Batch) -> Tuple[Any, Any, Dict[str, jnp.ndarray]]:
