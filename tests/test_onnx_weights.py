@@ -493,3 +493,42 @@ def test_cache_provenance_tracer(tmp_path, rng, capsys):
         assert "no advancing arithmetic" in capsys.readouterr().out
     finally:
         sys.argv = argv
+
+
+def test_import_onnx_model_tool_roundtrip(tmp_path):
+    """One-command real-weights path (tools/import_onnx_model.py): model dir
+    -> ONNX export dir -> imported model dir must transcribe token-exactly.
+    The export's meta carries the complete ModelConfig, so the import needs
+    no out-of-band architecture knowledge."""
+    import subprocess
+    import sys
+
+    from trt_asr_tpu.models.parakeet.model import ParakeetTDT
+    from trt_asr_tpu.streaming.session import StreamingSession
+
+    model = ParakeetTDT.random(ModelConfig.tiny(), seed=3)
+    src = tmp_path / "src"
+    model.save_model_dir(str(src))
+    repo = __file__.rsplit("/tests/", 1)[0]
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": repo}
+    exp = tmp_path / "export"
+    r = subprocess.run([sys.executable, f"{repo}/tools/export_onnx/export.py",
+                        "--model-dir", str(src), "--outdir", str(exp)],
+                       capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert (exp / "vocab.txt").exists()  # tokenizer asset next to the graphs
+    imp = tmp_path / "imported"
+    r = subprocess.run([sys.executable, f"{repo}/tools/import_onnx_model.py",
+                        str(exp), "--out", str(imp)],
+                       capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-500:]
+
+    rng = np.random.default_rng(0)
+    audio = (0.15 * rng.standard_normal(24000)).astype(np.float32)
+    a = StreamingSession(model)
+    a.push_audio(audio)
+    a.finalize()
+    b = StreamingSession(ParakeetTDT.from_model_dir(str(imp)))
+    b.push_audio(audio)
+    b.finalize()
+    assert a._tokens == b._tokens

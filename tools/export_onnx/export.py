@@ -26,6 +26,13 @@ def main() -> int:
     args = ap.parse_args()
 
     model = ParakeetTDT.from_model_dir(args.model_dir)
+    # tokenizer asset alongside the graphs (reference export.py:854-904
+    # writes vocab.txt next to the components; import_onnx_model.py and the
+    # numpy pipeline read it from the export dir)
+    from trt_asr_tpu.tokenizer import write_vocab
+
+    os.makedirs(args.outdir, exist_ok=True)
+    write_vocab(os.path.join(args.outdir, "vocab.txt"), model.tokenizer.vocab)
     paths = export_params_to_onnx(model.params, model.cfg, args.outdir,
                                   external_threshold=args.external_threshold,
                                   prompt_ids=model.prompt_ids)

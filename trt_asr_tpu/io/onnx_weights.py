@@ -15,6 +15,7 @@ name, never index, with explicit fallbacks — parakeet_trt.cpp:1081-1142).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 from typing import Any, Callable, Dict, List, Optional, Tuple
@@ -262,12 +263,12 @@ def export_params_to_onnx(params: Dict[str, Any], cfg: ModelConfig, out_dir: str
                      "hop_length": 160},
         # static shape the executable offline encoder graph was emitted at
         "encoder_static_t_in": encoder_t_in,
-        # extra (ours): structural config for exact ModelConfig reconstruction
-        "config": {"num_layers": cfg.num_layers, "d_model": cfg.d_model,
-                   "n_heads": cfg.n_heads, "vocab_size": cfg.vocab_size,
-                   "pred_hidden": cfg.pred_hidden, "feat_in": cfg.feat_in,
-                   "pred_rnn_layers": cfg.pred_rnn_layers,
-                   "conv_context_size": cfg.conv_context_size},
+        # extra (ours): the COMPLETE structural config for exact
+        # ModelConfig reconstruction — a consumer (tools/import_onnx_model.py)
+        # rebuilds the model from the export dir alone; real reference
+        # exports lack this block and derive the architecture from the
+        # contract instead
+        "config": dataclasses.asdict(cfg),
         # extra (ours): the cache-aware schedule + decode constants a
         # third-party runtime needs to drive encoder_streaming.onnx closed
         # loop (the reference kept these in the contract JSON; embedding
