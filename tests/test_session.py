@@ -238,3 +238,31 @@ def test_language_prompt_selection(monkeypatch):
     assert m.prompt_ids == [sot]
     monkeypatch.setenv("TRT_ASR_LANG", "de")
     assert RuntimeConfig.from_env().language == "de"
+
+
+def test_extra_prompt_tokens(monkeypatch):
+    """TRT_ASR_EXTRA_PROMPT primes optional constraint tokens (<|nopnc|>,
+    <|noitn|>) AFTER start+language; default primes none — the reference
+    measured constraint priming biases decoding toward punctuation spam
+    and skips it unconditionally (parakeet_trt.cpp:1933-1944); here the
+    decision is a measurable knob."""
+    from trt_asr_tpu.config import RuntimeConfig
+    from trt_asr_tpu.tokenizer import Tokenizer, make_synthetic_vocab
+
+    vocab = make_synthetic_vocab(
+        64, prompt_tokens=("<|startoftranscript|>", "<|en|>"))
+    m = ParakeetTDT.random(ModelConfig.tiny(), seed=1)
+    m.tokenizer = Tokenizer(vocab, blank_id=m.cfg.blank_id)
+    sot = m.tokenizer.token_id("<|startoftranscript|>")
+    en = m.tokenizer.token_id("<|en|>")
+    nopnc = m.tokenizer.token_id("<|nopnc|>")
+    assert nopnc >= 0  # synthetic vocab carries the constraint tokens
+
+    assert m.prompt_ids == [sot, en]                       # default: none
+    m.runtime = RuntimeConfig(extra_prompt="<|nopnc|>,<|noitn|>")
+    assert m.prompt_ids == [sot, en, nopnc,
+                            m.tokenizer.token_id("<|noitn|>")]
+    m.runtime = RuntimeConfig(extra_prompt="<|missing|>")  # absent: skipped
+    assert m.prompt_ids == [sot, en]
+    monkeypatch.setenv("TRT_ASR_EXTRA_PROMPT", "<|nopnc|>")
+    assert RuntimeConfig.from_env().extra_prompt == "<|nopnc|>"

@@ -103,6 +103,11 @@ def main(argv=None) -> int:
                          "biasing; requires --beam N)")
     ap.add_argument("--bias-bonus", type=float, default=3.0,
                     help="per-matched-token log-prob reward for --bias")
+    ap.add_argument("--lm", default="",
+                    help="n-gram LM file (decode/ngram_lm.py v1 JSON) for "
+                         "shallow fusion; requires --beam N")
+    ap.add_argument("--lm-weight", type=float, default=0.3,
+                    help="fusion weight for --lm")
     ap.add_argument("--srt", default="",
                     help="write an SRT subtitle file from the word "
                          "timestamps (io/subtitles.py; works with "
@@ -130,6 +135,10 @@ def main(argv=None) -> int:
     beam = args.beam if args.beam > 0 else rt.beam_width  # flag > env
     if args.bias and beam <= 0:
         ap.error("--bias requires beam decoding (--beam N)")
+    if args.lm and beam <= 0:
+        ap.error("--lm requires beam decoding (--beam N)")
+    if args.lm and args.bias:
+        ap.error("--lm and --bias both supply the fusion lm_fn; pick one")
 
     def make_session(**kw) -> StreamingSession:
         if beam > 0:
@@ -142,6 +151,11 @@ def main(argv=None) -> int:
                 lm_kw = dict(lm_fn=make_biasing_lm(
                     args.bias.split(","), model.tokenizer,
                     bonus=args.bias_bonus), lm_weight=1.0)
+            elif args.lm:
+                from trt_asr_tpu.decode.ngram_lm import NGramLM
+
+                lm_kw = dict(lm_fn=NGramLM.load(args.lm),
+                             lm_weight=args.lm_weight)
             return BeamStreamingSession(model, beam=beam, **lm_kw, **kw)
         return StreamingSession(model, **kw)
 

@@ -235,6 +235,15 @@ class RuntimeConfig:
                                              # the surface supports it (C-ABI
                                              # bridge; python CLI --beam
                                              # overrides). 0 = greedy.
+    extra_prompt: str = ""                   # TRT_ASR_EXTRA_PROMPT: comma-
+                                             # separated constraint tokens
+                                             # primed after the language
+                                             # token (e.g. "<|nopnc|>,
+                                             # <|noitn|>"); default none —
+                                             # the reference measured these
+                                             # bias decoding toward punct
+                                             # spam and skips them
+                                             # (parakeet_trt.cpp:1933-1944)
     language: str = "en"                     # TRT_ASR_LANG: language prompt
                                              # token <|xx|> primed after
                                              # <|startoftranscript|> (the
@@ -290,6 +299,7 @@ class RuntimeConfig:
                  "PARAKEET_DISABLE_PUNCT_SUPPRESSION"),
                 not d.suppress_leading_punct),
             beam_width=_env_int("TRT_ASR_BEAM", None, d.beam_width),
+            extra_prompt=_env_str("TRT_ASR_EXTRA_PROMPT", None, d.extra_prompt),
             language=_env_str("TRT_ASR_LANG", None, d.language),
             partial_min_interval_ms=_env_int("TRT_ASR_PARTIAL_MIN_INTERVAL_MS", "PARAKEET_PARTIAL_MIN_INTERVAL_MS", d.partial_min_interval_ms),
             final_on_push=_env_bool("TRT_ASR_FINAL_ON_PUSH",

@@ -124,7 +124,13 @@ class ParakeetTDT:
         # RuntimeConfig.language / TRT_ASR_LANG selects any of the
         # model's language tokens, absent ones prime nothing)
         lang = f"<|{self.runtime.language}|>"
-        for t in ("<|startoftranscript|>", lang):
+        # extra constraint tokens (e.g. <|nopnc|>, <|noitn|>) prime ONLY on
+        # request: the reference measured that priming them biases decoding
+        # toward punctuation spam and skips them unconditionally
+        # (parakeet_trt.cpp:1933-1944); TRT_ASR_EXTRA_PROMPT exposes the
+        # knob so the decision stays measurable per model
+        extra = tuple(t for t in self.runtime.extra_prompt.split(",") if t)
+        for t in ("<|startoftranscript|>", lang) + extra:
             i = self.tokenizer.token_id(t)
             if i >= 0:
                 ids.append(i)
