@@ -141,3 +141,35 @@ def test_program_key_separates_signatures(model):
              + (np.ones_like(np.asarray(steady.args[2])),)
              + steady.args[3:])
     assert program_key(args2, steady.kwargs) == steady.key
+
+
+def test_batch_engine_serves_from_engines(model, tmp_path):
+    """--batch engines: the lockstep multi-stream program served from its
+    deserialized artifact must be token-exact with the live-jit engine,
+    every step an engine hit."""
+    from trt_asr_tpu.streaming.batch_engine import BatchStreamingEngine
+
+    d = tmp_path / "beng"
+    build_engines(model, str(d), smoke=False, batch_sizes=(2,))
+    with open(d / "manifest.json") as f:
+        names = set(json.load(f)["engines"])
+    assert "batch2" in names and "steady" in names
+    es = EngineSet.load(str(d))
+
+    rng = np.random.default_rng(5)
+    audios = {0: (0.1 * rng.standard_normal(32000)).astype(np.float32),
+              1: (0.1 * rng.standard_normal(24000)).astype(np.float32)}
+
+    def run(engines):
+        eng = BatchStreamingEngine(model, batch_size=2, engines=engines)
+        sids = {k: eng.open_stream() for k in audios}
+        for k, a in audios.items():
+            eng.push_audio(sids[k], a)
+            eng.finalize_stream(sids[k])
+        eng.run_until_drained()
+        return {k: list(eng._tokens[sids[k]]) for k in audios}, eng
+
+    live, _ = run(None)
+    served, eng = run(es)
+    assert served == live
+    assert eng.engine_misses == 0 and eng.engine_hits > 0

@@ -57,6 +57,10 @@ def main() -> int:
     ap.add_argument("--outdir", help="engine output directory")
     ap.add_argument("--cache-dir", default="",
                     help="also populate this XLA persistent compilation cache")
+    ap.add_argument("--batch", default="",
+                    help="comma-separated batch sizes: additionally build "
+                         "the lockstep multi-stream program per size (the "
+                         "serving daemon's engine; serve.py --engines)")
     ap.add_argument("--no-smoke", action="store_true",
                     help="skip the per-engine deserialize+run smoke test")
     ap.add_argument("--platform", default="env", choices=["cpu", "tpu", "env"])
@@ -86,7 +90,9 @@ def main() -> int:
     else:
         cfg = ModelConfig.tiny() if args.config == "tiny" else ModelConfig()
         model = ParakeetTDT.random(cfg, seed=args.seed)
-    manifest = build_engines(model, args.outdir, smoke=not args.no_smoke)
+    batch_sizes = tuple(int(x) for x in args.batch.split(",") if x)
+    manifest = build_engines(model, args.outdir, smoke=not args.no_smoke,
+                             batch_sizes=batch_sizes)
     if args.cache_dir:
         # one warm execution of every live-jit program populates the
         # persistent cache alongside the serialized artifacts: a fresh

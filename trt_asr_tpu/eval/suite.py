@@ -60,6 +60,9 @@ class SuiteConfig:
                                       # session (n-best 1-best scored) on
                                       # the python/cli engines — WER can
                                       # compare greedy vs beam decoding
+    lm_path: str = ""                 # n-gram LM (decode/ngram_lm.py v1
+                                      # JSON) for shallow fusion; needs beam
+    lm_weight: float = 0.3
 
 
 def _parse_cli_stdout(stdout: str) -> Dict[str, object]:
@@ -94,10 +97,16 @@ def _run_python_engine(entry: ManifestEntry, model, variant_env: Dict[str, str],
         if cfg.beam > 0:
             from trt_asr_tpu.streaming.beam_session import BeamStreamingSession
 
+            lm_kw = {}
+            if cfg.lm_path:
+                from trt_asr_tpu.decode.ngram_lm import NGramLM
+
+                lm_kw = dict(lm_fn=NGramLM.load(cfg.lm_path),
+                             lm_weight=cfg.lm_weight)
             sess = BeamStreamingSession(
                 model, beam=cfg.beam, runtime=rt,
                 feature_norm=cfg.feature_norm if norm_stats is not None else "none",
-                norm_stats=norm_stats)
+                norm_stats=norm_stats, **lm_kw)
         else:
             sess = StreamingSession(
                 model, rt,
@@ -213,6 +222,8 @@ def _run_subprocess_engine(entry: ManifestEntry, variant_env: Dict[str, str],
                "--feature-norm", cfg.feature_norm]
         if cfg.beam > 0:
             cmd += ["--beam", str(cfg.beam)]
+            if cfg.lm_path:
+                cmd += ["--lm", cfg.lm_path, "--lm-weight", str(cfg.lm_weight)]
         if cfg.model_dir:
             cmd += ["--model-dir", cfg.model_dir]
         elif cfg.synthetic_model:

@@ -30,6 +30,14 @@ module makes the compile phase explicit, offline, and persistent:
   a fresh process reuses compiled binaries instead of recompiling — the
   cold-start story (TRT loads engines in ~1 s; an uncached trace+compile
   of the fused chunk step costs tens of seconds on TPU).
+
+Which to use: the persistent cache is the PRODUCTION cold-start path —
+the live jit keeps buffer donation, so per-step cost is unchanged. The
+serialized artifacts are the portability/audit path (executable outside
+this codebase's Python, sha256-pinned, inspectable): jax.export's .call
+re-stages without donation, measured ~4x per-step overhead at tiny/CPU
+scale (absolute cost is host-side, so it shrinks relative to real-model
+step time). Both are token-exact with the live path.
 """
 
 from __future__ import annotations
@@ -47,21 +55,22 @@ import numpy as np
 import jax
 
 
-def _static_names() -> frozenset:
-    """The fused chunk program's static argnames, introspected from
-    session._session_step's own jit decoration (so this module can never
-    disagree with the serving program); literal fallback if the private
-    attribute moves across jax versions."""
-    from trt_asr_tpu.streaming.session import _session_step
+def _static_names(fn=None) -> frozenset:
+    """A jitted program's static argnames, introspected from its own jit
+    decoration (so this module can never disagree with the serving
+    program); defaults to the session chunk step. Literal fallback if the
+    private attribute moves across jax versions."""
+    if fn is None:
+        from trt_asr_tpu.streaming.session import _session_step as fn
 
     try:
-        return frozenset(_session_step._jit_info.static_argnames)
+        return frozenset(fn._jit_info.static_argnames)
     except AttributeError:
         return frozenset(
             ("cfg", "drop_extra", "cache_drop", "valid_cap", "blank_penalty",
              "use_punct_mask", "use_pallas_joint", "trace", "pad_steps",
              "use_pallas_att", "use_pallas_conv", "use_pallas_ffn",
-             "use_batched_decode", "with_timestamps"))
+             "use_batched_decode", "with_timestamps", "max_tokens"))
 
 
 def _norm(v: Any) -> Any:
@@ -88,15 +97,23 @@ def program_key(args: Tuple, kwargs: Dict[str, Any]) -> str:
 
 @dataclass
 class ProgramSpec:
-    """One buildable program: a name plus the exact invocation."""
+    """One buildable program: a name, the jitted fn, the exact invocation."""
 
     name: str
     args: Tuple
     kwargs: Dict[str, Any]
+    fn: Any = None          # jitted callable; None = session._session_step
 
     @property
     def key(self) -> str:
         return program_key(self.args, self.kwargs)
+
+    def resolve_fn(self):
+        if self.fn is not None:
+            return self.fn
+        from trt_asr_tpu.streaming.session import _session_step
+
+        return _session_step
 
 
 def session_program_specs(model, runtime=None) -> List[ProgramSpec]:
@@ -139,10 +156,36 @@ def session_program_specs(model, runtime=None) -> List[ProgramSpec]:
     return specs
 
 
-def _call_arrays(spec_args: Tuple, spec_kwargs: Dict[str, Any]):
+def batch_program_specs(model, batch_size: int, runtime=None) -> List[ProgramSpec]:
+    """The lockstep multi-stream program set: ONE program per batch size —
+    steady and final-flush chunks share it via per-row vectors
+    (streaming/batch_engine.py _batch_step), so the whole serving daemon is
+    a single engine artifact."""
+    from trt_asr_tpu.streaming.batch_engine import (
+        BatchStreamingEngine,
+        _batch_step,
+    )
+
+    eng = BatchStreamingEngine(model, batch_size=batch_size, runtime=runtime)
+    cfg = model.cfg
+    b = eng.b
+    args = (eng._params, cfg,
+            np.zeros((b, eng._frames, cfg.feat_in), np.float32),
+            np.zeros((b,), np.int32),
+            eng._enc_state, eng._dec_state,
+            np.zeros((b,), np.int32),
+            np.full((b,), cfg.cache_drop_size, np.int32),
+            np.full((b,), cfg.valid_out_len, np.int32))
+    return [ProgramSpec(f"batch{b}", args, eng._step_call_kwargs(),
+                        fn=_batch_step)]
+
+
+def _call_arrays(spec_args: Tuple, spec_kwargs: Dict[str, Any],
+                 statics: Optional[frozenset] = None):
     """Strip statics from an invocation, leaving the array pytree an
-    exported program's .call expects (cfg is positional index 1)."""
-    statics = _static_names()
+    exported program's .call expects (cfg is positional index 1 in every
+    serving program)."""
+    statics = _static_names() if statics is None else statics
     call_args = tuple(a for i, a in enumerate(spec_args) if i != 1)
     call_kwargs = {k: v for k, v in spec_kwargs.items() if k not in statics}
     return call_args, call_kwargs
@@ -176,17 +219,19 @@ def _register_state_serialization() -> None:
     _REGISTERED = True
 
 
-def build_engines(model, outdir: str, runtime=None, smoke: bool = True) -> Dict:
-    """AOT-export every session program into ``outdir``; returns (and
-    writes) the manifest — the reference build_report.json analog."""
+def build_engines(model, outdir: str, runtime=None, smoke: bool = True,
+                  batch_sizes: Tuple[int, ...] = ()) -> Dict:
+    """AOT-export every session program (plus one lockstep multi-stream
+    program per requested batch size) into ``outdir``; returns (and writes)
+    the manifest — the reference build_report.json analog."""
     from jax import export as jexport
-
-    from trt_asr_tpu.streaming.session import _session_step
 
     _register_state_serialization()
 
     os.makedirs(outdir, exist_ok=True)
     specs = session_program_specs(model, runtime)
+    for b in batch_sizes:
+        specs += batch_program_specs(model, b, runtime)
     dev = jax.devices()[0]
     manifest: Dict[str, Any] = {
         "format": "jax.export serialized StableHLO",
@@ -200,7 +245,9 @@ def build_engines(model, outdir: str, runtime=None, smoke: bool = True) -> Dict:
     }
     for sp in specs:
         t0 = time.perf_counter()
-        exp = jexport.export(_session_step)(*sp.args, **sp.kwargs)
+        fn = sp.resolve_fn()
+        statics = _static_names(fn)
+        exp = jexport.export(fn)(*sp.args, **sp.kwargs)
         data = exp.serialize()
         fname = f"{sp.name}.shlo"
         with open(os.path.join(outdir, fname), "wb") as f:
@@ -214,15 +261,16 @@ def build_engines(model, outdir: str, runtime=None, smoke: bool = True) -> Dict:
             "platforms": list(exp.platforms),
             "in_avals": [str(a) for a in exp.in_avals],
             "out_avals": [str(a) for a in exp.out_avals],
+            "static_names": sorted(statics),
             "statics": {k: (v if isinstance(v, (bool, int, float, str, type(None)))
                             else str(v))
-                        for k, v in sp.kwargs.items() if k in _static_names()},
+                        for k, v in sp.kwargs.items() if k in statics},
             "feats_shape": list(np.shape(sp.args[2])),
         }
         if smoke:
             t1 = time.perf_counter()
             prog = jexport.deserialize(data)
-            ca, ck = _call_arrays(sp.args, sp.kwargs)
+            ca, ck = _call_arrays(sp.args, sp.kwargs, statics)
             out = prog.call(*_fresh_like(ca), **_fresh_like(ck))
             jax.block_until_ready(out)
             entry["smoke"] = {"ok": True,
@@ -238,7 +286,7 @@ class EngineSet:
     looks programs up per chunk and falls back to the live jit on miss."""
 
     def __init__(self, programs: Dict[str, Any], manifest: Dict):
-        self._programs = programs          # key -> exported program
+        self._programs = programs   # key -> (exported program, statics)
         self.manifest = manifest
 
     @classmethod
@@ -259,15 +307,18 @@ class EngineSet:
                     f"engine {name}: sha256 mismatch (manifest "
                     f"{entry['sha256'][:12]}.., file {sha[:12]}..) — "
                     f"corrupt or tampered artifact")
-            programs[entry["key"]] = jexport.deserialize(data)
+            statics = (frozenset(entry["static_names"])
+                       if "static_names" in entry else None)
+            programs[entry["key"]] = (jexport.deserialize(data), statics)
         return cls(programs, manifest)
 
     def get(self, key: str):
         return self._programs.get(key)
 
     def call(self, prog, args: Tuple, kwargs: Dict[str, Any]):
-        ca, ck = _call_arrays(args, kwargs)
-        return prog.call(*ca, **ck)
+        exported, statics = prog
+        ca, ck = _call_arrays(args, kwargs, statics)
+        return exported.call(*ca, **ck)
 
     def __len__(self) -> int:
         return len(self._programs)

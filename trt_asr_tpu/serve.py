@@ -74,9 +74,11 @@ from trt_asr_tpu.streaming.session import EventType
 class AsrServer:
     def __init__(self, model: ParakeetTDT, batch_size: int = 8,
                  host: str = "127.0.0.1", port: int = 0,
-                 runtime: Optional[RuntimeConfig] = None, mesh=None):
+                 runtime: Optional[RuntimeConfig] = None, mesh=None,
+                 engines=None):
         self.engine = BatchStreamingEngine(model, batch_size=batch_size,
-                                           runtime=runtime, mesh=mesh)
+                                           runtime=runtime, mesh=mesh,
+                                           engines=engines)
         self._elock = threading.Lock()      # serializes ALL engine access
         self._clients: Dict[int, socket.socket] = {}   # sid -> conn
         self._wlocks: Dict[int, threading.Lock] = {}   # per-conn write lock
@@ -559,6 +561,10 @@ def main(argv=None) -> int:
     ap.add_argument("--synthetic-model", choices=["tiny", "full"], default="")
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip precompiling the serving programs at startup")
+    ap.add_argument("--engines", default="",
+                    help="AOT engine dir (tools/engine_build.py --batch N): "
+                         "serve the lockstep program from the deserialized "
+                         "artifact, live-jit fallback on signature miss")
     args = ap.parse_args(argv)
 
     rt = RuntimeConfig.from_env()
@@ -570,8 +576,13 @@ def main(argv=None) -> int:
         model.runtime = rt
     else:
         ap.error("provide --model-dir or --synthetic-model")
+    engines = None
+    if args.engines:
+        from trt_asr_tpu.runtime.engine import EngineSet
+
+        engines = EngineSet.load(args.engines)
     srv = AsrServer(model, batch_size=args.batch_size, host=args.host,
-                    port=args.port, runtime=rt)
+                    port=args.port, runtime=rt, engines=engines)
     print(f"trt-asr-tpu-serve listening on {srv.addr[0]}:{srv.addr[1]} "
           f"(batch_size={args.batch_size})", flush=True)
     srv.start(warmup=not args.no_warmup)

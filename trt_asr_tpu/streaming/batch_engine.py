@@ -84,7 +84,8 @@ def _batch_step(params, cfg: ModelConfig, feats, valid, enc_state, dec_state,
 
 class BatchStreamingEngine:
     def __init__(self, model: ParakeetTDT, batch_size: int = 8,
-                 runtime: Optional[RuntimeConfig] = None, mesh=None):
+                 runtime: Optional[RuntimeConfig] = None, mesh=None,
+                 engines=None):
         """mesh: optional jax.sharding.Mesh (axes dp/tp). When given, this
         is the engine-level multi-chip serving path (VERDICT r2 weak #5):
         params are laid out by parallel.mesh.shard_params, encoder/decode
@@ -141,6 +142,17 @@ class BatchStreamingEngine:
         fs = model.frontend.spec
         self._enc_frame_s = fs.hop_length / fs.sample_rate_hz * cfg.subsampling_factor
         self._events: List[deque] = [deque() for _ in range(batch_size)]
+        # AOT engine serving (runtime/engine.py): the one lockstep program
+        # runs through a deserialized artifact when its signature matches;
+        # live-jit fallback otherwise (same seam as StreamingSession)
+        if engines is not None and mesh is not None:
+            raise ValueError("AOT engines are single-device artifacts; "
+                             "mesh-sharded serving uses the live jit "
+                             "(GSPMD shardings are not serialized)")
+        self._engines = engines
+        self._engine_key = None
+        self.engine_hits = 0
+        self.engine_misses = 0
         self._finalizing = [False] * batch_size
         self._finalized = [False] * batch_size
         self._segment = [0] * batch_size          # per-slot utterance counter
@@ -279,16 +291,32 @@ class BatchStreamingEngine:
         enc = reset_encoder_state_rows(enc, self._feed(mask))
         dec = reset_decode_state_rows(self._params, cfg, dec,
                                       self._feed(mask), self.model.prompt_ids)
-        out = _batch_step(
-            self._params, cfg,
-            self._feed(np.zeros((self.b, self._frames, cfg.feat_in), np.float32)),
-            self._feed(np.zeros((self.b,), np.int32)),
-            enc, dec,
-            self._feed(np.zeros((self.b,), np.int32)),
-            self._feed(np.full((self.b,), cfg.cache_drop_size, np.int32)),
-            self._feed(np.full((self.b,), cfg.valid_out_len, np.int32)),
-            **self._step_call_kwargs())
+        def scratch_args(e, d):
+            return (self._params, cfg,
+                    self._feed(np.zeros((self.b, self._frames, cfg.feat_in),
+                                        np.float32)),
+                    self._feed(np.zeros((self.b,), np.int32)),
+                    e, d,
+                    self._feed(np.zeros((self.b,), np.int32)),
+                    self._feed(np.full((self.b,), cfg.cache_drop_size, np.int32)),
+                    self._feed(np.full((self.b,), cfg.valid_out_len, np.int32)))
+
+        kwargs = self._step_call_kwargs()
+        out = _batch_step(*scratch_args(enc, dec), **kwargs)
         np.asarray(out[1])  # fence: the compiled program actually ran
+        if self._engines is not None:
+            # the AOT-artifact call path compiles separately from the live
+            # jit — warm it too, or the first served step pays it
+            from trt_asr_tpu.runtime.engine import program_key
+
+            enc2 = self._place_enc(init_encoder_state(cfg, self.b))
+            dec2 = self._place_dec(init_decode_state(cfg, self.b))
+            args2 = scratch_args(enc2, dec2)
+            if self._engine_key is None:
+                self._engine_key = program_key(args2, kwargs)
+            prog = self._engines.get(self._engine_key)
+            if prog is not None:
+                np.asarray(self._engines.call(prog, args2, kwargs)[1])
         return time.perf_counter() - t0
 
     def pending(self) -> int:
@@ -342,11 +370,25 @@ class BatchStreamingEngine:
 
         t0 = time.perf_counter()
         emitted = np.asarray([len(t) for t in self._tokens], np.int32)
-        toks, n, self._enc_state, self._dec_state, stamps, out_len = _batch_step(
-            self._params, cfg, self._feed(feats), self._feed(valid),
-            self._enc_state, self._dec_state, self._feed(emitted),
-            self._feed(cache_drop), self._feed(valid_cap),
-            **self._step_call_kwargs())
+        step_args = (self._params, cfg, self._feed(feats), self._feed(valid),
+                     self._enc_state, self._dec_state, self._feed(emitted),
+                     self._feed(cache_drop), self._feed(valid_cap))
+        step_kwargs = self._step_call_kwargs()
+        out = None
+        if self._engines is not None:
+            if self._engine_key is None:
+                from trt_asr_tpu.runtime.engine import program_key
+
+                self._engine_key = program_key(step_args, step_kwargs)
+            prog = self._engines.get(self._engine_key)
+            if prog is not None:
+                out = self._engines.call(prog, step_args, step_kwargs)
+                self.engine_hits += 1
+            else:
+                self.engine_misses += 1
+        if out is None:
+            out = _batch_step(*step_args, **step_kwargs)
+        toks, n, self._enc_state, self._dec_state, stamps, out_len = out
         if self.rt.sabotage == "drop_time_carry":
             # same fault-injection seam as StreamingSession._run_chunk: the
             # WER gate's sensitivity proof must fail on THIS surface too
