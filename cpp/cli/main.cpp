@@ -124,7 +124,13 @@ void drain(ParakeetSession* s) {
 }  // namespace
 
 int main(int argc, char** argv) {
-    std::string input, model_dir, feature_norm = "per_feature", dump_features;
+    // env default with flag override (reference CLI parity,
+    // rust/cli/src/main.rs:46,190: --feature-norm overrides
+    // PARAKEET_FEATURE_NORM)
+    std::string feature_norm = "per_feature";
+    if (const char* e = std::getenv("TRT_ASR_FEATURE_NORM")) feature_norm = e;
+    else if (const char* p = std::getenv("PARAKEET_FEATURE_NORM")) feature_norm = p;
+    std::string input, model_dir, dump_features;
     double stream_sim = 0.0;
     int n_mels = 0;  // 0 = from sidecar (replay) or 128 default
     bool raw_pcm = false, features_input = false, mock = false, no_sleep = false;

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -84,7 +85,13 @@ def main(argv=None) -> int:
                     help="chunk size in seconds; 0 = offline one-shot")
     ap.add_argument("--raw-pcm", action="store_true")
     ap.add_argument("--features-input", action="store_true")
-    ap.add_argument("--feature-norm", choices=["none", "per_feature"], default="per_feature")
+    ap.add_argument("--feature-norm", choices=["none", "per_feature"],
+                    default=os.environ.get(
+                        "TRT_ASR_FEATURE_NORM",
+                        os.environ.get("PARAKEET_FEATURE_NORM", "per_feature")),
+                    help="flag overrides the TRT_ASR_FEATURE_NORM / "
+                         "PARAKEET_FEATURE_NORM env default (reference CLI "
+                         "parity, rust/cli/src/main.rs:46,190)")
     ap.add_argument("--dump-features", default="")
     ap.add_argument("--no-sleep", action="store_true",
                     help="stream-sim without real-time pacing")

@@ -283,7 +283,9 @@ class RuntimeConfig:
             snapshot_dir=_env_str("TRT_ASR_SNAPSHOT_DIR", "PARAKEET_TDT_SNAPSHOT_DIR", d.snapshot_dir),
             tap_dir=_env_str("TRT_ASR_TAP_DIR", "AUDIO_TAP_DIR", d.tap_dir),
             tap_enabled=_env_bool("TRT_ASR_TAP_ENABLE", "AUDIO_TAP_ENABLE", d.tap_enabled),
-            slow_step_ms=_env_float("TRT_ASR_SLOW_STEP_MS", "PARAKEET_SLOW_ENQUEUE_MS", d.slow_step_ms),
+            slow_step_ms=_env_float("TRT_ASR_SLOW_STEP_MS",
+                                    ("PARAKEET_SLOW_ENQUEUE_MS",
+                                     "PARAKEET_SLOW_CHUNK_MS"), d.slow_step_ms),
             profile_dir=_env_str("TRT_ASR_PROFILE_DIR", None, d.profile_dir),
             profile_chunks=_env_int("TRT_ASR_PROFILE_CHUNKS", None, d.profile_chunks),
             blank_penalty=_env_float("TRT_ASR_BLANK_PENALTY", "PARAKEET_BLANK_PENALTY", d.blank_penalty),
