@@ -30,9 +30,6 @@ from train_synthetic_e2e import make_set, make_words  # noqa: E402
 
 
 def main() -> int:
-    from trt_asr_tpu.runtime.platform import ensure_requested_platform
-
-    ensure_requested_platform()
     ap = argparse.ArgumentParser()
     ap.add_argument("--model-dir", default="artifacts/models/gate_r3")
     ap.add_argument("--eval-utts", type=int, default=50)
@@ -53,7 +50,17 @@ def main() -> int:
     ap.add_argument("--chunk-samples", type=int, default=8000)
     ap.add_argument("--gate-wer", type=float, default=0.05)
     ap.add_argument("--artifact", default="")
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu", "env"])
     args = ap.parse_args()
+
+    # default CPU: the axon sitecustomize otherwise routes this in-process
+    # eval through the TPU tunnel at ~minutes/utterance (docs/DEBUGGING.md)
+    if args.platform != "env":
+        os.environ["JAX_PLATFORMS"] = args.platform
+    import jax
+
+    if args.platform != "env":
+        jax.config.update("jax_platforms", args.platform)
 
     from trt_asr_tpu.config import RuntimeConfig
     from trt_asr_tpu.eval.wer import score_corpus

@@ -32,9 +32,6 @@ from train_synthetic_e2e import add_noise, make_set, make_words  # noqa: E402
 
 
 def main() -> int:
-    from trt_asr_tpu.runtime.platform import ensure_requested_platform
-
-    ensure_requested_platform()
     ap = argparse.ArgumentParser()
     ap.add_argument("--model-dir", default="artifacts/models/gate_r3")
     ap.add_argument("--out-dir", default="/tmp/gate_lm")
@@ -50,7 +47,18 @@ def main() -> int:
     ap.add_argument("--lm-weights", default="0,0.2,0.4")
     ap.add_argument("--stream-sim", type=float, default=0.5)
     ap.add_argument("--artifact", default="")
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu", "env"])
     args = ap.parse_args()
+
+    # default CPU: without this, the axon sitecustomize routes the beam
+    # suite through the TPU tunnel at ~minutes/utterance (docs/DEBUGGING.md;
+    # the r3 gate's native surface hit the same trap)
+    if args.platform != "env":
+        os.environ["JAX_PLATFORMS"] = args.platform
+    import jax
+
+    if args.platform != "env":
+        jax.config.update("jax_platforms", args.platform)
 
     import numpy as np
 
