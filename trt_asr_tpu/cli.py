@@ -95,6 +95,11 @@ def main(argv=None) -> int:
     ap.add_argument("--dump-features", default="")
     ap.add_argument("--no-sleep", action="store_true",
                     help="stream-sim without real-time pacing")
+    ap.add_argument("--compile-cache", default="",
+                    help="XLA persistent compilation cache dir (same as "
+                         "TRT_ASR_COMPILE_CACHE): fresh processes reuse "
+                         "compiled programs — tools/engine_build.py "
+                         "--cache-dir populates it offline")
     ap.add_argument("--timestamps", action="store_true",
                     help="print word-level [start end] timings after the "
                          "transcript (frame-anchored TDT timestamps — "
@@ -130,6 +135,8 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     rt = RuntimeConfig.from_env()
+    if args.compile_cache:
+        rt.compile_cache_dir = args.compile_cache   # flag > env
     if args.model_dir:
         model = ParakeetTDT.from_model_dir(args.model_dir, runtime=rt)
     elif args.synthetic_model:
