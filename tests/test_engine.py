@@ -118,17 +118,28 @@ def test_corrupt_engine_rejected(model, engine_dir, tmp_path):
 
 
 def test_compile_cache_populates(tmp_path):
-    import jax
-    import jax.numpy as jnp
+    """Hermetic by subprocess: enabling the persistent cache is a
+    process-global jax config change, and cache WRITES during later tests'
+    compiles have segfaulted this jax build's zstd path mid-suite — the
+    cache must never be live in the suite process."""
+    import subprocess
+    import sys
 
-    prev = jax.config.jax_compilation_cache_dir
-    try:
-        apply_compile_cache(str(tmp_path))
-        jax.jit(lambda x: (x @ x).sum() * 3.0)(
-            jnp.ones((32, 32))).block_until_ready()
-        assert len(os.listdir(tmp_path)) > 0
-    finally:
-        jax.config.update("jax_compilation_cache_dir", prev)
+    repo = __file__.rsplit("/tests/", 1)[0]
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "import jax.numpy as jnp, os, sys\n"
+        "from trt_asr_tpu.runtime.engine import apply_compile_cache\n"
+        f"apply_compile_cache({str(tmp_path)!r})\n"
+        "jax.jit(lambda x: (x @ x).sum() * 3.0)(jnp.ones((32, 32)))"
+        ".block_until_ready()\n"
+        f"sys.exit(0 if os.listdir({str(tmp_path)!r}) else 1)\n")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=300,
+                       env={**os.environ, "JAX_PLATFORMS": "cpu",
+                            "PYTHONPATH": repo})
+    assert r.returncode == 0, r.stderr[-500:]
+    assert len(os.listdir(tmp_path)) > 0
 
 
 def test_program_key_separates_signatures(model):

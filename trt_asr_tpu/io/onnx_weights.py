@@ -267,8 +267,10 @@ def export_params_to_onnx(params: Dict[str, Any], cfg: ModelConfig, out_dir: str
         # ModelConfig reconstruction — a consumer (tools/import_onnx_model.py)
         # rebuilds the model from the export dir alone; real reference
         # exports lack this block and derive the architecture from the
-        # contract instead
-        "config": dataclasses.asdict(cfg),
+        # contract instead. conv_context_size is derived, kept for
+        # consumers that read it directly (tools/onnx_pipeline.py:79)
+        "config": {**dataclasses.asdict(cfg),
+                   "conv_context_size": cfg.conv_context_size},
         # extra (ours): the cache-aware schedule + decode constants a
         # third-party runtime needs to drive encoder_streaming.onnx closed
         # loop (the reference kept these in the contract JSON; embedding

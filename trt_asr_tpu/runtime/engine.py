@@ -329,7 +329,14 @@ def apply_compile_cache(cache_dir: str) -> None:
     Any jit compile after this call is written to / fetched from disk, so a
     fresh process serving the same programs skips compilation — the
     TRT-engine cold-start story. Wired to ``TRT_ASR_COMPILE_CACHE``
-    (RuntimeConfig.compile_cache_dir); applied at model construction."""
+    (RuntimeConfig.compile_cache_dir); applied at model construction.
+
+    ONE-WAY per process: jax memoizes the cache backend on first use, so
+    resetting jax_compilation_cache_dir afterwards does NOT stop writes
+    (measured: compiles keep calling put_executable_and_time with the dir
+    restored to None — and if the dir has been deleted, the write path can
+    segfault). Enable it only in processes that keep it for their lifetime;
+    tests exercise it in a subprocess (tests/test_engine.py)."""
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
