@@ -35,9 +35,11 @@ Which to use: the persistent cache is the PRODUCTION cold-start path —
 the live jit keeps buffer donation, so per-step cost is unchanged. The
 serialized artifacts are the portability/audit path (executable outside
 this codebase's Python, sha256-pinned, inspectable): jax.export's .call
-re-stages without donation, measured ~4x per-step overhead at tiny/CPU
-scale (absolute cost is host-side, so it shrinks relative to real-model
-step time). Both are token-exact with the live path.
+re-stages without donation — ~4x per-step at tiny/CPU scale where host
+costs dominate, but 0.98x (noise) at FULL size on the real chip
+(tools/perf/engine_overhead_tpu.py, artifacts/perf/engine_overhead_tpu.json),
+so at production scale both paths are equivalent per step. Both are
+token-exact with the live path.
 """
 
 from __future__ import annotations
