@@ -156,6 +156,14 @@ int main(int argc, char** argv) {
             return 2;
         }
     }
+    if (feature_norm != "none" && feature_norm != "per_feature") {
+        // validate the FINAL value: flag values and env defaults alike —
+        // an unknown string would otherwise silently decode unnormalized
+        std::fprintf(stderr, "invalid --feature-norm '%s' (none|per_feature; "
+                     "also via TRT_ASR_FEATURE_NORM/PARAKEET_FEATURE_NORM)\n",
+                     feature_norm.c_str());
+        return 2;
+    }
     if (input.empty()) {
         std::fprintf(stderr,
                      "usage: trt_asr_cli <input> --model-dir DIR [--stream-sim S] "

@@ -94,22 +94,30 @@ def main() -> int:
     manifest = build_engines(model, args.outdir, smoke=not args.no_smoke,
                              batch_sizes=batch_sizes)
     if args.cache_dir:
-        # one warm execution of every live-jit program populates the
-        # persistent cache alongside the serialized artifacts: a fresh
-        # server process with TRT_ASR_COMPILE_CACHE pointed here starts
-        # compile-free (the TRT load-.engine cold-start analog)
-        import numpy as np
+        # one warm execution of EVERY built live-jit program (all four
+        # session shapes incl. both flushes, plus each --batch lockstep
+        # program) populates the persistent cache alongside the serialized
+        # artifacts: a fresh server process with TRT_ASR_COMPILE_CACHE
+        # pointed here starts compile-free (the TRT load-.engine analog)
+        import jax
 
-        from trt_asr_tpu.streaming.session import StreamingSession
+        from trt_asr_tpu.runtime.engine import (
+            _fresh_like,
+            batch_program_specs,
+            session_program_specs,
+        )
 
-        sess = StreamingSession(model)
-        frames = (model.cfg.chunk_size_frames[0]
-                  + model.cfg.shift_size_frames[1] + 1)
-        sess.push_features(np.zeros((frames, model.cfg.feat_in), np.float32))
-        sess.finalize()
+        specs = session_program_specs(model)
+        for b in batch_sizes:
+            specs += batch_program_specs(model, b)
+        for sp in specs:
+            a = tuple(v if i == 1 else _fresh_like(v)
+                      for i, v in enumerate(sp.args))
+            jax.block_until_ready(sp.resolve_fn()(*a, **sp.kwargs))
         n_cached = len(os.listdir(args.cache_dir))
-        manifest["build"]["compile_cache"] = {"dir": args.cache_dir,
-                                              "entries": n_cached}
+        manifest["build"]["compile_cache"] = {
+            "dir": args.cache_dir, "entries": n_cached,
+            "warmed_programs": [sp.name for sp in specs]}
         with open(os.path.join(args.outdir, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=1)
     wall = time.perf_counter() - t0

@@ -40,15 +40,14 @@ def main() -> int:
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu", "env"])
     args = ap.parse_args()
 
-    # default CPU: the axon sitecustomize otherwise routes the in-process
-    # beam suite through the TPU tunnel at ~minutes/utterance
-    # (docs/DEBUGGING.md trap; gate_lm_eval hit exactly this)
+    # default CPU: the axon sitecustomize otherwise routes this in-process
+    # tool through the TPU tunnel at ~minutes/utterance (docs/DEBUGGING.md
+    # trap #5); one shared implementation, runtime/platform.py
     if args.platform != "env":
         os.environ["JAX_PLATFORMS"] = args.platform
-    import jax
+    from trt_asr_tpu.runtime.platform import ensure_requested_platform
 
-    if args.platform != "env":
-        jax.config.update("jax_platforms", args.platform)
+    ensure_requested_platform()
 
     from trt_asr_tpu.eval.manifest import ManifestEntry, write_manifest
     from trt_asr_tpu.eval.suite import SuiteConfig, run_suite

@@ -54,13 +54,13 @@ def main() -> int:
     args = ap.parse_args()
 
     # default CPU: the axon sitecustomize otherwise routes this in-process
-    # eval through the TPU tunnel at ~minutes/utterance (docs/DEBUGGING.md)
+    # tool through the TPU tunnel at ~minutes/utterance (docs/DEBUGGING.md
+    # trap #5); one shared implementation, runtime/platform.py
     if args.platform != "env":
         os.environ["JAX_PLATFORMS"] = args.platform
-    import jax
+    from trt_asr_tpu.runtime.platform import ensure_requested_platform
 
-    if args.platform != "env":
-        jax.config.update("jax_platforms", args.platform)
+    ensure_requested_platform()
 
     from trt_asr_tpu.config import RuntimeConfig
     from trt_asr_tpu.eval.wer import score_corpus

@@ -50,15 +50,14 @@ def main() -> int:
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu", "env"])
     args = ap.parse_args()
 
-    # default CPU: without this, the axon sitecustomize routes the beam
-    # suite through the TPU tunnel at ~minutes/utterance (docs/DEBUGGING.md;
-    # the r3 gate's native surface hit the same trap)
+    # default CPU: the axon sitecustomize otherwise routes this in-process
+    # tool through the TPU tunnel at ~minutes/utterance (docs/DEBUGGING.md
+    # trap #5); one shared implementation, runtime/platform.py
     if args.platform != "env":
         os.environ["JAX_PLATFORMS"] = args.platform
-    import jax
+    from trt_asr_tpu.runtime.platform import ensure_requested_platform
 
-    if args.platform != "env":
-        jax.config.update("jax_platforms", args.platform)
+    ensure_requested_platform()
 
     import numpy as np
 
@@ -101,7 +100,13 @@ def main() -> int:
     write_manifest(man, entries)
 
     rows = {}
-    for w in [float(x) for x in args.lm_weights.split(",")]:
+    weights = [float(x) for x in args.lm_weights.split(",")]
+    if 0.0 not in weights:
+        # the unfused baseline anchors the verdict; run it even if the
+        # caller only listed fused weights (otherwise the verdict lookup
+        # would fail AFTER the whole expensive sweep)
+        weights.insert(0, 0.0)
+    for w in weights:
         label = f"beam{args.beam}_lm{w:g}"
         t0 = time.time()
         res = run_suite(SuiteConfig(

@@ -95,12 +95,14 @@ def main() -> int:
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu", "env"])
     args = ap.parse_args()
 
+    # default CPU: the axon sitecustomize otherwise routes this in-process
+    # tool through the TPU tunnel at ~minutes/utterance (docs/DEBUGGING.md
+    # trap #5); one shared implementation, runtime/platform.py
     if args.platform != "env":
         os.environ["JAX_PLATFORMS"] = args.platform
-    import jax
+    from trt_asr_tpu.runtime.platform import ensure_requested_platform
 
-    if args.platform != "env":
-        jax.config.update("jax_platforms", args.platform)
+    ensure_requested_platform()
 
     from trt_asr_tpu.config import ModelConfig
     from trt_asr_tpu.models.parakeet.model import ParakeetTDT
@@ -139,6 +141,11 @@ def main() -> int:
     time.sleep(1.5)
     srv.stop()
 
+    if not samples:
+        print(json.dumps({"pass": False,
+                          "error": "no samples: --minutes shorter than "
+                                   "--sample-s; lower --sample-s"}))
+        return 1
     # verdicts
     half = len(samples) // 2 or 1
     rss = [s["rss_mb"] for s in samples]

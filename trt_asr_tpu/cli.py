@@ -134,9 +134,22 @@ def main(argv=None) -> int:
                          "--feature-norm none)")
     args = ap.parse_args(argv)
 
+    if args.feature_norm not in ("none", "per_feature"):
+        # argparse validates flag values against choices but NOT env-derived
+        # defaults — a typo'd TRT_ASR_FEATURE_NORM would otherwise silently
+        # decode unnormalized garbage
+        ap.error(f"invalid feature norm {args.feature_norm!r} "
+                 f"(TRT_ASR_FEATURE_NORM/PARAKEET_FEATURE_NORM env?)")
     rt = RuntimeConfig.from_env()
     if args.compile_cache:
         rt.compile_cache_dir = args.compile_cache   # flag > env
+    if rt.compile_cache_dir:
+        # apply here, not only inside ParakeetTDT.__init__: the synthetic-
+        # model path constructs via ParakeetTDT.random() (default runtime)
+        # and assigns rt afterwards, which would silently skip the cache
+        from trt_asr_tpu.runtime.engine import apply_compile_cache
+
+        apply_compile_cache(rt.compile_cache_dir)
     if args.model_dir:
         model = ParakeetTDT.from_model_dir(args.model_dir, runtime=rt)
     elif args.synthetic_model:

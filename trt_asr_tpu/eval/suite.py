@@ -20,6 +20,7 @@ reference never had; VERDICT r2 #6 requires the WER gate to face it).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import subprocess
@@ -78,6 +79,20 @@ def _parse_cli_stdout(stdout: str) -> Dict[str, object]:
             "num_finals": len(finals)}
 
 
+def _load_lm_cached(path: str):
+    """Per-(path, mtime) memo: _run_python_engine runs once per utterance
+    per round — re-parsing a multi-MB LM JSON every utterance is pure
+    waste in the eval hot loop."""
+    return _load_lm_mtime(path, os.path.getmtime(path))
+
+
+@functools.lru_cache(maxsize=4)
+def _load_lm_mtime(path: str, _mtime: float):
+    from trt_asr_tpu.decode.ngram_lm import NGramLM
+
+    return NGramLM.load(path)
+
+
 def _run_python_engine(entry: ManifestEntry, model, variant_env: Dict[str, str],
                        cfg: SuiteConfig) -> Dict[str, object]:
     from trt_asr_tpu.frontend import compute_per_feature_stats
@@ -99,9 +114,7 @@ def _run_python_engine(entry: ManifestEntry, model, variant_env: Dict[str, str],
 
             lm_kw = {}
             if cfg.lm_path:
-                from trt_asr_tpu.decode.ngram_lm import NGramLM
-
-                lm_kw = dict(lm_fn=NGramLM.load(cfg.lm_path),
+                lm_kw = dict(lm_fn=_load_lm_cached(cfg.lm_path),
                              lm_weight=cfg.lm_weight)
             sess = BeamStreamingSession(
                 model, beam=cfg.beam, runtime=rt,

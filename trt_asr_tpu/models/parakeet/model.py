@@ -129,7 +129,10 @@ class ParakeetTDT:
         # toward punctuation spam and skips them unconditionally
         # (parakeet_trt.cpp:1933-1944); TRT_ASR_EXTRA_PROMPT exposes the
         # knob so the decision stays measurable per model
-        extra = tuple(t for t in self.runtime.extra_prompt.split(",") if t)
+        # strip(): absent tokens are skipped by design, so a comma-space
+        # (" <|noitn|>") would otherwise silently drop the constraint
+        extra = tuple(t.strip() for t in self.runtime.extra_prompt.split(",")
+                      if t.strip())
         for t in ("<|startoftranscript|>", lang) + extra:
             i = self.tokenizer.token_id(t)
             if i >= 0:

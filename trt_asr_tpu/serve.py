@@ -124,12 +124,16 @@ class AsrServer:
         except OSError:
             pass
 
-    def serve_forever(self) -> None:
-        self.start()
+    def serve_forever(self, warmup: bool = True) -> None:
+        self.start(warmup=warmup)
         try:
             while not self._stop.is_set():
                 time.sleep(0.2)
         except KeyboardInterrupt:
+            pass
+        finally:
+            # whether the loop ended by KeyboardInterrupt or a client-
+            # initiated _stop, close the listening socket deterministically
             self.stop()
 
     # -- accept / client handling ---------------------------------------
@@ -585,12 +589,7 @@ def main(argv=None) -> int:
                     port=args.port, runtime=rt, engines=engines)
     print(f"trt-asr-tpu-serve listening on {srv.addr[0]}:{srv.addr[1]} "
           f"(batch_size={args.batch_size})", flush=True)
-    srv.start(warmup=not args.no_warmup)
-    try:
-        while not srv._stop.is_set():
-            time.sleep(0.2)
-    except KeyboardInterrupt:
-        srv.stop()
+    srv.serve_forever(warmup=not args.no_warmup)
     return 0
 
 

@@ -302,21 +302,23 @@ class BatchStreamingEngine:
                     self._feed(np.full((self.b,), cfg.valid_out_len, np.int32)))
 
         kwargs = self._step_call_kwargs()
-        out = _batch_step(*scratch_args(enc, dec), **kwargs)
-        np.asarray(out[1])  # fence: the compiled program actually ran
+        prog = None
         if self._engines is not None:
-            # the AOT-artifact call path compiles separately from the live
-            # jit — warm it too, or the first served step pays it
             from trt_asr_tpu.runtime.engine import program_key
 
-            enc2 = self._place_enc(init_encoder_state(cfg, self.b))
-            dec2 = self._place_dec(init_decode_state(cfg, self.b))
-            args2 = scratch_args(enc2, dec2)
             if self._engine_key is None:
-                self._engine_key = program_key(args2, kwargs)
+                self._engine_key = program_key(scratch_args(enc, dec), kwargs)
             prog = self._engines.get(self._engine_key)
-            if prog is not None:
-                np.asarray(self._engines.call(prog, args2, kwargs)[1])
+        if prog is not None:
+            # every served step will hit the artifact — warm ITS call path
+            # and skip the live-jit compile entirely (it would cost the
+            # full trace+compile the engines exist to avoid; the fallback
+            # compiles lazily in the unlikely event of a later miss)
+            np.asarray(self._engines.call(prog, scratch_args(enc, dec),
+                                          kwargs)[1])
+        else:
+            out = _batch_step(*scratch_args(enc, dec), **kwargs)
+            np.asarray(out[1])  # fence: the compiled program actually ran
         return time.perf_counter() - t0
 
     def pending(self) -> int:
