@@ -364,3 +364,31 @@ def test_transcribe_continuous_helper(model):
         assert segs[1]["text"] == want_text
     finally:
         srv.stop()
+
+
+def test_daemon_serves_from_aot_engines(model, tmp_path):
+    """serve.py --engines path: the daemon's lockstep program runs through
+    the deserialized StableHLO artifact — warmup warms the artifact call
+    path (not the live jit), every served step is an engine hit, and the
+    transcript is identical to the engine-less daemon."""
+    from trt_asr_tpu.runtime.engine import EngineSet, build_engines
+
+    rt = RuntimeConfig(suppress_leading_punct=False)
+    d = tmp_path / "daemon_engines"
+    # build under the SAME runtime the server uses: blank_penalty etc. are
+    # part of the program signature
+    build_engines(model, str(d), runtime=rt, smoke=False, batch_sizes=(2,))
+    es = EngineSet.load(str(d))
+
+    audio = _audio(24000, 9)
+    want, _ = _direct(model, audio)
+
+    srv = AsrServer(model, batch_size=2, port=0, runtime=rt, engines=es)
+    srv.start(warmup=True)
+    try:
+        got = transcribe(srv.addr[0], srv.addr[1], audio)
+        assert got["text"] == want
+        assert srv.engine.engine_misses == 0
+        assert srv.engine.engine_hits > 0
+    finally:
+        srv.stop()
