@@ -108,6 +108,18 @@ def main() -> int:
     from trt_asr_tpu.models.parakeet.model import ParakeetTDT
     from trt_asr_tpu.serve import AsrServer
 
+    if args.clients >= args.batch_size:
+        # continuous segment rollover opens the NEXT segment's slot while
+        # the previous finalizes, so every continuous client transiently
+        # needs a second slot; at clients == batch_size rollovers hit
+        # capacity errors and the soak measures a misconfiguration, not
+        # the daemon (observed: 0 segments, RSS growth from unconsumed
+        # buffers). serve.py surfaces this as a recoverable error event —
+        # the soak's job is steady state, so require headroom up front.
+        raise SystemExit(f"--clients {args.clients} needs --batch-size > "
+                         f"clients (rollover headroom); got "
+                         f"{args.batch_size}")
+
     model = ParakeetTDT.random(ModelConfig.tiny(), seed=0)
     srv = AsrServer(model, batch_size=args.batch_size, port=0)
     srv.start(warmup=True)
