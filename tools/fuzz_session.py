@@ -17,6 +17,10 @@ must be token-exact with the canonical single-push session:
   engine    BatchStreamingEngine slot (alongside a decoy stream), random
             per-step feed sizes
   beam1     streaming beam session with beam=1 (anchors beam to greedy)
+  onnx      (opt-in, --surfaces onnx) the pure-numpy exported-ONNX
+            pipeline — the op-level-independent 4th implementation —
+            against a flag-matched session, identical random feature
+            pushes (artifacts/fuzz_onnx_surface.json)
 
     python tools/fuzz_session.py --seeds 50 --out artifacts/fuzz_session.json
 
@@ -120,15 +124,68 @@ def run_seed(model, seed: int, surfaces) -> dict:
         s.finalize()
         got["beam1"] = list(s._tokens)
 
+    wants = {name: want for name in got}
+    if "onnx" in surfaces:
+        # the pure-numpy exported-ONNX pipeline (the op-level-independent
+        # 4th implementation) under random geometry. The pipeline has no
+        # leading-punct suppression, so its reference is a session with
+        # the same flags (mirrors tests/test_onnx_pipeline.py); both sides
+        # consume identical FEATURES in random row-granularity pushes.
+        from tools.onnx_pipeline import OnnxStreamingPipeline
+        from trt_asr_tpu.config import RuntimeConfig
+
+        export_dir = _ensure_export(model)
+        feats = np.asarray(model.features(audio, norm="none"))
+        ref2 = StreamingSession(
+            model, RuntimeConfig(suppress_leading_punct=False))
+        pipe = OnnxStreamingPipeline(export_dir)
+        t_rows = feats.shape[0]
+        cuts = [(max(0, a // 160), max(0, b // 160))
+                for a, b in random_pushes(rng, n)]
+        done = 0
+        for _, b in cuts:
+            b = min(b, t_rows)
+            if b > done:
+                ref2.push_features(feats[done:b])
+                pipe.push_features(feats[done:b])
+                done = b
+        if done < t_rows:
+            ref2.push_features(feats[done:])
+            pipe.push_features(feats[done:])
+        ref2.finalize()
+        pipe.finalize()
+        got["onnx"] = list(pipe.tokens)
+        wants["onnx"] = list(ref2._tokens)
+
     fails = {}
     for name, toks in got.items():
-        if toks != want:
-            div = next((i for i, (x, y) in enumerate(zip(toks, want)) if x != y),
-                       min(len(toks), len(want)))
-            fails[name] = {"len": len(toks), "want_len": len(want),
+        w = wants[name]
+        if toks != w:
+            div = next((i for i, (x, y) in enumerate(zip(toks, w)) if x != y),
+                       min(len(toks), len(w)))
+            fails[name] = {"len": len(toks), "want_len": len(w),
                            "first_divergence": div}
     return {"seed": seed, "samples": n, "tokens": len(want),
             "surfaces": sorted(got), "fails": fails}
+
+
+_EXPORT_DIR = {}
+
+
+def _ensure_export(model) -> str:
+    """Export the model's executable ONNX graphs once per process (the
+    onnx fuzz surface's system under test)."""
+    key = id(model)
+    if key not in _EXPORT_DIR:
+        import tempfile
+
+        from trt_asr_tpu.io.onnx_weights import export_params_to_onnx
+
+        d = tempfile.mkdtemp(prefix="fuzz_onnx_")
+        export_params_to_onnx(model.params, model.cfg, d,
+                              prompt_ids=model.prompt_ids)
+        _EXPORT_DIR[key] = d
+    return _EXPORT_DIR[key]
 
 
 def main() -> int:
