@@ -128,10 +128,18 @@ def main() -> int:
 
     base_label = f"beam{args.beam}_lm0"
     base = rows[base_label]["wer"]
-    best_label = min(rows, key=lambda k: rows[k]["wer"])
+    # the verdict must be falsifiable: best is taken over FUSED rows only
+    # (w>0). Including the unfused baseline made "best <= base" true by
+    # construction, so the tool could never fail even when fusion hurt at
+    # every weight (ADVICE r3).
+    fused = {k: v for k, v in rows.items() if v["lm_weight"] > 0}
+    if not fused:
+        print("no fused (w>0) rows — nothing to verdict", file=sys.stderr)
+        return 2
+    best_label = min(fused, key=lambda k: fused[k]["wer"])
     verdict = {
         "unfused_wer": base,
-        "best": {"label": best_label, "wer": rows[best_label]["wer"]},
+        "best_fused": {"label": best_label, "wer": rows[best_label]["wer"]},
         "fusion_never_hurts_at_best": rows[best_label]["wer"] <= base,
         "abs_improvement": base - rows[best_label]["wer"],
     }

@@ -160,10 +160,15 @@ def main(argv=None) -> int:
         ap.error("provide --model-dir or --synthetic-model")
 
     beam = args.beam if args.beam > 0 else rt.beam_width  # flag > env
-    if args.bias and beam <= 0:
-        ap.error("--bias requires beam decoding (--beam N)")
-    if args.lm and beam <= 0:
-        ap.error("--lm requires beam decoding (--beam N)")
+    # beam=1 is the exact-greedy special case (single argmax successor per
+    # step, decode/beam.py): an LM/bias score could never change a token,
+    # so accepting --lm/--bias there would silently decode unfused
+    if args.bias and beam <= 1:
+        ap.error("--bias requires beam decoding with --beam >= 2 "
+                 "(beam 1 is exact greedy; fusion cannot apply)")
+    if args.lm and beam <= 1:
+        ap.error("--lm requires beam decoding with --beam >= 2 "
+                 "(beam 1 is exact greedy; fusion cannot apply)")
     if args.lm and args.bias:
         ap.error("--lm and --bias both supply the fusion lm_fn; pick one")
 

@@ -235,6 +235,14 @@ def build_engines(model, outdir: str, runtime=None, smoke: bool = True,
     for b in batch_sizes:
         specs += batch_program_specs(model, b, runtime)
     dev = jax.devices()[0]
+    # the precision/quant knobs baked into the exported StableHLO do NOT
+    # change shapes/dtypes, so a server running different knobs would
+    # silently execute the builder's numerics with no audit trail (ADVICE
+    # r3) — record them like trtexec records builder flags, and warn on
+    # mismatch at EngineSet.load
+    from trt_asr_tpu.ops import common as _ops_common
+
+    rt_cfg = runtime if runtime is not None else getattr(model, "runtime", None)
     manifest: Dict[str, Any] = {
         "format": "jax.export serialized StableHLO",
         "build": {
@@ -242,6 +250,12 @@ def build_engines(model, outdir: str, runtime=None, smoke: bool = True,
             "platform": dev.platform,
             "device_kind": getattr(dev, "device_kind", str(dev)),
             "num_programs": len(specs),
+            "f32_precision": next(
+                k for k, v in _ops_common._PRECISION_MODES.items()
+                if v is _ops_common._F32_PRECISION),
+            "compute_dtype": getattr(rt_cfg, "compute_dtype", None),
+            "decode_dtype": getattr(rt_cfg, "decode_dtype", None),
+            "quant": getattr(rt_cfg, "quant", None),
         },
         "engines": {},
     }
@@ -298,6 +312,22 @@ class EngineSet:
         _register_state_serialization()
         with open(os.path.join(engine_dir, "manifest.json")) as f:
             manifest = json.load(f)
+        # precision audit: the engines bake the BUILDER's numerics; a
+        # different TRT_ASR_F32_PRECISION in this process would otherwise
+        # silently serve the builder's precision with no trace (ADVICE r3)
+        built_prec = manifest.get("build", {}).get("f32_precision")
+        if built_prec:
+            from trt_asr_tpu.ops import common as _ops_common
+
+            cur = next(k for k, v in _ops_common._PRECISION_MODES.items()
+                       if v is _ops_common._F32_PRECISION)
+            if cur != built_prec:
+                import warnings
+
+                warnings.warn(
+                    f"engine set was built with f32_precision={built_prec} "
+                    f"but this process runs {cur}; engine calls execute the "
+                    f"BUILDER's precision", stacklevel=2)
         programs = {}
         for name, entry in manifest["engines"].items():
             path = os.path.join(engine_dir, entry["file"])

@@ -429,7 +429,14 @@ class StreamingSession:
         t0 = time.perf_counter()
         out = None
         if self._engines is not None:
-            memo_key = (spec.frames, spec.drop_extra, is_last)
+            # memo key = chunk geometry + EVERY static kwarg value (the
+            # scalar kwargs are exactly the jit statics; traced scalars are
+            # numpy types and filtered out). A per-chunk static or mid-
+            # session rt mutation therefore changes the key instead of
+            # silently mapping onto a stale memoized program signature.
+            memo_key = (spec.frames, spec.drop_extra, is_last, tuple(sorted(
+                (k, v) for k, v in kwargs.items()
+                if isinstance(v, (bool, int, float, str, type(None))))))
             prog_key = self._engine_key_memo.get(memo_key)
             if prog_key is None:
                 from trt_asr_tpu.runtime.engine import program_key
