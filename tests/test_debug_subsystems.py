@@ -85,7 +85,69 @@ def test_analyze_tap_tool(tmp_path):
         capture_output=True, text=True)
     assert out.returncode == 0
     assert "samples=16000" in out.stdout
-    assert "nan/inf: 0" in out.stdout
+    assert "nan/inf=0" in out.stdout
+    assert "writer gaps: 0" in out.stdout
+
+
+def test_tap_writer_gap_filling(tmp_path):
+    """stream_pos beyond the written count zero-fills the hole (reference
+    audio_tap.h gap_frames/gaps_filled) so replay stays time-aligned."""
+    run = TapRun(str(tmp_path))
+    w = run.audio()
+    w.write(np.ones(1000, np.float32), stream_pos=0)
+    w.write(np.ones(1000, np.float32), stream_pos=1500)   # 500 lost samples
+    run.close()
+    raw = np.fromfile(w.path, np.float32)
+    assert raw.size == 2500
+    assert np.all(raw[1000:1500] == 0.0) and np.all(raw[1500:] == 1.0)
+    with open(w.sidecar_path) as f:
+        sc = json.load(f)
+    assert sc["gap_count"] == 1 and sc["gap_values_filled"] == 500
+    assert sc["gaps_filled"] is True
+    nd = [json.loads(x) for x in open(w.ndjson_path)]
+    assert nd[1]["gap_values_filled"] == 500
+
+    # feature taps count stream_pos in FRAMES
+    run2 = TapRun(str(tmp_path / "f"))
+    wf = run2.features(n_mels=4)
+    wf.write(np.ones((10, 4), np.float32), stream_pos=0)
+    wf.write(np.ones((10, 4), np.float32), stream_pos=12)  # 2 lost frames
+    run2.close()
+    raw = np.fromfile(wf.path, np.float32)
+    assert raw.size == 22 * 4
+    assert np.all(raw[40:48] == 0.0)
+
+
+def test_analyze_tap_gaps_plot_compare(tmp_path):
+    """The analyzer reports writer gaps + wall-clock arrival gaps, renders
+    a PNG when matplotlib exists, and diffs two taps (--compare)."""
+    import time
+
+    run = TapRun(str(tmp_path))
+    w = run.audio()
+    w.write(0.1 * np.ones(1600, np.float32))          # 0.1 s of audio
+    time.sleep(0.25)                                   # >1.5x wall gap
+    w.write(0.1 * np.ones(1600, np.float32), stream_pos=3200)  # writer gap
+    run.close()
+    other = str(tmp_path / "other.f32")
+    raw = np.fromfile(w.path, np.float32)
+    mod = raw.copy()
+    mod[100] += 0.5
+    mod.tofile(other)
+    png = str(tmp_path / "tap.png")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "analyze_tap.py"),
+         w.path, "--plot", png, "--compare", other, "--json"],
+        capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    summary = json.loads(out.stdout)
+    assert summary["gaps"]["writer_gap_count"] == 1
+    assert summary["gaps"]["writer_gap_values_filled"] == 1600
+    wall = summary["gaps"]["wall_gaps"]
+    assert len(wall) == 1 and wall[0]["after_chunk"] == 0
+    assert summary["compare"]["first_divergence_index"] == 100
+    assert summary["compare"]["max_abs_diff"] == pytest.approx(0.5)
+    assert os.path.exists(png) and os.path.getsize(png) > 1000
 
 
 def test_nan_guard():

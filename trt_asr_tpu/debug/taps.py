@@ -56,11 +56,29 @@ class TapWriter:
         self._nan = 0
         self._peak = 0.0
         self._sumsq = 0.0
+        self._gap_count = 0
+        self._gap_values = 0
         self._f = open(self.path, "wb")
         self._nd = open(self.ndjson_path, "w")
 
-    def write(self, x: np.ndarray, meta: Optional[Dict] = None) -> None:
+    def write(self, x: np.ndarray, meta: Optional[Dict] = None,
+              stream_pos: Optional[int] = None) -> None:
+        """Append one chunk. ``stream_pos`` (samples for audio taps, frames
+        for feature taps) is this chunk's position in the SOURCE stream;
+        when it lies beyond what has been written, the hole is zero-filled
+        and counted, so the tap file stays time-aligned with the source —
+        the reference tap writer's gap-filling behavior
+        (cpp/include/audio_tap.h gap_frames/gaps_filled)."""
         x = np.asarray(x, np.float32)
+        gap_filled = 0
+        if stream_pos is not None:
+            want = int(stream_pos) * (self.bins or 1)
+            if want > self._count:
+                gap_filled = want - self._count
+                np.zeros(gap_filled, np.float32).tofile(self._f)
+                self._count += gap_filled
+                self._gap_count += 1
+                self._gap_values += gap_filled
         x.tofile(self._f)
         st = _stats(x)
         self._count += x.size
@@ -69,6 +87,8 @@ class TapWriter:
         self._peak = max(self._peak, st["peak"])
         self._sumsq += float(np.square(x[np.isfinite(x)]).sum())
         rec = {"chunk": self._chunks - 1, "t": time.time(), **st}
+        if gap_filled:
+            rec["gap_values_filled"] = gap_filled
         if meta:
             rec.update(meta)
         self._nd.write(json.dumps(rec) + "\n")
@@ -92,6 +112,9 @@ class TapWriter:
             "peak": self._peak,
             "rms": rms,
             "dbfs_peak": 20.0 * math.log10(self._peak) if self._peak > 0 else -200.0,
+            "gap_count": self._gap_count,
+            "gap_values_filled": self._gap_values,
+            "gaps_filled": self._gap_count > 0,
         }
         with open(self.sidecar_path, "w") as f:
             json.dump(sidecar, f, indent=1)

@@ -210,10 +210,16 @@ class StreamingSession:
 
     # -- input ----------------------------------------------------------
 
-    def push_audio(self, samples: np.ndarray) -> int:
+    def push_audio(self, samples: np.ndarray,
+                   stream_pos: Optional[int] = None) -> int:
+        """``stream_pos``: this chunk's sample offset in the SOURCE stream
+        (optional). When the capture side dropped audio, the tap writer
+        zero-fills the hole and counts it (reference audio_tap.h gap
+        filling), keeping tap replay time-aligned with the source."""
         if self._taps is not None:
             self._taps.audio().write(np.asarray(samples, np.float32),
-                                     {"ctx": self._debug_ctx})
+                                     {"ctx": self._debug_ctx},
+                                     stream_pos=stream_pos)
         feats = self._mel.push(np.asarray(samples, np.float32))
         return self.push_features(feats)
 
