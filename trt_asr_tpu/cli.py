@@ -109,6 +109,12 @@ def main(argv=None) -> int:
                          "path. >0 decodes with the streaming beam "
                          "session and prints NBest lines (capability "
                          "beyond the greedy-only reference)")
+    ap.add_argument("--beam-device", action="store_true",
+                    help="run the beam search ON DEVICE (one jitted "
+                         "program per chunk, no per-step host round "
+                         "trips — decode/beam_device.py); n-best "
+                         "identical to the host search. Incompatible "
+                         "with --lm/--bias (host LM callables)")
     ap.add_argument("--bias", default="",
                     help="comma-separated hotword phrases boosted during "
                          "beam decoding (decode/biasing.py contextual "
@@ -171,6 +177,11 @@ def main(argv=None) -> int:
                  "(beam 1 is exact greedy; fusion cannot apply)")
     if args.lm and args.bias:
         ap.error("--lm and --bias both supply the fusion lm_fn; pick one")
+    if args.beam_device and (args.lm or args.bias):
+        ap.error("--beam-device runs the search on device; --lm/--bias "
+                 "are host callables — drop one or the other")
+    if args.beam_device and beam <= 0:
+        ap.error("--beam-device requires --beam N")
 
     def make_session(**kw) -> StreamingSession:
         if beam > 0:
@@ -188,7 +199,9 @@ def main(argv=None) -> int:
 
                 lm_kw = dict(lm_fn=NGramLM.load(args.lm),
                              lm_weight=args.lm_weight)
-            return BeamStreamingSession(model, beam=beam, **lm_kw, **kw)
+            return BeamStreamingSession(model, beam=beam,
+                                        device=args.beam_device,
+                                        **lm_kw, **kw)
         return StreamingSession(model, **kw)
 
     def print_nbest(sess) -> None:

@@ -81,12 +81,26 @@ class BeamStreamingSession(StreamingSession):
     def __init__(self, model: ParakeetTDT, *, beam: int = 4,
                  expansion_k: int = 4, length_norm: float = 0.0,
                  lm_fn: Optional[Callable[[List[int], int], float]] = None,
-                 lm_weight: float = 0.0, **kw):
+                 lm_weight: float = 0.0, device: bool = False,
+                 token_cap: int = 512, **kw):
+        """``device=True`` runs the whole search on device
+        (decode/beam_device.py): one jitted program advances the frontier
+        over the chunk's encoder rows with no per-step host round trip —
+        the n-best is bit-compatible with the host search (tests). The
+        host path remains the surface for ``lm_fn`` (an arbitrary host
+        callable) and unbounded hypothesis length; ``token_cap`` bounds
+        the device per-hypothesis token buffers."""
         self.beam = int(beam)
         self.expansion_k = int(expansion_k)
         self.length_norm = float(length_norm)
         self.lm_fn = lm_fn
         self.lm_weight = float(lm_weight)
+        self.device = bool(device)
+        self.token_cap = int(token_cap)
+        if self.device and lm_fn is not None:
+            raise ValueError(
+                "device beam does not support lm_fn (host callable); "
+                "use device=False for LM fusion / biasing")
         self._nbest_hyps = []
         # the shared host-callable triplet (decode/beam.py make_host_fns:
         # jitted single-step joint/predictor + frontier-batched joint)
@@ -101,9 +115,16 @@ class BeamStreamingSession(StreamingSession):
     def reset_utterance(self) -> None:
         super().reset_utterance()
         ds = self._dec_state   # prompt-primed by the parent reset
-        self._beam_state: BeamSearchState = beam_start(
-            np.asarray(ds.g)[0], int(np.asarray(ds.y_id)[0]),
-            (ds.h, ds.c), emitted_so_far=0)
+        if self.device:
+            from trt_asr_tpu.decode.beam_device import init_beam_device_state
+
+            self._dev_state = init_beam_device_state(
+                self.cfg, ds, beam=self.beam, token_cap=self.token_cap)
+            self._beam_state = BeamSearchState()   # refreshed on demand
+        else:
+            self._beam_state = beam_start(
+                np.asarray(ds.g)[0], int(np.asarray(ds.y_id)[0]),
+                (ds.h, ds.c), emitted_so_far=0)
         self._nbest_hyps = []
         # () not None: the no-tokens-yet state must compare equal to an
         # empty decode, or the first push emits a spurious empty partial
@@ -138,21 +159,43 @@ class BeamStreamingSession(StreamingSession):
             cache_drop=cache_drop,
             valid_cap=None if is_last else cfg.valid_out_len,
             pos_proj=pos_proj)
-        t_out = int(np.asarray(out_len)[0])
-        frames = np.asarray(enc)[0, :t_out]
-        punct_ids = (set(np.flatnonzero(self.model.punct_mask).tolist())
-                     if rt.suppress_leading_punct else None)
-        self._beam_state = beam_advance(
-            self._beam_state, frames, self._joint_fn, self._predictor_fn,
-            blank_id=cfg.blank_id, token_head_size=cfg.token_head_size,
-            duration_values=cfg.duration_values, beam=self.beam,
-            expansion_k=self.expansion_k,
-            max_symbols=cfg.max_symbols_per_timestep,
-            blank_penalty=rt.blank_penalty, punct_token_ids=punct_ids,
-            lm_fn=self.lm_fn, lm_weight=self.lm_weight,
-            joint_batch_fn=self._joint_batch_fn)
-        best = beam_best(self._beam_state)
-        self._tokens = list(best.tokens) if best is not None else []
+        if self.device:
+            # encoder rows never leave the device: the beam program
+            # consumes them in place and only the small carried state
+            # (scores + best tokens) is fetched for partials
+            from trt_asr_tpu.decode.beam_device import tdt_beam_chunk_device
+
+            self._dev_state = tdt_beam_chunk_device(
+                self.model.params, cfg, enc[0],
+                out_len[0].astype("int32"), self._dev_state,
+                beam=self.beam, expansion_k=self.expansion_k,
+                max_symbols=cfg.max_symbols_per_timestep,
+                blank_penalty=rt.blank_penalty,
+                punct_mask=(self.model.punct_mask
+                            if rt.suppress_leading_punct else None),
+                use_punct_mask=rt.suppress_leading_punct)
+            score = np.asarray(self._dev_state.score)
+            best_i = int(np.argmax(score))
+            n = int(np.asarray(self._dev_state.n_tok)[best_i])
+            self._tokens = [int(t) for t in np.asarray(
+                self._dev_state.tokens)[best_i, :n]]
+            t_out = int(np.asarray(out_len)[0])
+        else:
+            t_out = int(np.asarray(out_len)[0])
+            frames = np.asarray(enc)[0, :t_out]
+            punct_ids = (set(np.flatnonzero(self.model.punct_mask).tolist())
+                         if rt.suppress_leading_punct else None)
+            self._beam_state = beam_advance(
+                self._beam_state, frames, self._joint_fn, self._predictor_fn,
+                blank_id=cfg.blank_id, token_head_size=cfg.token_head_size,
+                duration_values=cfg.duration_values, beam=self.beam,
+                expansion_k=self.expansion_k,
+                max_symbols=cfg.max_symbols_per_timestep,
+                blank_penalty=rt.blank_penalty, punct_token_ids=punct_ids,
+                lm_fn=self.lm_fn, lm_weight=self.lm_weight,
+                joint_batch_fn=self._joint_batch_fn)
+            best = beam_best(self._beam_state)
+            self._tokens = list(best.tokens) if best is not None else []
         self._frames_base += t_out
         ms = (time.perf_counter() - t0) * 1e3
         self._chunk_latencies_ms.append(ms)
@@ -188,6 +231,19 @@ class BeamStreamingSession(StreamingSession):
 
     # -- results ----------------------------------------------------------
 
+    def _host_pool(self) -> BeamSearchState:
+        """The active pool as host Hypothesis objects (fetched from the
+        device in device mode) so finish/nbest/stable-prefix share one
+        implementation."""
+        if self.device:
+            from trt_asr_tpu.decode.beam_device import (
+                beam_device_to_hypotheses,
+            )
+
+            return BeamSearchState(
+                active=beam_device_to_hypotheses(self._dev_state))
+        return self._beam_state
+
     def finalize(self) -> None:
         """End of utterance: flush the final short chunk, rank the pool,
         emit FinalText for the 1-best; ``nbest()`` has the full list."""
@@ -197,7 +253,7 @@ class BeamStreamingSession(StreamingSession):
         if spec is not None:
             self._run_chunk(spec, is_last=True)
         self._nbest_hyps = beam_finish(
-            self._beam_state, beam=self.beam, length_norm=self.length_norm)
+            self._host_pool(), beam=self.beam, length_norm=self.length_norm)
         self._tokens = (list(self._nbest_hyps[0].tokens)
                         if self._nbest_hyps else [])
         if self._nbest_hyps:
@@ -231,13 +287,13 @@ class BeamStreamingSession(StreamingSession):
         if self._finalized:
             return self.text
         return self.model.tokenizer.decode(
-            beam_stable_prefix(self._beam_state))
+            beam_stable_prefix(self._host_pool()))
 
     def nbest(self) -> List[Tuple[str, List[int], float]]:
         """Ranked (text, token_ids, score) — after finalize the finished
         n-best, mid-stream the current pool's ordering."""
         hyps = (self._nbest_hyps if self._nbest_hyps
-                else beam_finish(self._beam_state, beam=self.beam,
+                else beam_finish(self._host_pool(), beam=self.beam,
                                  length_norm=self.length_norm))
         return [(self.model.tokenizer.decode(h.tokens), list(h.tokens),
                  h.score) for h in hyps]
