@@ -443,3 +443,66 @@ def test_flash_fallback_warns_and_counts(rng):
     assert att.flash_trace_counts["taken"] == before["taken"]
     assert any("use_flash requested but unavailable" in str(w.message)
                for w in rec)
+
+
+class TestRelShiftKernel:
+    """Fused rel-pos bias+shift kernel (ops/pallas/rel_shift_kernel.py):
+    bit-identical to the XLA einsum+skew it replaces — the skew alone cost
+    ~120 ms/forward at 30 s B=32 (artifacts/perf/offline_att_ablation_sub
+    .json); the kernel folds it into the pd matmul's VMEM epilogue."""
+
+    def _xla_bd(self, q_v, pos):
+        import jax.numpy as jnp
+
+        b, tq, h, dh = q_v.shape
+        pd = jnp.einsum("bthd,rhd->bhtr", q_v, pos,
+                        preferred_element_type=jnp.float32).astype(q_v.dtype)
+        r = pd.shape[-1]
+        padded = jnp.pad(pd, ((0, 0), (0, 0), (0, 0), (1, 0)))
+        return padded.reshape(b, h, tq * (r + 1))[..., tq:] \
+            .reshape(b, h, tq, r)[..., : tq]
+
+    @pytest.mark.parametrize("shape", [(2, 375, 8, 128), (1, 384, 4, 64),
+                                       (3, 130, 2, 128), (1, 57, 2, 32)])
+    def test_matches_xla_skew_bitwise(self, shape, rng):
+        import jax.numpy as jnp
+
+        from trt_asr_tpu.ops.pallas.rel_shift_kernel import \
+            rel_pos_bias_shifted
+
+        b, tq, h, dh = shape
+        q_v = jnp.asarray(rng.standard_normal((b, tq, h, dh))
+                          .astype(np.float32)).astype(jnp.bfloat16)
+        pos = jnp.asarray(rng.standard_normal((2 * tq - 1, h, dh))
+                          .astype(np.float32)).astype(jnp.bfloat16)
+        want = np.asarray(self._xla_bd(q_v, pos), np.float32)
+        got = np.asarray(rel_pos_bias_shifted(q_v, pos, tkv=tq,
+                                              interpret=True), np.float32)
+        np.testing.assert_array_equal(got, want)
+
+    def test_attention_with_shift_kernel_matches(self, rng):
+        """rel_pos_attention_kv(use_shift_kernel=True) == the XLA path on
+        the full offline attention core."""
+        import jax.numpy as jnp
+        from jax.experimental.pallas import tpu as pltpu
+
+        from trt_asr_tpu.ops.attention import rel_pos_attention_kv
+
+        b, t, h, dh = 2, 130, 2, 64
+        mk = lambda *s: jnp.asarray(  # noqa: E731
+            rng.standard_normal(s).astype(np.float32)).astype(jnp.bfloat16)
+        q, k, v = mk(b, t, h, dh), mk(b, t, h, dh), mk(b, t, h, dh)
+        pos = mk(2 * t - 1, h, dh)
+        bu, bv = mk(h, dh), mk(h, dh)
+        wo = mk(h * dh, h * dh)
+        mask = jnp.asarray(np.arange(t)[None, :] < np.array([t, 101])[:, None])
+        want = np.asarray(rel_pos_attention_kv(
+            q, k, v, pos, bu, bv, wo, kv_mask=mask,
+            use_shift_kernel=False), np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(rel_pos_attention_kv(
+                q, k, v, pos, bu, bv, wo, kv_mask=mask,
+                use_shift_kernel=True), np.float32)
+        np.testing.assert_allclose(got[0, :t], want[0, :t], atol=2e-2,
+                                   rtol=1e-2)
+        np.testing.assert_array_equal(got, want)

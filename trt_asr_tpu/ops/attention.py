@@ -77,6 +77,12 @@ def rel_pos_attention_kv(
     use_flash: bool = False,                # offline (Tq==Tkv, no cache):
                                             # blocked kernel, no T^2 score
                                             # materialization in HBM
+    use_shift_kernel: Optional[bool] = None,
+                                            # None = auto: fused rel-shift
+                                            # Pallas kernel on TPU offline
+                                            # shapes (the XLA skew costs
+                                            # ~120 ms/fwd at 30 s B=32 —
+                                            # offline_att_ablation_sub.json)
 ) -> jnp.ndarray:
     """Attention core on pre-projected q/k/v. Returns [B, Tq, D].
 
@@ -91,18 +97,38 @@ def rel_pos_attention_kv(
     q_u = q + pos_bias_u.astype(q.dtype)[None, None]
     q_v = q + pos_bias_v.astype(q.dtype)[None, None]
 
-    pd = einsum("bthd,rhd->bhtr", q_v, pos_proj.astype(q.dtype))  # [B,H,Tq,R]
     if rel_idx is None:
-        # static right-aligned offsets bd[t,s] = pd[t, tq-1-t+s]: the
-        # Transformer-XL relative SHIFT (pad + reshape + slice) instead of
-        # a [B,H,Tq,Tkv] gather — take_along_axis lowered to a generic
-        # gather that dominated offline long-T encode (30 s utterances:
-        # encoder MFU 13% gathered vs 32+% shifted)
-        r = pd.shape[-1]
-        padded = jnp.pad(pd, ((0, 0), (0, 0), (0, 0), (1, 0)))   # [B,H,Tq,R+1]
-        bd = padded.reshape(b, h, tq * (r + 1))[..., tq:] \
-            .reshape(b, h, tq, r)[..., :tkv]
+        if use_shift_kernel is None:
+            # auto-gate: the fused kernel wins on TPU at offline shapes
+            # (large Tq, static indices); CPU/test runs keep the XLA path
+            # (numerics identical — tests assert). bf16 only: the in-kernel
+            # dot runs the MXU's native pass — the f32 accuracy mode needs
+            # the einsum wrapper's HIGHEST multi-pass, so it keeps XLA
+            use_shift_kernel = (tq >= 128 and dh <= 128
+                                and q.dtype == jnp.bfloat16
+                                and jax.default_backend() == "tpu")
+        if use_shift_kernel:
+            # fused matmul+shift: the XLA skew below is ~zero-FLOP yet cost
+            # ~120 ms/forward at 30 s B=32 (44% of the encoder) — XLA
+            # lowers pad+misaligned-reshape+slice into tile-hostile copies
+            # (artifacts/perf/offline_att_ablation_sub.json)
+            from trt_asr_tpu.ops.pallas.rel_shift_kernel import \
+                rel_pos_bias_shifted
+
+            bd = rel_pos_bias_shifted(q_v, pos_proj, tkv=tkv)
+        else:
+            # static right-aligned offsets bd[t,s] = pd[t, tq-1-t+s]: the
+            # Transformer-XL relative SHIFT (pad + reshape + slice) instead
+            # of a [B,H,Tq,Tkv] gather — take_along_axis lowered to a
+            # generic gather that dominated offline long-T encode (30 s:
+            # encoder MFU 13% gathered vs 32+% shifted)
+            pd = einsum("bthd,rhd->bhtr", q_v, pos_proj.astype(q.dtype))
+            r = pd.shape[-1]
+            padded = jnp.pad(pd, ((0, 0), (0, 0), (0, 0), (1, 0)))
+            bd = padded.reshape(b, h, tq * (r + 1))[..., tq:] \
+                .reshape(b, h, tq, r)[..., :tkv]
     else:
+        pd = einsum("bthd,rhd->bhtr", q_v, pos_proj.astype(q.dtype))
         bd = jnp.take_along_axis(pd, rel_idx[:, None].astype(jnp.int32),
                                  axis=-1)
 
