@@ -17,10 +17,15 @@ VMEM accumulator and emits the per-row shifted window
 the skew becomes VMEM addressing instead of an HBM-materialized layout
 change.
 
-Numerics: identical op sequence to the XLA path (same matmul on the MXU
-with f32 accumulation, cast to the input dtype) — exactness asserted by
-tests/test_pallas_kernels.py against the XLA shift, and transcripts are
-token-exact end to end.
+Numerics: the kernel's bd output is BIT-EXACT vs the XLA skew on real
+hardware (measured at T=375/384, h=8, dh=128; asserted in
+tests/test_pallas_kernels.py). End-to-end bf16 offline encoder outputs
+differ from the XLA-path program by <= 0.0625 max-abs at full size —
+XLA's fusion/reassociation around the now-materialized bd changes bf16
+rounding downstream, the same error class as bf16 mode's own rounding
+(6.9e-2 vs the f32 oracle, PERFNOTES r2 ladder) and well under the
+0.15-logit decode-safety perturbation bound the bf16/int8 fast modes are
+WER-gated against. The f32 accuracy modes never take this kernel.
 
 Reference role: the offline encoder attention subgraph TRT fuses at
 engine build (/root/reference/tools/export_onnx/export.py:614-660); the
