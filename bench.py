@@ -69,34 +69,62 @@ def _wait_for_device(max_wait_s: float) -> None:
         _t.sleep(min(60.0, max(deadline - _t.monotonic(), 1.0)))
 
 
-def _measure(step, make_state, feats0, iters: int) -> float:
-    """Chained varied-input loop, one final block: aggregate wall / N.
+def _measure(step, make_state, feats0, iters: int, window: int = 5):
+    """Chained varied-input loop, fenced per WINDOW of ``window`` steps.
 
     Per-step blocking would serialize tunnel round trips that do not exist
-    in production; per-window percentiles are meaningless under deep async
-    pipelining. The defensible number is total wall over N dependent,
-    distinct-input steps. Returns mean ms/step (best of 3 runs)."""
+    in production (each stream's chunks are state-dependent; the host only
+    overlaps dispatch with device compute), but a single end fence hides
+    step-to-step variance entirely. A host fetch of the token buffer every
+    ``window`` steps keeps most of the pipelining while yielding per-window
+    means whose distribution carries the envelope — the reference's parity
+    summaries publish p50/p95/p99 the same way
+    (trt_parity_300chunks_closedloop.json:13-18).
+
+    On the axon tunnel block_until_ready can acknowledge before the
+    computation finishes; only a host fetch fences reliably
+    (docs/DEBUGGING.md) — hence np.asarray, not block_until_ready.
+
+    The window fence costs one tunnel round trip, inflating windowed
+    numbers on THIS dev setup (remote chip) relative to r1-r3's
+    single-fence chained mean; ``chained_mean`` (one fence for the whole
+    run) is therefore measured too and stays the cross-round-comparable
+    number. On direct-attached hardware the two converge.
+
+    Returns {p50, p95, mean, chained_mean} ms/step (best of 3 runs)."""
     import jax
 
-    def run_once(salt: float):
+    def run_once(salt: float, win: int):
         states = make_state()         # fresh buffers (steps donate state)
         f = feats0 * (1.0 + salt)     # distinct data stream per run
-        t0 = time.perf_counter()
         out = None
-        for _ in range(iters):
-            f = f * 1.0001 + 0.001
-            out = step(f, *states)
-            states = out[2:]
-        # On the axon tunnel block_until_ready can acknowledge before the
-        # computation finishes; only a host fetch fences reliably
-        # (docs/DEBUGGING.md). Fetch the token buffer AND a cache slice.
-        _ = np.asarray(out[0])
+        times = []
+        t0 = time.perf_counter()
+        done = 0
+        while done < iters:
+            w = min(win, iters - done)
+            for _ in range(w):
+                f = f * 1.0001 + 0.001
+                out = step(f, *states)
+                states = out[2:]
+            _ = np.asarray(out[0])    # window fence (host fetch)
+            t1 = time.perf_counter()
+            times.append((t1 - t0) * 1e3 / w)
+            t0 = t1
+            done += w
         _ = np.asarray(jax.tree.leaves(states[0])[0][..., -1:, :])
-        return (time.perf_counter() - t0) * 1e3 / iters
+        return np.asarray(times)
 
     out = step(feats0, *make_state())
     _ = np.asarray(out[0])          # compile + warm
-    return min(run_once(0.03 * (k + 1)) for k in range(3))
+    best = min((run_once(0.03 * (k + 1), window) for k in range(3)),
+               key=lambda t: np.percentile(t, 50))
+    chained = min(float(run_once(0.03 * (k + 4), iters).mean())
+                  for k in range(2))
+    return {"p50": float(np.percentile(best, 50)),
+            "p95": float(np.percentile(best, 95)),
+            "mean": float(best.mean()),
+            "chained_mean": chained}
 
 
 def main() -> int:
@@ -261,26 +289,75 @@ def main() -> int:
                 init_decode_state(cfg, b))
 
     feats = jnp.asarray(rng.standard_normal((b, frames, cfg.feat_in)).astype(np.float32))
+
     # measured emission profile (tokens per chunk per stream) — the decode
     # loop's workload depends on it; report for honesty
-    es, ds = make_state()
-    emits = []
-    for k in range(4):
-        out = step(feats * (1.0 + 0.02 * k), es, ds)
-        es, ds = out[2], out[3]
-        emits.append(float(np.asarray(out[1]).mean()))
-    print(f"emission profile: {np.mean(emits):.2f} tokens/chunk/stream "
+    def emission_rate():
+        es, ds = make_state()
+        emits = []
+        for k in range(4):
+            out = step(feats * (1.0 + 0.02 * k), es, ds)
+            es, ds = out[2], out[3]
+            emits.append(float(np.asarray(out[1]).mean()))
+        return float(np.mean(emits))
+
+    rate = emission_rate()
+    print(f"emission profile: {rate:.2f} tokens/chunk/stream "
           f"(blank_bias {args.blank_bias})", file=sys.stderr)
     t0 = time.time()
-    mean_ms = _measure(step, make_state, feats, args.iters)
+    res = _measure(step, make_state, feats, args.iters)
     print(f"measure wall: {time.time()-t0:.1f}s (incl compile)", file=sys.stderr)
 
-    p50 = mean_ms  # aggregate mean; see _measure docstring
+    # Headline = chained mean (ONE fence per run): the r1-r3-comparable,
+    # conservative number. The windowed p50/p95 are reported RAW: each
+    # window pays a tunnel-fence round trip whose jitter is heavy-tailed
+    # on this dev setup (tens of ms), so they are honest UPPER bounds on
+    # the per-chunk envelope — on direct-attached hardware they become the
+    # true percentiles. (A mean-anchored "fence correction" was tried and
+    # rejected: tunnel jitter skew makes it flatter the headline.)
+    p50 = res["chained_mean"]
+    p95 = res["p95"]
     per_stream = p50 / b
     streams = b * chunk_audio_ms / p50
-    print(f"B={b}: {p50:.3f} ms/step mean "
+    print(f"B={b}: {p50:.3f} ms/step chained mean (windowed envelope "
+          f"p50 {res['p50']:.3f} / p95 {res['p95']:.3f}, tunnel-fence-"
+          f"inclusive upper bounds) "
           f"({per_stream:.3f} ms/stream-chunk; RTF {per_stream/chunk_audio_ms:.4f}; "
           f"~{streams:.0f} real-time streams/chip)", file=sys.stderr)
+
+    # emission-profile sensitivity (VERDICT r3 #7): re-measure at a
+    # SPARSER decode profile (~0.5 tok/chunk) by raising the blank bias ON
+    # DEVICE — same compiled program, new joint-bias value, no recompile —
+    # so the headline cannot be flattered by blank-dominated decode.
+    sweep = [{"tokens_per_chunk": round(rate, 2),
+              "ms_per_chunk": round(p50, 3),
+              "windowed_p50_ms": round(res["p50"], 3)}]
+    if not args.batch and args.blank_bias:
+        # calibrate toward ~0.5 tok/chunk: emission collapses fast in the
+        # extra bias, so probe fine steps (4 steps each, no recompile) and
+        # keep the rate closest to the target
+        base_b = np.asarray(params["joint"]["out"]["b"])
+        probes = []
+        for extra in (0.2, 0.4, 0.6, 0.8, 1.0):
+            nb = base_b.copy()
+            nb[cfg.blank_id] += extra
+            params["joint"]["out"]["b"] = jax.device_put(nb)
+            r_e = emission_rate()
+            probes.append((abs(r_e - 0.5), extra, r_e))
+            if r_e < 0.2:
+                break
+        _, extra, lo_rate = min(probes)
+        nb = base_b.copy()
+        nb[cfg.blank_id] += extra
+        params["joint"]["out"]["b"] = jax.device_put(nb)
+        res_lo = _measure(step, make_state, feats, max(args.iters // 2, 20))
+        print(f"emission sweep: {lo_rate:.2f} tok/chunk (extra bias "
+              f"{extra:g}) -> chained mean {res_lo['chained_mean']:.3f} ms "
+              f"(windowed p50 {res_lo['p50']:.3f})", file=sys.stderr)
+        sweep.append({"tokens_per_chunk": round(lo_rate, 2),
+                      "ms_per_chunk": round(res_lo["chained_mean"], 3),
+                      "windowed_p50_ms": round(res_lo["p50"], 3)})
+        params["joint"]["out"]["b"] = jax.device_put(base_b)
 
     if args.batch:
         print(json.dumps({
@@ -289,6 +366,8 @@ def main() -> int:
             "unit": "streams",
             # ref: one 480ms chunk per 18.8ms serial => 25.5 rt streams ideal
             "vs_baseline": round(streams / 25.5, 2),
+            "p95_ms": round(p95, 3),
+            "tokens_per_chunk": round(rate, 2),
         }))
     else:
         print(json.dumps({
@@ -296,6 +375,10 @@ def main() -> int:
             "value": round(p50, 3),
             "unit": "ms",
             "vs_baseline": round(BASELINE_PER_240MS_MS / p50, 2),
+            "windowed_p50_ms": round(res["p50"], 3),
+            "windowed_p95_ms": round(p95, 3),
+            "tokens_per_chunk": round(rate, 2),
+            "emission_sweep": sweep,
         }))
     return 0
 
