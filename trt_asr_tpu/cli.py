@@ -113,8 +113,9 @@ def main(argv=None) -> int:
                     help="run the beam search ON DEVICE (one jitted "
                          "program per chunk, no per-step host round "
                          "trips — decode/beam_device.py); n-best "
-                         "identical to the host search. Incompatible "
-                         "with --lm/--bias (host LM callables)")
+                         "identical to the host search. --lm/--bias "
+                         "compile to device tables and ride along "
+                         "(decode/lm_device.py)")
     ap.add_argument("--bias", default="",
                     help="comma-separated hotword phrases boosted during "
                          "beam decoding (decode/biasing.py contextual "
@@ -177,9 +178,6 @@ def main(argv=None) -> int:
                  "(beam 1 is exact greedy; fusion cannot apply)")
     if args.lm and args.bias:
         ap.error("--lm and --bias both supply the fusion lm_fn; pick one")
-    if args.beam_device and (args.lm or args.bias):
-        ap.error("--beam-device runs the search on device; --lm/--bias "
-                 "are host callables — drop one or the other")
     if args.beam_device and beam <= 0:
         ap.error("--beam-device requires --beam N")
 

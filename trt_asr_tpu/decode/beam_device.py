@@ -43,10 +43,15 @@ and ||a - b||^2 == 0 is evaluated per half in f32 (max sum-of-squares
 equality becomes (len equal) & (hi distance 0) & (lo distance 0), two
 [P, L] @ [L, P] matmuls that ride the MXU.
 
-Not supported on device (host beam remains the surface for both, and the
-session falls back automatically): shallow LM fusion (``lm_fn`` is an
-arbitrary host callable) and unbounded token counts (the device buffers
-hold ``token_cap`` tokens per hypothesis).
+Shallow fusion runs on device too: the framework's concrete lm_fn
+families — the stupid-backoff n-gram LM and the contextual-biasing trie —
+compile into sorted-key tensor tables (decode/lm_device.py) scored inside
+the expansion with the host's exact semantics (acoustic-only top-k
+selection, ``lm_weight * lm_fn(prefix, v)`` added to every non-blank
+candidate, decode/beam.py:231-238). Only a truly arbitrary host callable
+still requires the host beam; the other host-only limit is unbounded
+token counts (the device buffers hold ``token_cap`` tokens per
+hypothesis).
 """
 
 from __future__ import annotations
@@ -146,7 +151,8 @@ def _stable_desc(score):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "beam", "expansion_k", "max_symbols",
-                     "blank_penalty", "use_punct_mask"),
+                     "blank_penalty", "use_punct_mask", "lm_spec",
+                     "lm_weight"),
 )
 def tdt_beam_chunk_device(
     params: Dict[str, Any],
@@ -161,6 +167,10 @@ def tdt_beam_chunk_device(
     blank_penalty: float = 0.0,
     punct_mask: Optional[jnp.ndarray] = None,
     use_punct_mask: bool = False,
+    lm_spec=None,                # lm_device.LMSpec (static) — with
+    lm_tables=None,              # lm_device.LMTables (traced arrays):
+                                 # device shallow fusion / biasing
+    lm_weight: float = 0.0,
 ) -> BeamDeviceState:
     """Advance the device beam over one chunk's encoder frames. Returns the
     carried state with cursors rebased past the consumed frames — the
@@ -239,6 +249,16 @@ def tdt_beam_chunk_device(
         ls_dur_c = jnp.take_along_axis(ls_dur, cand_di, axis=1)
         c_score = jnp.where(f_alive[:, None],
                             f_score[:, None] + ls_tok_c + ls_dur_c, NEG)
+        if beam > 1 and lm_spec is not None and lm_weight:
+            # host semantics (beam.py:231-238): candidates are chosen by
+            # acoustic score alone; the fused LM term reweights every
+            # non-blank candidate's path score before pruning/merging
+            from trt_asr_tpu.decode.lm_device import lm_scores
+
+            lmv = lm_weight * lm_scores(lm_spec, lm_tables, f_tok, f_n,
+                                        top_idx)              # [K, k]
+            c_score = c_score + jnp.concatenate(
+                [jnp.zeros((K, 1), jnp.float32), lmv[:, mm[1:]]], axis=1)
 
         # ONE predictor step per distinct (hyp, token) (host g_cache)
         if beam == 1:

@@ -20,11 +20,33 @@ beam feature; beam=1 stays exactly greedy by design).
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, List, Sequence
+from typing import Dict, Iterable, List, Sequence, Set, Tuple
+
+
+class BiasingLM:
+    """A compiled phrase-prefix trie, callable as the beam's lm_fn.
+
+    Exposed as a class (not a closure) so the device beam can recompile
+    the same trie into tensor tables (decode/lm_device.biasing_to_device)
+    — both surfaces score identically."""
+
+    def __init__(self, cont: Dict[Tuple[int, ...], Set[int]],
+                 max_pfx: int, bonus: float, vocab_size: int):
+        self.cont = cont           # proper prefix -> continuation tokens
+        self.max_pfx = max_pfx
+        self.bonus = float(bonus)
+        self.vocab_size = int(vocab_size)
+
+    def __call__(self, prefix: List[int], tok: int) -> float:
+        for k in range(0, min(self.max_pfx, len(prefix)) + 1):
+            nexts = self.cont.get(tuple(prefix[len(prefix) - k:]))
+            if nexts and tok in nexts:
+                return self.bonus
+        return 0.0
 
 
 def make_biasing_lm(phrases: Iterable[str], tokenizer, *,
-                    bonus: float = 3.0) -> Callable[[List[int], int], float]:
+                    bonus: float = 3.0) -> BiasingLM:
     """Compile phrase strings into a biasing lm_fn. ``bonus`` is the
     log-prob reward per matched token (pre lm_weight scaling)."""
     unk = tokenizer.token_id("<unk>") if hasattr(tokenizer, "token_id") else -1
@@ -44,12 +66,9 @@ def make_biasing_lm(phrases: Iterable[str], tokenizer, *,
         for k in range(len(p)):
             cont.setdefault(p[:k], set()).add(p[k])
     max_pfx = max((len(p) - 1 for p in token_phrases), default=0)
-
-    def lm(prefix: List[int], tok: int) -> float:
-        for k in range(0, min(max_pfx, len(prefix)) + 1):
-            nexts = cont.get(tuple(prefix[len(prefix) - k:]))
-            if nexts and tok in nexts:
-                return bonus
-        return 0.0
-
-    return lm
+    # vocab size only parameterizes the device table packing; fall back to
+    # the largest phrase token for tokenizer stubs without .vocab
+    vocab = getattr(tokenizer, "vocab", None)
+    vocab_size = len(vocab) if vocab is not None else 1 + max(
+        (t for p in token_phrases for t in p), default=0)
+    return BiasingLM(cont, max_pfx, bonus, vocab_size)

@@ -86,10 +86,12 @@ class BeamStreamingSession(StreamingSession):
         """``device=True`` runs the whole search on device
         (decode/beam_device.py): one jitted program advances the frontier
         over the chunk's encoder rows with no per-step host round trip —
-        the n-best is bit-compatible with the host search (tests). The
-        host path remains the surface for ``lm_fn`` (an arbitrary host
-        callable) and unbounded hypothesis length; ``token_cap`` bounds
-        the device per-hypothesis token buffers."""
+        the n-best is bit-compatible with the host search (tests).
+        Shallow fusion rides along: an NGramLM or BiasingLM ``lm_fn``
+        compiles into device tables (decode/lm_device.py); only an
+        arbitrary host callable still requires the host path. The other
+        host-only capability is unbounded hypothesis length;
+        ``token_cap`` bounds the device per-hypothesis token buffers."""
         self.beam = int(beam)
         self.expansion_k = int(expansion_k)
         self.length_norm = float(length_norm)
@@ -97,10 +99,17 @@ class BeamStreamingSession(StreamingSession):
         self.lm_weight = float(lm_weight)
         self.device = bool(device)
         self.token_cap = int(token_cap)
+        self._lm_spec = self._lm_tables = None
         if self.device and lm_fn is not None:
-            raise ValueError(
-                "device beam does not support lm_fn (host callable); "
-                "use device=False for LM fusion / biasing")
+            from trt_asr_tpu.decode.lm_device import to_device
+
+            compiled = to_device(lm_fn)
+            if compiled is None:
+                raise ValueError(
+                    "device beam supports lm_fn only for NGramLM / "
+                    "BiasingLM (compiled to device tables); use "
+                    "device=False for an arbitrary host callable")
+            self._lm_spec, self._lm_tables = compiled
         self._nbest_hyps = []
         # the shared host-callable triplet (decode/beam.py make_host_fns:
         # jitted single-step joint/predictor + frontier-batched joint)
@@ -173,7 +182,9 @@ class BeamStreamingSession(StreamingSession):
                 blank_penalty=rt.blank_penalty,
                 punct_mask=(self.model.punct_mask
                             if rt.suppress_leading_punct else None),
-                use_punct_mask=rt.suppress_leading_punct)
+                use_punct_mask=rt.suppress_leading_punct,
+                lm_spec=self._lm_spec, lm_tables=self._lm_tables,
+                lm_weight=self.lm_weight)
             score = np.asarray(self._dev_state.score)
             best_i = int(np.argmax(score))
             n = int(np.asarray(self._dev_state.n_tok)[best_i])
