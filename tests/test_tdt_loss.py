@@ -69,7 +69,7 @@ def test_tdt_loss_matches_brute_force(t_len, u_len, durs):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
-def test_tdt_loss_batched_and_grad():
+def test_tdt_loss_batched():
     rng = np.random.default_rng(0)
     durs, ths, blank = (0, 1, 2, 3, 4), 8, 7
     b, t_max, u_max = 3, 6, 4
@@ -77,13 +77,6 @@ def test_tdt_loss_batched_and_grad():
     labels = rng.integers(0, blank, size=(b, u_max)).astype(np.int32)
     t_len = np.array([6, 4, 5], np.int32)
     u_len = np.array([4, 2, 0], np.int32)
-
-    import jax
-    import jax.numpy as jnp
-
-    def loss_sum(lg):
-        return jnp.sum(tdt_loss(lg, labels, t_len, u_len, duration_values=durs,
-                                token_head_size=ths, blank_id=blank))
 
     vals = np.asarray(tdt_loss(logits, labels, t_len, u_len, duration_values=durs,
                                token_head_size=ths, blank_id=blank))
@@ -95,8 +88,49 @@ def test_tdt_loss_batched_and_grad():
             duration_values=durs, token_head_size=ths, blank_id=blank))[0])
         np.testing.assert_allclose(vals[i], solo, rtol=1e-5, atol=1e-5)
 
-    g = np.asarray(jax.grad(loss_sum)(jnp.asarray(logits)))
-    assert np.isfinite(g).all()
-    assert np.abs(g).max() > 0
-    # padding positions get no gradient: t >= t_len for example 1 (t_len=4)
-    assert np.abs(g[1, 5]).max() < 1e-6
+
+def test_tdt_loss_grad():
+    """Gradient through the scan-based lattice.
+
+    Runs in a SUBPROCESS: grad-of-scan XLA-CPU compiles are the class
+    that has segfaulted this environment's compiler when reached late in
+    the ~250-test suite process (the same process-state-dependent crash
+    that subprocess-isolated the remat test, tests/test_training.py and
+    docs/DEBUGGING.md trap #6; this test hit it once in round 4 at suite
+    position ~80%, fine alone)."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import jax; jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from trt_asr_tpu.train import tdt_loss
+
+rng = np.random.default_rng(0)
+durs, ths, blank = (0, 1, 2, 3, 4), 8, 7
+b, t_max, u_max = 3, 6, 4
+logits = rng.standard_normal((b, t_max, u_max + 1, ths + len(durs))).astype(np.float32)
+labels = rng.integers(0, blank, size=(b, u_max)).astype(np.int32)
+t_len = np.array([6, 4, 5], np.int32)
+u_len = np.array([4, 2, 0], np.int32)
+
+def loss_sum(lg):
+    return jnp.sum(tdt_loss(lg, labels, t_len, u_len, duration_values=durs,
+                            token_head_size=ths, blank_id=blank))
+
+g = np.asarray(jax.grad(loss_sum)(jnp.asarray(logits)))
+assert np.isfinite(g).all()
+assert np.abs(g).max() > 0
+# padding positions get no gradient: t >= t_len for example 1 (t_len=4)
+assert np.abs(g[1, 5]).max() < 1e-6
+print("OK")
+"""
+    repo = __file__.rsplit("/tests/", 1)[0]
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=600,
+                       env={**os.environ, "JAX_PLATFORMS": "cpu",
+                            "PYTHONPATH": repo})
+    assert r.returncode == 0, (r.stdout[-300:], r.stderr[-500:])
+    assert "OK" in r.stdout
