@@ -122,9 +122,38 @@ def test_to_device_dispatch():
 
 
 def test_vocab_overflow_rejected():
-    lm = _random_lm(0)
+    """order-5 (two context tokens per half) at 50k vocab overflows int32."""
+    lm = _random_lm(0, order=5)
     lm.vocab_size = 50_000
     with pytest.raises(ValueError, match="Horner"):
+        ngram_to_device(lm)
+
+
+def test_long_context_overflow_rejected():
+    """The ADVICE r4 case: order-6 packs ceil(5/2)=3 tokens per half, so
+    vocab > 1288 overflows even though the old 2-token check passed."""
+    lm = _random_lm(0, vocab=30, order=6)
+    lm.vocab_size = 2_000
+    with pytest.raises(ValueError, match="Horner"):
+        ngram_to_device(lm)
+
+
+def test_order3_large_vocab_accepted():
+    """Conversely order-3 (one token per half) is exact at any int32 vocab;
+    the old quadratic check wrongly rejected it."""
+    lm = _random_lm(0, vocab=40, order=3)
+    lm.vocab_size = 50_000
+    spec, tables = ngram_to_device(lm)
+    got = _device_scores(spec, tables, [1, 2], [3])
+    assert got[0] == pytest.approx(lm.score([1, 2], 3), abs=1e-5)
+
+
+def test_out_of_vocab_trained_id_rejected():
+    """A trained token id >= vocab_size would make host (dict hit) and
+    device (dense-table floor) diverge — build must refuse it."""
+    lm = _random_lm(0, vocab=40)
+    lm.vocab_size = 10
+    with pytest.raises(ValueError, match="vocab_size"):
         ngram_to_device(lm)
 
 
@@ -173,8 +202,24 @@ def test_device_beam_ngram_fusion_matches_host(seed):
     lm = _random_lm(seed, vocab=cfg.token_head_size, order=3, n_seq=60)
     host, dev = _nbest_pair(seed, lm, lm_weight=0.6)
     _assert_match(host, dev, seed)
-    # sanity: the LM actually changes the search vs unfused
-    unfused, _ = _nbest_pair(seed, lm, lm_weight=0.0)
+
+
+def test_ngram_fusion_actually_changes_search():
+    """Guards a silently ignored lm_weight (ADVICE r4): the fused host
+    n-best must differ from the unfused one — in scores always (any
+    emitted token adds weight * logp < 0), and in tokens for >= 1 seed."""
+    any_score_diff = any_token_diff = False
+    cfg = ModelConfig.tiny()
+    for seed in (0, 1, 4):
+        lm = _random_lm(seed, vocab=cfg.token_head_size, order=3, n_seq=60)
+        fused, _ = _nbest_pair(seed, lm, lm_weight=0.6)
+        unfused, _ = _nbest_pair(seed, lm, lm_weight=0.0)
+        if [h.tokens for h in fused] != [h.tokens for h in unfused]:
+            any_token_diff = True
+        if any(abs(f.score - u.score) > 1e-6
+               for f, u in zip(fused, unfused) if f.tokens or u.tokens):
+            any_score_diff = True
+    assert any_score_diff and any_token_diff
 
 
 @pytest.mark.parametrize("seed", [2, 5])

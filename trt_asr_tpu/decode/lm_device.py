@@ -16,8 +16,9 @@ TPU-first design: an n-gram table is a *sorted composite-key array*
 searched by a vectorized lexicographic binary search — ``ceil(log2 N)+1``
 gather+compare rounds over all query lanes at once, no host dict, no
 dynamic shapes. Context tokens are packed into two int32 Horner codes
-(base ``vocab+2`` so the BOS sentinel packs too); with two tokens per
-code the packing is exact for vocabularies up to 46k (asserted at build).
+(base ``vocab+2`` so the BOS sentinel packs too); build validates
+(vocab+2)^ceil(max_ctx/2) against 2^31 for the ACTUAL max context length,
+so e.g. order-3 supports 2^31-2 vocab, order-5 up to 46k, order-7 to 1286.
 Each backoff level (context length c = 1..order-1) is its own table;
 scoring walks the levels longest-context-last so the deepest hit wins,
 exactly the host's stupid-backoff loop:
@@ -103,19 +104,39 @@ def _build_level(entries, base: int) -> Optional[LMLevel]:
                    jnp.asarray(tok, jnp.int32), jnp.asarray(val, jnp.float32))
 
 
-def _check_base(vocab_size: int) -> int:
+def _check_base(vocab_size: int, max_ctx_len: int) -> int:
+    """Packing base, validated against the WIDEST half actually packed.
+
+    ``_split`` puts ceil(c/2) tokens in the lo code, so the exact bound is
+    (vocab + 2)^ceil(max_ctx/2) <= 2^31 — e.g. order-6 n-grams (context 5,
+    three tokens per half) overflow int32 beyond vocab 1288, while order-3
+    at the same vocab is fine with one token per half."""
     base = vocab_size + 2
-    if base * base >= 2 ** 31:
+    per_half = max(1, (max_ctx_len + 1) // 2)
+    if base ** per_half > 2 ** 31:
         raise ValueError(
-            f"vocab {vocab_size} overflows the 2-token int32 Horner code "
-            "(needs vocab + 2 <= 46340)")
+            f"context length {max_ctx_len} at vocab {vocab_size} overflows "
+            f"the int32 Horner code: {per_half} tokens per half needs "
+            f"(vocab + 2)^{per_half} <= 2^31. Reduce the n-gram order / "
+            "biasing phrase length, or the vocabulary.")
     return base
 
 
 def ngram_to_device(lm) -> Tuple[LMSpec, LMTables]:
     """Compile a decode/ngram_lm.NGramLM into device tables. Scoring is
     exact vs ``lm.score`` up to f32 rounding."""
-    base = _check_base(lm.vocab_size)
+    base = _check_base(lm.vocab_size, lm.order - 1)
+    # The dense device unigram table (and Horner digit uniqueness) need
+    # every trained id < vocab_size; the host dict would silently serve a
+    # count for an out-of-range id where the device serves the add-1 floor.
+    tmax = max((t for ctx, counter in lm.counts.items()
+                for t in (*ctx, *counter)), default=-1)
+    if tmax >= lm.vocab_size:
+        raise ValueError(
+            f"trained token id {tmax} >= vocab_size {lm.vocab_size}: "
+            "device and host scoring would diverge (dense unigram table / "
+            "Horner digits cannot represent it). Refit or load the LM with "
+            "vocab_size > the max token id.")
     levels, ctx_lens = [], []
     for c in range(1, lm.order):
         entries = []
@@ -148,7 +169,8 @@ def ngram_to_device(lm) -> Tuple[LMSpec, LMTables]:
 def biasing_to_device(bias) -> Tuple[LMSpec, LMTables]:
     """Compile a decode/biasing.BiasingLM (phrase-prefix trie) into device
     tables: level c holds (length-c proper prefix -> continuation) pairs."""
-    base = _check_base(bias.vocab_size)
+    base = _check_base(bias.vocab_size,
+                       max((len(p) for p in bias.cont), default=0))
     by_len = {}
     for pfx, nexts in bias.cont.items():
         by_len.setdefault(len(pfx), []).extend(
