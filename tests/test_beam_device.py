@@ -185,6 +185,86 @@ def test_device_beam_session_matches_host_session():
     assert dev1._tokens == greedy._tokens
 
 
+def test_token_cap_saturation_beam1_head_preserved():
+    """Saturating a cap=8 greedy-mode device beam: the flag latches, n_tok
+    clamps at the cap, and the buffer holds EXACTLY the first 8 tokens of
+    an uncapped run of the same input (head-preserving truncation —
+    beam_device.py module docstring)."""
+    cfg, params, ds, j_fn, p_fn, j_batch = _setup(21)
+    r = np.random.default_rng(21)
+    enc = (0.6 * r.standard_normal((80, cfg.d_model))).astype(np.float32)
+    kw = dict(beam=1, max_symbols=cfg.max_symbols_per_timestep,
+              blank_penalty=6.0)   # force emission nearly every frame
+
+    def run(cap):
+        st = init_beam_device_state(cfg, ds, beam=1, token_cap=cap)
+        return tdt_beam_chunk_device(
+            params, cfg, enc, np.int32(enc.shape[0]), st, **kw)
+
+    big = run(256)
+    n_big = int(np.asarray(big.n_tok)[0])
+    assert n_big > 8, "setup failed to emit enough tokens to saturate"
+    assert not bool(np.asarray(big.sat)[0])
+
+    sat = run(8)
+    assert bool(np.asarray(sat.sat)[0])
+    assert int(np.asarray(sat.n_tok)[0]) == 8
+    head = np.asarray(sat.tokens)[0, :8].tolist()
+    assert head == np.asarray(big.tokens)[0, :8].tolist()
+    # stamps of the preserved head survive too
+    assert (np.asarray(sat.frames)[0, :8].tolist()
+            == np.asarray(big.frames)[0, :8].tolist())
+
+
+def test_token_cap_saturation_beam4_flag_propagates():
+    """beam=4 under saturation: every live hypothesis that overflowed
+    carries sat=True through expansion, merging and pruning; nothing
+    writes past the cap."""
+    cfg, params, ds, j_fn, p_fn, j_batch = _setup(22)
+    r = np.random.default_rng(22)
+    st = init_beam_device_state(cfg, ds, beam=4, token_cap=8)
+    for _ in range(3):   # chunked: saturation must survive the carry
+        enc = (0.6 * r.standard_normal((24, cfg.d_model))).astype(np.float32)
+        st = tdt_beam_chunk_device(
+            params, cfg, enc, np.int32(enc.shape[0]), st, beam=4,
+            max_symbols=cfg.max_symbols_per_timestep, blank_penalty=6.0)
+    score = np.asarray(st.score)
+    live = np.isfinite(score)
+    assert live.any()
+    assert np.all(np.asarray(st.n_tok)[live] <= 8)
+    assert bool(np.any(np.asarray(st.sat)[live]))
+    # the truncated pool still yields well-formed host hypotheses
+    hyps = beam_device_to_hypotheses(st)
+    assert all(len(h.tokens) <= 8 and len(h.stamps) == len(h.tokens)
+               for h in hyps)
+
+
+def test_token_cap_saturation_session_error_event():
+    """BeamStreamingSession(device=True) surfaces saturation exactly once
+    per utterance as an ERROR event and still finalizes normally."""
+    from trt_asr_tpu.config import RuntimeConfig
+    from trt_asr_tpu.models.parakeet.model import ParakeetTDT
+    from trt_asr_tpu.streaming.beam_session import BeamStreamingSession
+    from trt_asr_tpu.streaming.session import EventType
+
+    model = ParakeetTDT.random(ModelConfig.tiny(), seed=7)
+    audio = _audio(7, n=32000)
+    sess = BeamStreamingSession(
+        model, beam=2, device=True, token_cap=2,
+        runtime=RuntimeConfig(blank_penalty=6.0))
+    for lo in range(0, audio.size, 8000):
+        sess.push_audio(audio[lo:lo + 8000])
+    sess.finalize()
+    events = []
+    while (ev := sess.poll_event()) is not None:
+        events.append(ev)
+    errs = [ev for ev in events if ev.type == EventType.ERROR]
+    assert len(errs) == 1, [ev.type for ev in events]
+    assert "token_cap" in errs[0].error_message
+    assert any(ev.type == EventType.FINAL_TEXT for ev in events)
+    assert all(len(ids) <= 2 for _, ids, _ in sess.nbest())
+
+
 def test_device_beam_session_rejects_lm():
     from trt_asr_tpu.models.parakeet.model import ParakeetTDT
     from trt_asr_tpu.streaming.beam_session import BeamStreamingSession

@@ -52,6 +52,19 @@ candidate, decode/beam.py:231-238). Only a truly arbitrary host callable
 still requires the host beam; the other host-only limit is unbounded
 token counts (the device buffers hold ``token_cap`` tokens per
 hypothesis).
+
+token_cap overflow semantics (VERDICT r4 #4): a non-blank emission into a
+full buffer is a HEAD-PRESERVING TRUNCATION — the first ``token_cap``
+tokens stay intact, the new token is dropped, and the hypothesis's
+``sat`` flag latches True (propagated to every descendant and OR-merged
+through recombination). Scores and predictor state still advance, so the
+ranking stays the search's, but the transcript tail and the
+history-equality merge are no longer trustworthy past the cap.
+``BeamStreamingSession`` surfaces a live saturated hypothesis once per
+utterance as an ERROR event and keeps streaming (tests/
+test_beam_device.py::test_token_cap_saturation_*); pick a larger
+``token_cap`` (512 default ~ an hour of speech per utterance at normal
+emission rates) or the host beam for unbounded transcripts.
 """
 
 from __future__ import annotations
@@ -92,6 +105,7 @@ class BeamDeviceState(NamedTuple):
     logps: jnp.ndarray      # [K, L] f32 token log-softmax per token
     frame_base: jnp.ndarray   # scalar int32
     emitted_base: jnp.ndarray  # scalar int32
+    sat: jnp.ndarray        # [K] bool: token_cap overflow (truncated tail)
 
 
 def init_beam_device_state(cfg: ModelConfig, dec_state, *, beam: int,
@@ -117,6 +131,7 @@ def init_beam_device_state(cfg: ModelConfig, dec_state, *, beam: int,
         logps=jnp.zeros((K, L), jnp.float32),
         frame_base=jnp.zeros((), jnp.int32),
         emitted_base=jnp.full((), emitted_so_far, jnp.int32),
+        sat=jnp.zeros((K,), jnp.bool_),
     )
 
 
@@ -148,13 +163,7 @@ def _stable_desc(score):
     return jnp.argsort(-score, stable=True)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "beam", "expansion_k", "max_symbols",
-                     "blank_penalty", "use_punct_mask", "lm_spec",
-                     "lm_weight"),
-)
-def tdt_beam_chunk_device(
+def _beam_chunk_core(
     params: Dict[str, Any],
     cfg: ModelConfig,
     enc: jnp.ndarray,            # [T, D] encoder output rows (padded ok)
@@ -174,7 +183,9 @@ def tdt_beam_chunk_device(
 ) -> BeamDeviceState:
     """Advance the device beam over one chunk's encoder frames. Returns the
     carried state with cursors rebased past the consumed frames — the
-    device analog of beam_advance (decode/beam.py:137-306)."""
+    device analog of beam_advance (decode/beam.py:137-306). Undecorated
+    core: jitted as ``tdt_beam_chunk_device`` (single stream) and vmapped
+    over a stream axis as ``tdt_beam_chunk_device_batch``."""
     K = beam
     k = expansion_k if beam > 1 else 1
     ms = max_symbols or cfg.max_symbols_per_timestep
@@ -204,7 +215,7 @@ def tdt_beam_chunk_device(
     def expand_round(frontier, r, t, enc_row):
         """One dur-0 chain round: returns (next_frontier, pool_block)."""
         (f_score, f_tok, f_n, f_y, f_g, f_h, f_c,
-         f_frames, f_durs, f_logps, f_alive) = frontier
+         f_frames, f_durs, f_logps, f_alive, f_sat) = frontier
         logits = joint_from_projected(
             params["joint"], jnp.broadcast_to(enc_row, (K, enc_row.shape[0])),
             f_g)                                             # [K, V]
@@ -281,6 +292,9 @@ def tdt_beam_chunk_device(
 
         emit = ~is_blank                                     # [K, C]
         can_write = emit & (f_n[:, None] < L)
+        # head-preserving truncation: an emission with a full buffer drops
+        # the token and latches the descendant's saturation flag
+        c_sat = f_sat[:, None] | (emit & (f_n[:, None] >= L))   # [K, C]
         at_n = jnp.arange(L)[None, None, :] == f_n[:, None, None]
         wr = can_write[:, :, None] & at_n
         tok_b = jnp.broadcast_to(f_tok[:, None, :], (K, C, L))
@@ -309,6 +323,7 @@ def tdt_beam_chunk_device(
             cursor=flat(c_cursor), y_id=flat(c_y), g=flat(c_g),
             h=c_h.reshape(R, K * C, P), c=c_c.reshape(R, K * C, P),
             frames=flat(c_frames), durs=flat(c_durs), logps=flat(c_logps),
+            sat=flat(c_sat),
         )
 
         # next frontier: dur-0 candidates, stable score order, top K
@@ -319,7 +334,7 @@ def tdt_beam_chunk_device(
               sel(flat(c_y)), sel(flat(c_g)),
               block["h"][:, order], block["c"][:, order],
               sel(flat(c_frames)), sel(flat(c_durs)), sel(flat(c_logps)),
-              sel(f_flat_score) > NEG)
+              sel(f_flat_score) > NEG, sel(flat(c_sat)))
         return nf, block
 
     def frame_body(carry_state, t_and_row):
@@ -332,7 +347,7 @@ def tdt_beam_chunk_device(
             waiting = alive & (st.cursor != t)
             frontier0 = (jnp.where(here, st.score, NEG), st.tokens, st.n_tok,
                          st.y_id, st.g, st.h, st.c,
-                         st.frames, st.durs, st.logps, here)
+                         st.frames, st.durs, st.logps, here, st.sat)
 
             def round_step(frontier, r):
                 nf, block = expand_round(frontier, r, t, enc_row)
@@ -358,6 +373,7 @@ def tdt_beam_chunk_device(
             p_frames = cat(st.frames, blocks["frames"])
             p_durs = cat(st.durs, blocks["durs"])
             p_logps = cat(st.logps, blocks["logps"])
+            p_sat = cat(st.sat, blocks["sat"])
 
             valid = p_score > NEG
             hist_eq = _history_eq(p_tokens, p_n, p_tokens, p_n)
@@ -378,6 +394,9 @@ def tdt_beam_chunk_device(
             m_frames = p_frames[dom]
             m_durs = p_durs[dom]
             m_logps = p_logps[dom]
+            # saturation is sticky through recombination: a truncated
+            # buffer may spuriously merge, so the class inherits any flag
+            m_sat = jnp.any(eq & p_sat[None, :], axis=1)
 
             # label-diverse pruning in stable merged-score order
             order = _stable_desc(m_score)
@@ -410,7 +429,8 @@ def tdt_beam_chunk_device(
                 y_id=gk(p_y), g=gk(p_g), h=p_h[:, pool_of_slot],
                 c=p_c[:, pool_of_slot], frames=gk(m_frames),
                 durs=gk(m_durs), logps=gk(m_logps),
-                frame_base=st.frame_base, emitted_base=st.emitted_base)
+                frame_base=st.frame_base, emitted_base=st.emitted_base,
+                sat=jnp.where(live, gk(m_sat), False))
 
         new_st = lax.cond((t < t_enc) & jnp.any(here), process,
                           lambda s: s, st)
@@ -421,6 +441,99 @@ def tdt_beam_chunk_device(
     return final._replace(
         cursor=final.cursor - t_enc.astype(jnp.int32),
         frame_base=final.frame_base + t_enc.astype(jnp.int32))
+
+
+_BEAM_CHUNK_STATIC = ("cfg", "beam", "expansion_k", "max_symbols",
+                      "blank_penalty", "use_punct_mask", "lm_spec",
+                      "lm_weight")
+
+tdt_beam_chunk_device = functools.partial(
+    jax.jit, static_argnames=_BEAM_CHUNK_STATIC)(_beam_chunk_core)
+
+
+@functools.partial(jax.jit, static_argnames=_BEAM_CHUNK_STATIC)
+def tdt_beam_chunk_device_batch(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    enc: jnp.ndarray,            # [S, T, D] encoder rows per stream
+    t_enc: jnp.ndarray,          # [S] int32 valid rows per stream
+    state: BeamDeviceState,      # [S, K, ...] leaves (init_..._batch)
+    *,
+    beam: int,
+    expansion_k: int = 4,
+    max_symbols: Optional[int] = None,
+    blank_penalty: float = 0.0,
+    punct_mask: Optional[jnp.ndarray] = None,
+    use_punct_mask: bool = False,
+    lm_spec=None,
+    lm_tables=None,
+    lm_weight: float = 0.0,
+) -> BeamDeviceState:
+    """S independent device beams advanced in lockstep — the frontier's K
+    axis stacked alongside the stream axis (VERDICT r4 #3), so the batch
+    engine can serve beam(+LM) per slot in ONE program. Exactly vmap of
+    the single-stream core: params / punct mask / LM tables broadcast,
+    per-stream enc, valid length and state mapped. A slot with t_enc == 0
+    is a provable no-op on its rows (every frame fails ``t < t_enc``), the
+    beam analog of the greedy engine's mask-and-skip contract."""
+    core = functools.partial(
+        _beam_chunk_core, beam=beam, expansion_k=expansion_k,
+        max_symbols=max_symbols, blank_penalty=blank_penalty,
+        use_punct_mask=use_punct_mask, lm_spec=lm_spec, lm_weight=lm_weight)
+    return jax.vmap(
+        lambda e, t, s: core(params, cfg, e, t, s, punct_mask=punct_mask,
+                             lm_tables=lm_tables))(enc, t_enc, state)
+
+
+def init_beam_device_state_batch(cfg: ModelConfig, dec_state, *, beam: int,
+                                 token_cap: int = 512) -> BeamDeviceState:
+    """[S, K, ...] batched search state: every stream row primed from its
+    DecodeState row (prompt-primed g/h/c/y_id), slot 0 live at score 0."""
+    K, L = beam, token_cap
+    P = cfg.pred_hidden
+    R = cfg.pred_rnn_layers
+    S = dec_state.g.shape[0]
+    score = jnp.broadcast_to(
+        jnp.full((K,), NEG, jnp.float32).at[0].set(0.0), (S, K))
+    return BeamDeviceState(
+        score=score,
+        tokens=jnp.full((S, K, L), -1, jnp.int32),
+        n_tok=jnp.zeros((S, K), jnp.int32),
+        cursor=jnp.zeros((S, K), jnp.int32),
+        y_id=jnp.broadcast_to(dec_state.y_id[:, None], (S, K)).astype(jnp.int32),
+        g=jnp.broadcast_to(dec_state.g[:, None, :], (S, K, P)).astype(jnp.float32),
+        h=jnp.broadcast_to(dec_state.h.transpose(1, 0, 2)[:, :, None, :],
+                           (S, R, K, P)).astype(jnp.float32),
+        c=jnp.broadcast_to(dec_state.c.transpose(1, 0, 2)[:, :, None, :],
+                           (S, R, K, P)).astype(jnp.float32),
+        frames=jnp.full((S, K, L), -1, jnp.int32),
+        durs=jnp.full((S, K, L), -1, jnp.int32),
+        logps=jnp.zeros((S, K, L), jnp.float32),
+        frame_base=jnp.zeros((S,), jnp.int32),
+        emitted_base=jnp.zeros((S,), jnp.int32),
+        sat=jnp.zeros((S, K), jnp.bool_),
+    )
+
+
+def reset_beam_device_state_rows(state: BeamDeviceState, mask,
+                                 cfg: ModelConfig, dec_state, *, beam: int,
+                                 token_cap: int) -> BeamDeviceState:
+    """Re-init the masked stream rows from (already reset+primed)
+    DecodeState rows, leaving other rows untouched — the beam analog of
+    decode/batched.reset_decode_state_rows."""
+    fresh = init_beam_device_state_batch(cfg, dec_state, beam=beam,
+                                         token_cap=token_cap)
+    m = jnp.asarray(mask)
+    return jax.tree_util.tree_map(
+        lambda f, o: jnp.where(m.reshape((-1,) + (1,) * (f.ndim - 1)), f, o),
+        fresh, state)
+
+
+def beam_device_row_to_hypotheses(state: BeamDeviceState, row: int):
+    """One stream row of a batched [S, K, ...] state as host Hypothesis
+    objects (finish/nbest/stable-prefix then reuse the host beam code)."""
+    return beam_device_to_hypotheses(
+        jax.tree_util.tree_map(lambda x: np.asarray(x)[row], state))
 
 
 def beam_device_to_hypotheses(state: BeamDeviceState):

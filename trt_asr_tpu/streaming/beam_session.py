@@ -135,6 +135,7 @@ class BeamStreamingSession(StreamingSession):
                 np.asarray(ds.g)[0], int(np.asarray(ds.y_id)[0]),
                 (ds.h, ds.c), emitted_so_far=0)
         self._nbest_hyps = []
+        self._sat_reported = False   # token_cap ERROR emitted once/utt
         # () not None: the no-tokens-yet state must compare equal to an
         # empty decode, or the first push emits a spurious empty partial
         # the greedy session never emits
@@ -186,6 +187,17 @@ class BeamStreamingSession(StreamingSession):
                 lm_spec=self._lm_spec, lm_tables=self._lm_tables,
                 lm_weight=self.lm_weight)
             score = np.asarray(self._dev_state.score)
+            # token_cap overflow (beam_device.py module docstring): the
+            # search keeps running with head-preserved truncated buffers,
+            # but a live saturated hypothesis is surfaced once per
+            # utterance so consumers know the transcript tail is cut
+            if not self._sat_reported and bool(np.any(
+                    np.asarray(self._dev_state.sat) & np.isfinite(score))):
+                self._sat_reported = True
+                self._error(
+                    f"device beam token_cap={self.token_cap} saturated: "
+                    "transcript truncated (head preserved); raise "
+                    "token_cap or decode with the host beam (device=False)")
             best_i = int(np.argmax(score))
             n = int(np.asarray(self._dev_state.n_tok)[best_i])
             self._tokens = [int(t) for t in np.asarray(
