@@ -17,6 +17,9 @@ must be token-exact with the canonical single-push session:
   engine    BatchStreamingEngine slot (alongside a decoy stream), random
             per-step feed sizes
   beam1     streaming beam session with beam=1 (anchors beam to greedy)
+  batchbeam BatchStreamingEngine(beam=4) slot (decoy alongside, random
+            per-step feeds) vs a standalone device-beam session — the
+            batched beam's reference is the BEAM transcript, not greedy's
   onnx      (opt-in, --surfaces onnx) the pure-numpy exported-ONNX
             pipeline — the op-level-independent 4th implementation —
             against a flag-matched session, identical random feature
@@ -157,6 +160,38 @@ def run_seed(model, seed: int, surfaces) -> dict:
         got["onnx"] = list(pipe.tokens)
         wants["onnx"] = list(ref2._tokens)
 
+    if "batchbeam" in surfaces:
+        # batched device beam (VERDICT r4 #3): an engine slot at beam=4
+        # (decoy stream alongside, random per-step feeds) must be
+        # token-exact with a standalone device-beam session on the same
+        # audio; its reference is the beam transcript, not greedy's.
+        from trt_asr_tpu.streaming.schedule import ChunkScheduler
+
+        ref_b = BeamStreamingSession(model, beam=4, device=True)
+        ref_b._sched = ChunkScheduler(model.cfg, unified=True)
+        ref_b.push_audio(audio)
+        ref_b.finalize()
+        eng = BatchStreamingEngine(model, batch_size=2, beam=4)
+        sid = eng.open_stream()
+        decoy = eng.open_stream()
+        rng3 = np.random.default_rng(seed + 2)
+        decoy_audio = random_audio(np.random.default_rng(seed + 3), n)
+        i = j = 0
+        while i < n or j < n:
+            if i < n:
+                step = int(rng3.choice([1600, 4000, 16000]))
+                eng.push_audio(sid, audio[i:i + step])
+                i += step
+            if j < n:
+                eng.push_audio(decoy, decoy_audio[j:j + 8000])
+                j += 8000
+            eng.step()
+        eng.finalize_stream(sid)
+        eng.finalize_stream(decoy)
+        eng.run_until_drained()
+        got["batchbeam"] = list(eng._tokens[sid])
+        wants["batchbeam"] = list(ref_b._tokens)
+
     fails = {}
     for name, toks in got.items():
         w = wants[name]
@@ -192,7 +227,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=20)
     ap.add_argument("--seed-base", type=int, default=0)
-    ap.add_argument("--surfaces", default="shreds,snapshot,engine,beam1")
+    ap.add_argument("--surfaces",
+                    default="shreds,snapshot,engine,beam1,batchbeam")
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu", "env"])
     ap.add_argument("--out", default="")
     args = ap.parse_args()

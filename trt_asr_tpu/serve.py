@@ -75,10 +75,16 @@ class AsrServer:
     def __init__(self, model: ParakeetTDT, batch_size: int = 8,
                  host: str = "127.0.0.1", port: int = 0,
                  runtime: Optional[RuntimeConfig] = None, mesh=None,
-                 engines=None):
+                 engines=None, beam: int = 1, lm_fn=None,
+                 lm_weight: float = 0.0, token_cap: int = 512):
+        """beam > 1: every served slot runs the batched device beam
+        (optionally LM-fused / biased — streaming/batch_engine.py); FINAL
+        events then carry the ranked ``nbest`` alongside the 1-best."""
         self.engine = BatchStreamingEngine(model, batch_size=batch_size,
                                            runtime=runtime, mesh=mesh,
-                                           engines=engines)
+                                           engines=engines, beam=beam,
+                                           lm_fn=lm_fn, lm_weight=lm_weight,
+                                           token_cap=token_cap)
         self._elock = threading.Lock()      # serializes ALL engine access
         self._clients: Dict[int, socket.socket] = {}   # sid -> conn
         self._wlocks: Dict[int, threading.Lock] = {}   # per-conn write lock
@@ -416,6 +422,10 @@ class AsrServer:
                     out["error"] = ev.error_message
                 if ev.type == EventType.FINAL_TEXT and sid in self._finalizing:
                     out["words"] = self.engine.word_timestamps(sid)
+                    if self.engine.beam > 1:
+                        out["nbest"] = [
+                            {"text": txt, "tokens": ids, "score": sc}
+                            for txt, ids, sc in self.engine.nbest(sid)]
                     self._finalizing.discard(sid)
                 self._enqueue(sid, out)
 
@@ -512,8 +522,11 @@ def transcribe(host: str, port: int, audio: np.ndarray,
         cli.close()
     if not final:
         raise TimeoutError("no final event")
-    return {"text": final[0]["text"], "words": final[0].get("words", []),
-            "partials": partials}
+    out = {"text": final[0]["text"], "words": final[0].get("words", []),
+           "partials": partials}
+    if "nbest" in final[0]:          # beam-mode server: ranked hypotheses
+        out["nbest"] = final[0]["nbest"]
+    return out
 
 
 def transcribe_continuous(host: str, port: int, audio: np.ndarray,
@@ -569,6 +582,15 @@ def main(argv=None) -> int:
                     help="AOT engine dir (tools/engine_build.py --batch N): "
                          "serve the lockstep program from the deserialized "
                          "artifact, live-jit fallback on signature miss")
+    ap.add_argument("--beam", type=int, default=1,
+                    help="beam width > 1 serves every slot with the batched "
+                         "device beam (n-best on FINAL events)")
+    ap.add_argument("--lm", default="",
+                    help="n-gram LM json (tools/ngram_lm_fit.py) fused into "
+                         "the device beam; requires --beam > 1")
+    ap.add_argument("--lm-weight", type=float, default=0.3)
+    ap.add_argument("--token-cap", type=int, default=512,
+                    help="device-beam per-hypothesis token buffer")
     args = ap.parse_args(argv)
 
     rt = RuntimeConfig.from_env()
@@ -585,10 +607,19 @@ def main(argv=None) -> int:
         from trt_asr_tpu.runtime.engine import EngineSet
 
         engines = EngineSet.load(args.engines)
+    lm_fn = None
+    if args.lm:
+        from trt_asr_tpu.decode.ngram_lm import NGramLM
+
+        lm_fn = NGramLM.load(args.lm)
     srv = AsrServer(model, batch_size=args.batch_size, host=args.host,
-                    port=args.port, runtime=rt, engines=engines)
+                    port=args.port, runtime=rt, engines=engines,
+                    beam=args.beam, lm_fn=lm_fn, lm_weight=args.lm_weight,
+                    token_cap=args.token_cap)
     print(f"trt-asr-tpu-serve listening on {srv.addr[0]}:{srv.addr[1]} "
-          f"(batch_size={args.batch_size})", flush=True)
+          f"(batch_size={args.batch_size}"
+          + (f", beam={args.beam}" if args.beam > 1 else "") + ")",
+          flush=True)
     srv.serve_forever(warmup=not args.no_warmup)
     return 0
 
