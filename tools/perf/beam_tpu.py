@@ -13,8 +13,15 @@ greedy. Arms per round:
 - beam-dev: encoder-only chunk program + the device beam program
   (decode/beam_device.py) chained the same way (two device dispatches
   per chunk vs greedy's one);
+- beam-lm / beam-bias (VERDICT r4 #5): the same device beam with a
+  full-vocab n-gram LM (order 3, fitted on random sequences) / a 50-
+  phrase biasing trie compiled to device tables (decode/lm_device.py)
+  fused into the expansion — target: fused <= 1.2x the unfused beam;
 - beam-host (few chunks): the host oracle loop (per-frontier-step device
   round trips) — the reference-antipattern contrast.
+
+Params are generated on device (bench.py _device_init_params, VERDICT r4
+#6) — no 2.4 GB tunnel upload.
 """
 import argparse
 import json
@@ -53,18 +60,45 @@ def main() -> int:
     from trt_asr_tpu.streaming.batch_engine import _batch_step
     from trt_asr_tpu.streaming.beam_session import _beam_encode_step
 
+    from bench import _device_init_params
+
     cfg = ModelConfig()
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind}", flush=True)
     t0 = time.time()
-    params = init_params(cfg, seed=0)
+    params = _device_init_params(cfg, seed=0)
     b = np.asarray(params["joint"]["out"]["b"]).copy()
     b[cfg.blank_id] += args.blank_bias      # speech-like emission profile
-    params["joint"]["out"]["b"] = b
+    params["joint"]["out"]["b"] = jax.device_put(b)
     if args.dtype == "bf16":
         params = cast_params_for_compute(params, jnp.bfloat16)
-    params = jax.device_put(params)
-    print(f"params init+put: {time.time()-t0:.1f}s", flush=True)
+    print(f"params device-init: {time.time()-t0:.1f}s", flush=True)
+
+    # device LM tables at FULL vocab (VERDICT r4 #5): an order-3 n-gram
+    # over random sequences (~40k trigram entries) and a 50-phrase trie
+    from trt_asr_tpu.decode.biasing import BiasingLM
+    from trt_asr_tpu.decode.lm_device import biasing_to_device, ngram_to_device
+    from trt_asr_tpu.decode.ngram_lm import NGramLM
+
+    r_lm = np.random.default_rng(3)
+    seqs = [r_lm.integers(0, cfg.token_head_size, size=20).tolist()
+            for _ in range(2000)]
+    lm = NGramLM.fit(seqs, order=3, vocab_size=cfg.token_head_size)
+    lm_spec, lm_tables = ngram_to_device(lm)
+    lm_sizes = [int(lev.tok.shape[0]) for lev in lm_tables.levels]
+    phrases = [tuple(r_lm.integers(0, cfg.token_head_size,
+                                   size=int(r_lm.integers(2, 5))).tolist())
+               for _ in range(50)]
+    cont = {}
+    for p in phrases:
+        for k in range(len(p)):
+            cont.setdefault(p[:k], set()).add(p[k])
+    bias = BiasingLM(cont, max(len(p) - 1 for p in phrases), 3.0,
+                     cfg.token_head_size)
+    b_spec, b_tables = biasing_to_device(bias)
+    print(f"LM tables: ngram levels {lm_sizes}, "
+          f"trie levels {[int(l.tok.shape[0]) for l in b_tables.levels]}",
+          flush=True)
 
     frames = cfg.chunk_size_frames[1] + cfg.pre_encode_cache_size[1]   # 57
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
@@ -93,7 +127,7 @@ def main() -> int:
         _ = np.asarray(out[0])
         return (time.perf_counter() - t0) * 1e3 / n
 
-    def beam_dev_arm(n):
+    def beam_dev_arm(n, spec=None, tables=None, weight=0.0):
         es = init_encoder_state(cfg, 1, dtype=dtype)
         ds = prime_decode_state(params, cfg, init_decode_state(cfg, 1), [])
         bst = init_beam_device_state(cfg, ds, beam=args.beam,
@@ -108,7 +142,8 @@ def main() -> int:
                 cache_drop=cfg.cache_drop_size, valid_cap=cfg.valid_out_len)
             bst = tdt_beam_chunk_device(
                 params, cfg, enc[0], out_len[0].astype("int32"), bst,
-                beam=args.beam, max_symbols=cfg.max_symbols_per_timestep)
+                beam=args.beam, max_symbols=cfg.max_symbols_per_timestep,
+                lm_spec=spec, lm_tables=tables, lm_weight=weight)
         _ = np.asarray(bst.score)
         _ = np.asarray(bst.tokens[:, :4])
         return (time.perf_counter() - t0) * 1e3 / n
@@ -136,20 +171,23 @@ def main() -> int:
                 joint_batch_fn=j_batch)
         return (time.perf_counter() - t0) * 1e3 / n
 
-    # compile all arms
-    t0 = time.time()
-    greedy_arm(1)
-    print(f"greedy compile: {time.time()-t0:.1f}s", flush=True)
-    t0 = time.time()
-    beam_dev_arm(1)
-    print(f"beam-device compile: {time.time()-t0:.1f}s", flush=True)
+    arms = {
+        "greedy": lambda n: greedy_arm(n),
+        "beam_dev": lambda n: beam_dev_arm(n),
+        "beam_lm": lambda n: beam_dev_arm(n, lm_spec, lm_tables, 0.3),
+        "beam_bias": lambda n: beam_dev_arm(n, b_spec, b_tables, 1.0),
+    }
+    for name, fn in arms.items():
+        t0 = time.time()
+        fn(1)
+        print(f"{name} compile: {time.time()-t0:.1f}s", flush=True)
 
-    rounds = {"greedy": [], "beam_dev": []}
+    rounds = {m: [] for m in arms}
     for r in range(args.rounds):
-        rounds["greedy"].append(greedy_arm(args.steps))
-        rounds["beam_dev"].append(beam_dev_arm(args.steps))
-        print(f"round {r}: greedy {rounds['greedy'][-1]:.3f} ms, "
-              f"beam-dev {rounds['beam_dev'][-1]:.3f} ms", flush=True)
+        for name, fn in arms.items():
+            rounds[name].append(fn(args.steps))
+        print(f"round {r}: " + "  ".join(
+            f"{m} {rounds[m][-1]:.3f}" for m in arms), flush=True)
     host_ms = beam_host_arm(args.host_chunks) if args.host_chunks else None
     if host_ms is not None:
         print(f"beam-host contrast: {host_ms:.1f} ms/chunk "
@@ -157,14 +195,23 @@ def main() -> int:
 
     g = min(rounds["greedy"])
     d = min(rounds["beam_dev"])
+    dl = min(rounds["beam_lm"])
+    db = min(rounds["beam_bias"])
     summary = {
         "device": dev.device_kind, "dtype": args.dtype, "beam": args.beam,
         "token_cap": args.token_cap, "steps": args.steps,
+        "lm": {"order": 3, "vocab": cfg.token_head_size,
+               "level_sizes": lm_sizes, "weight": 0.3},
+        "bias": {"phrases": len(phrases), "bonus": 3.0, "weight": 1.0},
         "rounds": rounds,
         "greedy_ms": round(g, 3), "beam_device_ms": round(d, 3),
+        "beam_lm_ms": round(dl, 3), "beam_bias_ms": round(db, 3),
         "beam_vs_greedy": round(d / g, 2),
+        "lm_vs_unfused_beam": round(dl / d, 2),
+        "bias_vs_unfused_beam": round(db / d, 2),
         "beam_host_ms": round(host_ms, 1) if host_ms is not None else None,
         "target_met_2x": d <= 2 * g,
+        "fused_target_met_1p2x": dl <= 1.2 * d and db <= 1.2 * d,
     }
     print(json.dumps({k: v for k, v in summary.items() if k != "rounds"}))
     if args.out:
