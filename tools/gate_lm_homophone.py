@@ -34,6 +34,23 @@ Verdict (exit 0 iff all hold):
 - greedy baseline WER in [0.05, 0.35] (the working regime);
 - beam+LM at the best fused weight improves >= 3 WER points absolute;
 - biasing improves its subset >= 3 points.
+
+GRADED-AMBIGUITY MODE (VERDICT r4 #7, ``--graded``): the identical-audio
+construction above can only show the LM winning — acoustics carry zero
+signal, so fusion weight has no cost side. ``--graded`` sweeps a morph
+knob alpha: a B spelling's audio becomes
+``(1-alpha) * wav(class_A) + alpha * wav(distinct_class_B)`` in BOTH the
+training corpus and the eval set, so at alpha=0 the pair is a true
+homophone and at alpha=0.5 the AM has learned real separability. The
+domain rule is made NOISY (``--rule-break``: the spelling contradicts its
+trigger that fraction of the time, in LM-fit text and eval alike), so an
+over-weighted LM overrides correct acoustic evidence on rule-breaking
+slots — the measurable cost the identical-audio gate cannot produce.
+Output: the WER surface over alpha x lm_weight + a recommended default
+weight (best mean WER across the alpha grid), written to
+``--graded-artifact``.
+
+    python tools/gate_lm_homophone.py --graded --out-dir /tmp/gate_graded
 """
 import argparse
 import functools
@@ -47,12 +64,13 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/tools/", 1)[0])
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from train_synthetic_e2e import make_words, synth_utterance  # noqa: E402
+from train_synthetic_e2e import make_words, synth_utterance, synth_word  # noqa: E402
 
 N_UNIQ = 140          # unambiguous words: text id == acoustic class
 N_PAIRS = 30          # homophone pairs: ids 140..169 (A) / 170..199 (B)
 N_TEXT = N_UNIQ + 2 * N_PAIRS
 P_HOMOPHONE = 0.45    # domain: probability a slot is a trigger+homophone
+SR = 16000
 
 
 def acoustic_class(tid: int) -> int:
@@ -64,10 +82,12 @@ def broad_sentence(r) -> list:
     return list(r.integers(0, N_TEXT, size=k))
 
 
-def domain_sentence(r, force_b: bool = False) -> list:
+def domain_sentence(r, force_b: bool = False, rule_break: float = 0.0) -> list:
     """Trigger-ruled text: homophone i's spelling A follows trigger 2i,
     spelling B follows trigger 2i+1. force_b: every homophone is a B
-    spelling (the biasing subset)."""
+    spelling (the biasing subset). rule_break: fraction of slots whose
+    spelling CONTRADICTS the trigger (graded mode) — the LM then prefers
+    the wrong spelling there and fusion weight has a measurable cost."""
     out = []
     slots = int(r.integers(2, 4))
     for _ in range(slots):
@@ -75,10 +95,118 @@ def domain_sentence(r, force_b: bool = False) -> list:
             i = int(r.integers(0, N_PAIRS))
             b = True if force_b else bool(r.integers(0, 2))
             out.append(2 * i + (1 if b else 0))          # the trigger
+            if rule_break and r.random() < rule_break:
+                b = not b                                # spelling defies rule
             out.append(N_UNIQ + N_PAIRS * b + i)         # the homophone
         else:
             out.append(int(r.integers(0, N_UNIQ)))
     return out
+
+
+def synth_text_morph(tids, r, alpha: float) -> np.ndarray:
+    """synth_utterance with graded B-spelling acoustics: a B token's
+    waveform is the alpha-mix of its pair's class-A signature and an
+    otherwise-unused distinct band code (class N_TEXT + i — valid:
+    synth_word supports 1120 classes, all < 560 share the 0.30 s duration
+    bit, so the two waveforms align sample-for-sample). alpha=0
+    reproduces the identical-audio homophone gate exactly."""
+    if alpha <= 0.0:
+        return synth_utterance([acoustic_class(t) for t in tids], r)
+    gap = np.zeros(int(0.08 * SR), np.float32)
+    parts = [gap.copy()]
+    for t in tids:
+        if t >= N_UNIQ + N_PAIRS:
+            i = t - (N_UNIQ + N_PAIRS)
+            wa = synth_word(N_UNIQ + i, r)
+            wb = synth_word(N_TEXT + i, r)
+            parts.append(((1.0 - alpha) * wa + alpha * wb)
+                         .astype(np.float32))
+        else:
+            parts.append(synth_word(acoustic_class(t), r))
+        parts.append(gap.copy())
+    parts.append(np.zeros(int(0.6 * SR), np.float32))
+    return np.concatenate(parts)
+
+
+def run_graded(args, words, synth_text, train_model) -> int:
+    """The alpha x lm_weight WER surface (module docstring): one model per
+    morph alpha, eval TEXTS shared across alphas (paired comparison, same
+    rng seed), LM fit once on the noisy-rule domain text. The recommended
+    default lm_weight is the best mean WER across the alpha grid; the
+    artifact also lists, per alpha, every weight that HURTS vs the unfused
+    beam — the cost side the identical-audio gate cannot measure."""
+    from trt_asr_tpu.config import RuntimeConfig
+    from trt_asr_tpu.decode.ngram_lm import fit_from_text
+    from trt_asr_tpu.eval.wer import score_corpus
+    from trt_asr_tpu.models.parakeet.model import ParakeetTDT
+    from trt_asr_tpu.streaming.beam_session import BeamStreamingSession
+    from trt_asr_tpu.streaming.session import StreamingSession
+
+    alphas = [float(x) for x in args.alphas.split(",")]
+    weights = [float(x) for x in args.graded_weights.split(",")]
+    rt = RuntimeConfig(suppress_leading_punct=False)
+
+    r = np.random.default_rng(5)
+    corpus = [" ".join(words[t] for t in
+                       domain_sentence(r, rule_break=args.rule_break))
+              for _ in range(args.lm_utts)]
+
+    surface = {}
+    lm = None
+    t_start = time.time()
+    for alpha in alphas:
+        mdir = os.path.join(args.out_dir, f"model_a{alpha:g}")
+        train_model(mdir, alpha)
+        model = ParakeetTDT.from_model_dir(mdir, runtime=rt)
+        if lm is None:
+            lm = fit_from_text(corpus, model.tokenizer, order=3)
+            lm.save(os.path.join(args.out_dir, "domain_lm_graded.json"))
+        re = np.random.default_rng(9)
+        evals = [domain_sentence(re, rule_break=args.rule_break)
+                 for _ in range(args.eval_utts)]
+        wavs = [synth_text(s, re, alpha) for s in evals]
+
+        def run(make_sess):
+            pairs = []
+            for s, a in zip(evals, wavs):
+                sess = make_sess()
+                sess.push_audio(a)
+                sess.finalize()
+                pairs.append((" ".join(words[t] for t in s), sess.text))
+            return score_corpus(pairs)["wer"]
+
+        row = {"greedy": run(lambda: StreamingSession(model, rt)),
+               "beam": run(lambda: BeamStreamingSession(
+                   model, beam=args.beam, runtime=rt))}
+        for w in weights:
+            row[f"lm{w:g}"] = run(lambda: BeamStreamingSession(
+                model, beam=args.beam, lm_fn=lm, lm_weight=w, runtime=rt))
+        surface[f"{alpha:g}"] = row
+        print(f"alpha={alpha:g}: "
+              + " ".join(f"{k}={v*100:.2f}%" for k, v in row.items())
+              + f" ({time.time()-t_start:.0f}s)", flush=True)
+
+    mean_by_w = {w: float(np.mean([surface[f"{a:g}"][f"lm{w:g}"]
+                                   for a in alphas])) for w in weights}
+    best_w = min(mean_by_w, key=mean_by_w.get)
+    hurts = {f"{a:g}": [w for w in weights
+                        if surface[f"{a:g}"][f"lm{w:g}"]
+                        > surface[f"{a:g}"]["beam"] + 1e-9]
+             for a in alphas}
+    verdict = {
+        "rule_break": args.rule_break,
+        "surface_wer": surface,
+        "mean_wer_by_weight": {f"{w:g}": v for w, v in mean_by_w.items()},
+        "recommended_lm_weight": best_w,
+        "weights_that_hurt_by_alpha": hurts,
+        "cost_side_measurable": any(v for v in hurts.values()),
+    }
+    print(json.dumps(verdict, indent=1))
+    os.makedirs(os.path.dirname(args.graded_artifact) or ".", exist_ok=True)
+    with open(args.graded_artifact, "w") as f:
+        json.dump({"config": vars(args), "verdict": verdict}, f, indent=1)
+    print(f"wrote {args.graded_artifact}")
+    return 0
 
 
 def main() -> int:
@@ -96,6 +224,15 @@ def main() -> int:
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--artifact",
                     default="artifacts/e2e_wer_gate_lm_homophone.json")
+    ap.add_argument("--graded", action="store_true",
+                    help="WER surface over alpha x lm_weight (module "
+                         "docstring): one model per alpha, noisy domain "
+                         "rule, recommended default weight")
+    ap.add_argument("--alphas", default="0,0.25,0.5")
+    ap.add_argument("--rule-break", type=float, default=0.15)
+    ap.add_argument("--graded-weights", default="0.15,0.3,0.6,1.0,2.0")
+    ap.add_argument("--graded-artifact",
+                    default="artifacts/e2e_wer_gate_lm_graded.json")
     args = ap.parse_args()
 
     if args.platform != "env":
@@ -129,14 +266,16 @@ def main() -> int:
     tokenizer = Tokenizer(["▁" + w for w in words], blank_id=cfg.blank_id)
     frontend = LogMelFrontend(FrontendSpec(n_mels=cfg.feat_in))
 
-    def synth_text(tids, r):
-        return synth_utterance([acoustic_class(t) for t in tids], r)
+    def synth_text(tids, r, alpha: float = 0.0):
+        return synth_text_morph(tids, r, alpha)
 
-    mdir = os.path.join(args.out_dir, "model")
-    if not (args.skip_train and os.path.isdir(mdir)):
-        # ---- broad (generic-AM) training corpus: uniform random text ----
+    def train_model(mdir: str, alpha: float):
+        """Broad (generic-AM) training corpus — uniform random text, B
+        spellings synthesized at the given acoustic morph alpha."""
+        if args.skip_train and os.path.isdir(mdir):
+            return
         r = np.random.default_rng(1)
-        train = [(s, synth_text(s, r))
+        train = [(s, synth_text(s, r, alpha))
                  for s in (broad_sentence(r) for _ in range(args.train_utts))]
         feats_list = [np.asarray(frontend(a)) for _, a in train]
         max_t = max(f.shape[0] for f in feats_list)
@@ -167,10 +306,17 @@ def main() -> int:
                           label_len[sel])
             params, opt_state, metrics = step(params, opt_state, batch)
             if it % 100 == 0 or it == args.steps - 1:
-                print(f"step {it}: loss {float(metrics['loss']):.3f} "
+                print(f"[alpha={alpha:g}] step {it}: loss "
+                      f"{float(metrics['loss']):.3f} "
                       f"({time.time()-t0:.0f}s)", flush=True)
         model = ParakeetTDT(cfg, jax.device_get(params), tokenizer)
         model.save_model_dir(mdir)
+
+    if args.graded:
+        return run_graded(args, words, synth_text, train_model)
+
+    mdir = os.path.join(args.out_dir, "model")
+    train_model(mdir, 0.0)
     model = ParakeetTDT.from_model_dir(mdir, runtime=RuntimeConfig())
 
     # ---- domain LM (text only) ----
