@@ -243,6 +243,15 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    if os.environ.get("TRT_ASR_COMPILE_CACHE"):
+        # persistent-cache the bench programs (runtime/engine.py): repeat
+        # runs skip the remote compile entirely — with device-side param
+        # init this makes the whole setup seconds, not ~1000 s (VERDICT
+        # r4 #6). One-way per process by design (docs/DEBUGGING.md).
+        from trt_asr_tpu.runtime.engine import apply_compile_cache
+
+        apply_compile_cache(os.environ["TRT_ASR_COMPILE_CACHE"])
+
     from trt_asr_tpu.config import ModelConfig
     from trt_asr_tpu.decode import init_decode_state
     from trt_asr_tpu.models.parakeet import init_encoder_state, init_params
@@ -409,6 +418,18 @@ def main() -> int:
                       "windowed_p50_ms": round(res_lo["p50"], 3)})
         params["joint"]["out"]["b"] = jax.device_put(base_b)
 
+    # accuracy-certification rung of the benchmarked mode (PERFNOTES
+    # "rung-honest parity verdicts"; the int8/bf16 fast mode's rung is the
+    # WER-gated decode-safety chain — PERFNOTES "int8 decode safety vs
+    # model size" — not a tensor rung: int8 encoder output error ~0.18 can
+    # never meet a tensor bar, same class as the reference's shipped FP16
+    # which failed its own bar at 0.7% pass)
+    if args.dtype == "f32" and args.quant == "none":
+        rung = ("ort_f32_5.2e-6" if args.f32_precision == "highest"
+                else "trt_fp32_2.99e-4")
+    else:
+        rung = "wer_gated_decode_safe_int8_chain"
+
     if args.batch:
         print(json.dumps({
             "metric": f"streaming_realtime_streams_per_chip_b{b}",
@@ -418,6 +439,7 @@ def main() -> int:
             "vs_baseline": round(streams / 25.5, 2),
             "p95_ms": round(p95, 3),
             "tokens_per_chunk": round(rate, 2),
+            "rung": rung,
         }))
     else:
         print(json.dumps({
@@ -429,6 +451,7 @@ def main() -> int:
             "windowed_p95_ms": round(p95, 3),
             "tokens_per_chunk": round(rate, 2),
             "emission_sweep": sweep,
+            "rung": rung,
         }))
     return 0
 

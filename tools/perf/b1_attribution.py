@@ -47,12 +47,21 @@ def main() -> int:
     ap.add_argument("--blank-bias", type=float, default=1.5)
     ap.add_argument("--f32-precision", default="highest",
                     choices=["high", "highest"])
+    ap.add_argument("--weight-probes", action="store_true",
+                    help="add enc_bf16 / enc_int8 timing-ablation arms "
+                         "(bandwidth-bound check: time should track "
+                         "weight bytes)")
     ap.add_argument("--out", default="artifacts/perf/b1_attribution.json")
     args = ap.parse_args()
     os.environ["TRT_ASR_F32_PRECISION"] = args.f32_precision
 
     import jax
     import jax.numpy as jnp
+
+    if os.environ.get("TRT_ASR_COMPILE_CACHE"):
+        from trt_asr_tpu.runtime.engine import apply_compile_cache
+
+        apply_compile_cache(os.environ["TRT_ASR_COMPILE_CACHE"])
 
     from bench import _device_init_params
     from trt_asr_tpu.config import ModelConfig
@@ -156,6 +165,28 @@ def main() -> int:
 
     arms = {"full": (full_states, full_adv), "enc": (enc_states, enc_adv),
             "dec": (dec_states, dec_adv), "disp": (disp_states, disp_adv)}
+
+    # weight-format probes (TIMING ablations, numerics change): if the
+    # encoder is weight-HBM-bound, its time should track weight BYTES —
+    # f32 2.4 GB -> bf16 1.2 GB -> int8 0.6 GB per chunk step
+    if args.weight_probes:
+        from trt_asr_tpu.models.parakeet.params import cast_params_for_compute
+        from trt_asr_tpu.models.parakeet.quant import quantize_params
+
+        p_bf16 = cast_params_for_compute(params, jnp.bfloat16)
+        p_int8 = quantize_params(params, "encoder")
+
+        def wp_arm(p, sdtype):
+            def states():
+                return (init_encoder_state(cfg, 1, dtype=sdtype),)
+
+            def adv(f, st):
+                o, _, es = enc_j(p, f, *st)
+                return o, (es,)
+            return states, adv
+
+        arms["enc_bf16"] = wp_arm(p_bf16, jnp.bfloat16)
+        arms["enc_int8"] = wp_arm(p_int8, jnp.float32)
 
     # warm/compile every arm first
     for name, (mk, adv) in arms.items():

@@ -48,6 +48,11 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    if os.environ.get("TRT_ASR_COMPILE_CACHE"):
+        from trt_asr_tpu.runtime.engine import apply_compile_cache
+
+        apply_compile_cache(os.environ["TRT_ASR_COMPILE_CACHE"])
+
     from bench import _device_init_params
     from trt_asr_tpu.config import ModelConfig
     from trt_asr_tpu.decode import init_decode_state, prime_decode_state
