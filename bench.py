@@ -127,44 +127,93 @@ def _measure(step, make_state, feats0, iters: int, window: int = 5):
             "chained_mean": chained}
 
 
+_PARAM_SPEC = "artifacts/perf/param_spec_fullsize.json"
+
+
+def _param_spec(cfg):
+    """[(path keys, shape, mean, std)] for every leaf of init_params(cfg).
+
+    For the default full-size config the spec is CACHED in the repo
+    (artifacts/perf/param_spec_fullsize.json): host init_params at 0.6B
+    costs ~85 s plus a ~20 s moments pass on this box — measured r5, the
+    dominant share of the r4 bench's '1000 s init' — so the bench reads
+    4 KB of JSON instead. Any other config falls back to computing (and
+    does not cache)."""
+    import os
+
+    from trt_asr_tpu.config import ModelConfig
+
+    here = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        _PARAM_SPEC)
+    is_default = cfg == ModelConfig()
+    if is_default and os.path.exists(here):
+        with open(here) as f:
+            d = json.load(f)
+        return d["skeleton"], [(tuple(shp), m, s) for shp, m, s in d["leaves"]]
+
+    from trt_asr_tpu.models.parakeet import init_params
+
+    host = init_params(cfg, seed=0)
+    leaves = []
+
+    def skel(x):
+        if isinstance(x, dict):
+            return {k: skel(v) for k, v in x.items()}
+        if isinstance(x, (list, tuple)):
+            return [skel(v) for v in x]
+        leaves.append((tuple(x.shape), float(x.mean()), float(x.std())))
+        return len(leaves) - 1
+
+    skeleton = skel(host)
+    if is_default:
+        os.makedirs(os.path.dirname(here), exist_ok=True)
+        with open(here, "w") as f:
+            json.dump({"config": "ModelConfig() full-size",
+                       "skeleton": skeleton,
+                       "leaves": [[list(shp), m, s]
+                                  for shp, m, s in leaves]}, f)
+    return skeleton, leaves
+
+
 def _device_init_params(cfg, seed: int):
     """Full-size random params generated ON DEVICE (VERDICT r4 #6).
 
-    The r4 bench paid ~1000 s per run uploading 2.4 GB of host-initialized
-    f32 weights through the tunnel — exactly one tunnel flap away from
-    losing the measurement. The bench needs RANDOM weights of the right
-    shapes and scales, not those exact bytes: host init supplies the tree
-    structure plus per-leaf (mean, std) scalars (seconds), and one jitted
-    program regenerates every leaf on device with jax.random — the upload
-    is a few KB of scalars. The measured step is identical (same shapes,
-    same dtypes, statistically identical logits; the emission profile is
-    re-calibrated per run via --blank-bias as before); equivalence vs
-    host-init measured interleaved in
+    The r4 bench paid ~1000 s per run on host-side 0.6B f32 init + the
+    2.4 GB upload through the tunnel — one flap away from losing the
+    measurement. The bench needs RANDOM weights of the right shapes and
+    scales, not those exact bytes: a cached per-leaf (shape, mean, std)
+    spec (_param_spec) parameterizes ONE jitted program that draws a
+    single flat normal vector on device and carves every leaf out of it
+    with static slices — no host weights, no upload, one small compile.
+    The measured step is identical (same shapes/dtypes, statistically
+    identical logits; emission profile re-calibrated per run via
+    --blank-bias); equivalence vs host-init:
     artifacts/perf/device_init_equivalence.json. ``--host-init`` restores
     the old path."""
     import jax
     import jax.numpy as jnp
 
-    from trt_asr_tpu.models.parakeet import init_params
-
-    host = init_params(cfg, seed=seed)           # numpy: seconds, no upload
-    leaves, treedef = jax.tree_util.tree_flatten(host)
-    stats = [(float(a.mean()), float(a.std()), a.shape,
-              np.dtype(a.dtype)) for a in leaves]
+    skeleton, spec = _param_spec(cfg)
+    sizes = [int(np.prod(shp)) for shp, _, _ in spec]
+    total = int(np.sum(sizes))
+    offs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
 
     @jax.jit
     def gen(key):
-        keys = jax.random.split(key, len(stats))
-        outs = []
-        for k, (m, s, shp, dt) in zip(keys, stats):
-            if np.issubdtype(dt, np.floating):
-                outs.append((m + s * jax.random.normal(k, shp))
-                            .astype(jnp.float32))
-            else:
-                outs.append(jnp.zeros(shp, dt))   # non-float leaves: none today
-        return jax.tree_util.tree_unflatten(treedef, outs)
+        flat = jax.random.normal(key, (total,), jnp.float32)
+        return [m + s * flat[int(offs[i]): int(offs[i + 1])].reshape(shp)
+                for i, (shp, m, s) in enumerate(spec)]
 
-    return gen(jax.random.key(seed))
+    leaves = gen(jax.random.key(seed))
+
+    def build(node):
+        if isinstance(node, dict):
+            return {k: build(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [build(v) for v in node]
+        return leaves[node]
+
+    return build(skeleton)
 
 
 def main() -> int:
