@@ -125,8 +125,10 @@ def main(argv=None) -> int:
     ap.add_argument("--lm", default="",
                     help="n-gram LM file (decode/ngram_lm.py v1 JSON) for "
                          "shallow fusion; requires --beam N")
-    ap.add_argument("--lm-weight", type=float, default=0.3,
-                    help="fusion weight for --lm")
+    ap.add_argument("--lm-weight", type=float, default=0.6,
+                    help="fusion weight for --lm; default chosen by the "
+                         "graded-ambiguity gate (PERFNOTES r5, "
+                         "artifacts/e2e_wer_gate_lm_graded.json)")
     ap.add_argument("--srt", default="",
                     help="write an SRT subtitle file from the word "
                          "timestamps (io/subtitles.py; works with "

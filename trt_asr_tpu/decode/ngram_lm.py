@@ -13,8 +13,8 @@ the fusion hook usable out of the box:
     lm.save("lm.json")                     # portable counts
     ...
     lm = NGramLM.load("lm.json")
-    model.transcribe_offline_beam(audio, lm_fn=lm, lm_weight=0.3)
-    # or: python -m trt_asr_tpu.cli a.wav --beam 4 --lm lm.json --lm-weight 0.3
+    model.transcribe_offline_beam(audio, lm_fn=lm, lm_weight=0.6)
+    # or: python -m trt_asr_tpu.cli a.wav --beam 4 --lm lm.json --lm-weight 0.6
 
 Scoring: score(prefix, t) = log P_sb(t | last order-1 tokens), where
 P_sb(t|ctx) = count(ctx+t)/count(ctx) if seen, else alpha * P_sb(t|ctx[1:]),

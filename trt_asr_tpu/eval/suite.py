@@ -63,7 +63,7 @@ class SuiteConfig:
                                       # compare greedy vs beam decoding
     lm_path: str = ""                 # n-gram LM (decode/ngram_lm.py v1
                                       # JSON) for shallow fusion; needs beam
-    lm_weight: float = 0.3
+    lm_weight: float = 0.6
 
 
 def _parse_cli_stdout(stdout: str) -> Dict[str, object]:

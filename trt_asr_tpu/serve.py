@@ -588,7 +588,9 @@ def main(argv=None) -> int:
     ap.add_argument("--lm", default="",
                     help="n-gram LM json (tools/ngram_lm_fit.py) fused into "
                          "the device beam; requires --beam > 1")
-    ap.add_argument("--lm-weight", type=float, default=0.3)
+    ap.add_argument("--lm-weight", type=float, default=0.6,
+                    help="fusion weight; default from the graded-ambiguity "
+                         "gate (artifacts/e2e_wer_gate_lm_graded.json)")
     ap.add_argument("--token-cap", type=int, default=512,
                     help="device-beam per-hypothesis token buffer")
     args = ap.parse_args(argv)
