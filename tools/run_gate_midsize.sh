@@ -23,13 +23,22 @@ cd "$(dirname "$0")/.."
 DM=${DM:-256}
 OUT=${1:-/tmp/gate_d${DM}}
 STEPS=${STEPS:-2500}
+# d512 lesson (r5): at DM=512 the d256 recipe (4000 utts) train-memorizes
+# UTTERANCES instead of word mappings — train loss 0.01 with heldout loss
+# RISING (6.3->6.6) and 26% held-out WER. The capacity cure is more
+# distinct utterances over the same vocab (TRAIN_UTTS=12000), which
+# leaves word-level acoustic evidence unchanged while tripling the cost
+# of the shortcut. WD stays available for stubborn cases.
+TRAIN_UTTS=${TRAIN_UTTS:-4000}
+WD=${WD:-1e-4}
 mkdir -p "$OUT"
 
 ok=0
 for attempt in 1 2 3 4 5 6 7 8; do
   if python tools/train_synthetic_e2e.py \
-      --out-dir "$OUT" --steps "$STEPS" --train-utts 4000 --eval-utts 50 \
-      --weight-decay 1e-4 --streaming-train --platform env \
+      --out-dir "$OUT" --steps "$STEPS" --train-utts "$TRAIN_UTTS" \
+      --eval-utts 50 \
+      --weight-decay "$WD" --streaming-train --platform env \
       --d-model "$DM" --joint-hidden 64 \
       --vocab-size 1120 --gate-wer 0.05 --words-per-utt 8,13 \
       --surfaces python,batch --variants base,nocache --stream-sims 0.5 \
