@@ -6,6 +6,10 @@ The accuracy ladder claim (ops/quant.py): (x @ q) * s == x @ (q * s)
 exactly, int8->bf16 conversion exact, so the only error vs float weights is
 the weight rounding itself — bounded per output channel by amax/254."""
 
+import os
+import subprocess
+import sys
+
 import numpy as np
 import pytest
 
@@ -17,6 +21,17 @@ from trt_asr_tpu.models.parakeet.quant import (
     quantize_params,
 )
 from trt_asr_tpu.ops.quant import QuantTensor, dequantize, q8_matmul, quantize_tensor
+
+# The encoder-closed-loop and joint-bound tests compile mid-size programs
+# and have segfaulted XLA-CPU twice at suite position ~72% (r5; same
+# class as docs/DEBUGGING.md trap #6 — late-suite XLA-CPU compiles in a
+# long-lived process; both pass alone). They run via the subprocess
+# wrapper below; TRT_ASR_QUANT_SUBPROC=1 marks the isolated process.
+_IN_SUBPROC = os.environ.get("TRT_ASR_QUANT_SUBPROC") == "1"
+_isolated = pytest.mark.skipif(
+    not _IN_SUBPROC,
+    reason="runs subprocess-isolated (trap #6); see "
+           "test_compile_heavy_quant_bounds_subprocess")
 
 
 def test_quantize_roundtrip_bound(rng):
@@ -78,6 +93,7 @@ def test_scoped_quantize_params():
     assert not isinstance(d["joint"]["out"]["w"], QuantTensor)
 
 
+@_isolated
 def test_quantized_encoder_closed_loop_error(rng):
     """Streaming encode with int8 encoder weights must track the f32 model
     within the weight-rounding error class (and must NOT diverge as the
@@ -110,6 +126,7 @@ def test_quantized_encoder_closed_loop_error(rng):
     assert errs[-1] < 3 * (np.mean(errs) + 1e-6), f"drift: {errs}"
 
 
+@_isolated
 def test_joint_logits_error_bound(rng):
     """Quantized joint logits track float within the int8 error class —
     the decode loop sees fp16-class logits, not garbage."""
@@ -153,3 +170,17 @@ def test_session_quant_runs_end_to_end(rng):
         events.append(ev)
     assert events and events[-1].type == EventType.FINAL_TEXT
     assert sess.text
+
+
+def test_compile_heavy_quant_bounds_subprocess():
+    """Runs the two compile-heavy quant-accuracy tests in a fresh
+    interpreter (docs/DEBUGGING.md trap #6: XLA-CPU segfaults
+    non-deterministically on late-suite compiles in a long-lived process;
+    both tests crashed the r5 suite at ~72% twice and pass alone)."""
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q",
+         f"{__file__}::test_quantized_encoder_closed_loop_error",
+         f"{__file__}::test_joint_logits_error_bound"],
+        capture_output=True, text=True, timeout=900,
+        env={**os.environ, "TRT_ASR_QUANT_SUBPROC": "1"})
+    assert r.returncode == 0, (r.stdout[-800:], r.stderr[-500:])
