@@ -28,3 +28,16 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_programs_between_modules():
+    """XLA-CPU segfaults non-deterministically when a long-lived process
+    keeps compiling (docs/DEBUGGING.md trap #6); in r5 the full suite
+    died three times in a row at ~72% inside whatever test compiled next
+    (each time a different one), while the same files pass together in a
+    fresh process. Dropping the accumulated compiled executables at
+    module boundaries keeps the per-compile process state small;
+    recompilation is transparent (tiny-config programs, CPU-cheap)."""
+    yield
+    jax.clear_caches()
