@@ -4,12 +4,22 @@ Headline vs the reference's best number (BASELINE.md): TRT FP16
 streaming-encoder per-chunk latency mean 18.8 ms for a 480 ms-advance chunk
 (per-240ms-normalized: 9.4 ms). Ours measures the SAME work plus the decode
 loop (which the reference ran on the host with per-step D2H), on one TPU
-chip. Default config is the ACCURACY-PASSING one (f32 weights, 6-pass
-HIGHEST matmuls — closed-loop 5.2e-6 at full size, the contract's
-strictest ort_f32 1e-4 rung with 19x margin, while the TRT-FP16 baseline
-failed its own bar at 0.7% pass; B=1 is op-overhead-bound so HIGHEST
-costs nothing vs 3-pass HIGH there); `--dtype bf16`
-[--pallas-att --quant all] selects the fast mode.
+chip.
+
+The default run measures TWO arms in one process: the ACCURACY arm
+(f32 weights, 6-pass HIGHEST matmuls — closed-loop 5.2e-6 at full size,
+the contract's strictest ort_f32 1e-4 rung with 19x margin, while the
+TRT-FP16 baseline failed its own bar at 0.7% pass; B=1 is
+op-overhead-bound so HIGHEST costs nothing vs 3-pass HIGH there) and,
+WHEN the committed decode-safety chain certifies it
+(_fast_mode_certified — trained-margin artifacts at d256 AND d512 with
+margins dominating the int8 delta), the FAST arm (int8 weights, bf16
+compute, fused Pallas attention+joint), which then becomes the headline
+with the accuracy arm reported alongside. This mirrors the reference's
+own shipping decision — its headline TRT engine is FP16, certified by
+behavioral evidence rather than a tensor bar. `--single-arm` (or any
+explicit --dtype/--quant/--pallas-att/--batch selection) restores
+single-mode behavior.
 
 Methodology note (docs/DEBUGGING.md): repeated identical executions through
 the axon tunnel get memoized upstream, so every timed step feeds DIFFERENT
@@ -216,6 +226,52 @@ def _device_init_params(cfg, seed: int):
     return build(skeleton)
 
 
+def _fast_mode_certified(root: str = ""):
+    """Decide whether the fast mode (int8+bf16+Pallas) carries its
+    WER-gated certification, from the COMMITTED decode-safety-chain
+    artifacts (PERFNOTES "int8 decode safety vs model size"). int8 can
+    never meet a tensor rung (encoder output delta ~0.18 vs the 1.8e-3
+    trt_fp16 bar), so its certification is behavioral — the same CLASS
+    of evidence the reference shipped its FP16 engine on. Required, at
+    EVERY trained mid-size gate (d256 and d512):
+
+    - the direct decode-level evidence: the trained model's held-out WER
+      gate re-run with int8 weights + bf16 compute passes
+      (int8_wer_gate_d{dm}.json: pass == true, wer <= 0.05);
+    - the per-decision bound: int8's argmax decision-flip rate < 2%
+      (trained_margins_vs_int8_delta_d{dm}.json — measured flips, not
+      the aggregate margin/delta ratio: r5 showed the ratio tracks how
+      CONVERGED a gate model is, not decode safety; both are reported).
+
+    Returns the per-size evidence list, or None (artifacts
+    absent/regressed -> the bench keeps the f32 headline)."""
+    import os
+
+    here = root or os.path.dirname(os.path.abspath(__file__))
+    out = []
+    for dm in (256, 512):
+        pm = f"artifacts/parity/trained_margins_vs_int8_delta_d{dm}.json"
+        pw = f"artifacts/parity/int8_wer_gate_d{dm}.json"
+        try:
+            with open(os.path.join(here, pm)) as f:
+                d = json.load(f)
+            ratio = float(d["safety_ratio_emission_p5_over_delta_e2e_p95"])
+            flips = float(d["decision_flip_rate_e2e"])
+            with open(os.path.join(here, pw)) as f:
+                w = json.load(f)
+            wer = float(w["wer"])
+            ok = bool(w["pass"])
+        except (OSError, KeyError, ValueError):
+            return None
+        if not (ok and wer <= 0.05 and flips < 0.02):
+            return None
+        out.append({"d_model": dm, "int8_wer": round(wer, 4),
+                    "decision_flip_rate": round(flips, 5),
+                    "margin_delta_ratio": round(ratio, 2),
+                    "artifacts": [pw, pm]})
+    return out
+
+
 def main() -> int:
     import argparse
 
@@ -251,6 +307,12 @@ def main() -> int:
     ap.add_argument("--worst-case", action="store_true",
                     help="alias for --blank-bias 0: every decode step emits "
                          "(max_symbols cap), the decode-bound upper bound")
+    ap.add_argument("--single-arm", action="store_true",
+                    help="measure only the mode given by --dtype/--quant/"
+                         "--pallas-att; default ALSO measures the "
+                         "certified fast arm in the same process and "
+                         "promotes it to the headline when the decode-"
+                         "safety chain holds (_fast_mode_certified)")
     ap.add_argument("--host-init", action="store_true",
                     help="initialize params on host and upload them (the "
                          "pre-r5 path: ~1000 s of f32 through the tunnel); "
@@ -309,45 +371,54 @@ def main() -> int:
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     cfg = ModelConfig()
-    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    t0 = time.time()
-    if args.host_init:
-        params = init_params(cfg, seed=0)
-    else:
-        params = _device_init_params(cfg, seed=0)
-    if args.blank_bias:
-        # random weights give blank no special mass (1 of 8193) so every
-        # step would emit — unrepresentative of ASR decode, which is
-        # blank-dominated. Bias the blank logit for a realistic emission
-        # rate; report the measured tokens/chunk alongside the timing.
-        b = np.asarray(params["joint"]["out"]["b"]).copy()
-        b[cfg.blank_id] += args.blank_bias
-        params["joint"]["out"]["b"] = b
-    if args.dtype == "bf16":
-        params = cast_params_for_compute(params, jnp.bfloat16)
-    if args.quant != "none":
-        from trt_asr_tpu.models.parakeet.quant import quantize_params
 
-        params = quantize_params(params, args.quant)
-    params = jax.device_put(params)
-    print(f"params init+put: {time.time()-t0:.1f}s ({args.dtype}"
-          f"{', host-init' if args.host_init else ', device-init'})",
-          file=sys.stderr)
+    def prep_arm(a):
+        """Params + compute dtype for one measurement arm (``a`` is an
+        argparse Namespace; the dual-arm default clones ``args`` with the
+        fast-mode fields flipped)."""
+        dt = jnp.bfloat16 if a.dtype == "bf16" else jnp.float32
+        t0 = time.time()
+        if a.host_init:
+            params = init_params(cfg, seed=0)
+        else:
+            params = _device_init_params(cfg, seed=0)
+        if a.blank_bias:
+            # random weights give blank no special mass (1 of 8193) so
+            # every step would emit — unrepresentative of ASR decode,
+            # which is blank-dominated. Bias the blank logit for a
+            # realistic emission rate; report the measured tokens/chunk
+            # alongside the timing. (quantize_params leaves biases f32,
+            # so this survives the fast arm's int8 pass.)
+            bb = np.asarray(params["joint"]["out"]["b"]).copy()
+            bb[cfg.blank_id] += a.blank_bias
+            params["joint"]["out"]["b"] = bb
+        if a.dtype == "bf16":
+            params = cast_params_for_compute(params, jnp.bfloat16)
+        if a.quant != "none":
+            from trt_asr_tpu.models.parakeet.quant import quantize_params
+
+            params = quantize_params(params, a.quant)
+        params = jax.device_put(params)
+        print(f"params init+put: {time.time()-t0:.1f}s ({a.dtype}"
+              f"{', host-init' if a.host_init else ', device-init'}"
+              f"{', quant ' + a.quant if a.quant != 'none' else ''})",
+              file=sys.stderr)
+        return params, dt
 
     frames = cfg.chunk_size_frames[1] + cfg.pre_encode_cache_size[1]   # 57
     chunk_audio_ms = cfg.shift_size_frames[1] * 10.0                    # 240
     rng = np.random.default_rng(0)
     max_tokens = cfg.max_symbols_per_timestep * (frames // cfg.subsampling_factor + 1)
 
-    def make_step(b):
+    def make_step(b, a, params, dtype):
         valid = jnp.full((b,), frames, jnp.int32)
         emitted = jnp.zeros((b,), jnp.int32)
         cache_drop = jnp.full((b,), cfg.cache_drop_size, jnp.int32)
         valid_cap = jnp.full((b,), cfg.valid_out_len, jnp.int32)
 
-        if args.pallas_att:
+        if a.pallas_att:
             assert b == 1, "--pallas-att is the B=1 streaming path"
-            assert args.dtype == "bf16" or args.quant in ("encoder", "all"), \
+            assert a.dtype == "bf16" or a.quant in ("encoder", "all"), \
                 "--pallas-att needs bf16 or int8 weights (f32 exceeds VMEM)"
             from trt_asr_tpu.ops.conv import subsampled_length
             from trt_asr_tpu.models.parakeet.encoder import precompute_pos_proj
@@ -372,7 +443,7 @@ def main() -> int:
                     punct_mask=None, use_punct_mask=False,
                     pos_proj=None, pos_projT=ppT,
                     pad_steps=tq_pad - tq, use_pallas_att=True,
-                    use_pallas_joint=not args.no_pallas and args.dtype == "bf16")
+                    use_pallas_joint=not a.no_pallas and a.dtype == "bf16")
                 return toks, n, es, ds
 
             return step
@@ -381,40 +452,115 @@ def main() -> int:
             toks, n, es, ds = _batch_step(
                 params, cfg, f, valid, es, ds, emitted, cache_drop, valid_cap,
                 drop_extra=cfg.drop_extra_pre_encoded, max_tokens=max_tokens,
-                use_pallas_joint=not args.no_pallas and args.dtype == "bf16")
+                use_pallas_joint=not a.no_pallas and a.dtype == "bf16")
             return toks, n, es, ds
 
         return step
 
+    params, dtype = prep_arm(args)
     if args.offline:
         return _bench_offline(params, cfg, args)
 
     b = args.batch or 1
-    step = make_step(b)
+    step = make_step(b, args, params, dtype)
 
-    def make_state():
-        return (init_encoder_state(cfg, b, dtype=dtype),
-                init_decode_state(cfg, b))
+    def make_state_for(dt):
+        def mk():
+            return (init_encoder_state(cfg, b, dtype=dt),
+                    init_decode_state(cfg, b))
+        return mk
+
+    make_state = make_state_for(dtype)
 
     feats = jnp.asarray(rng.standard_normal((b, frames, cfg.feat_in)).astype(np.float32))
 
     # measured emission profile (tokens per chunk per stream) — the decode
     # loop's workload depends on it; report for honesty
-    def emission_rate():
-        es, ds = make_state()
+    def emission_rate(step_, make_state_):
+        es, ds = make_state_()
         emits = []
         for k in range(4):
-            out = step(feats * (1.0 + 0.02 * k), es, ds)
+            out = step_(feats * (1.0 + 0.02 * k), es, ds)
             es, ds = out[2], out[3]
             emits.append(float(np.asarray(out[1]).mean()))
         return float(np.mean(emits))
 
-    rate = emission_rate()
+    def calibrate_emission(params_, step_, make_state_, target=1.5):
+        """Adjust the blank bias ON DEVICE until the measured emission
+        rate is close to ``target`` tok/chunk (the documented speech-like
+        profile). The fixed --blank-bias value was calibrated against
+        host-init params; device-init params land at a different rate
+        (measured 3.0 at bias 1.5), so the profile is calibrated per run
+        — same compiled program, no retrace."""
+        if args.batch or not args.blank_bias:
+            return emission_rate(step_, make_state_)
+        base_b = np.asarray(params_["joint"]["out"]["b"])
+
+        def put(extra):
+            nb = (base_b.astype(np.float32) + 0.0).copy()
+            nb[cfg.blank_id] += extra
+            params_["joint"]["out"]["b"] = jax.device_put(
+                nb.astype(base_b.dtype))
+
+        # emission collapses FAST in the extra bias (3.0 -> 0.5 tok/chunk
+        # within +0.3 here), so probe fine steps near zero
+        best = (1e9, 0.0, None)
+        for extra in (0.0, 0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.4, 0.6,
+                      0.9, 1.2):
+            put(extra)
+            r = emission_rate(step_, make_state_)
+            if abs(r - target) < best[0]:
+                best = (abs(r - target), extra, r)
+            if r < target - 0.7:
+                break
+        _, extra, r = best
+        put(extra)
+        print(f"emission calibrated: {r:.2f} tok/chunk "
+              f"(extra bias {extra:g})", file=sys.stderr)
+        return r
+
+    rate = calibrate_emission(params, step, make_state)
     print(f"emission profile: {rate:.2f} tokens/chunk/stream "
           f"(blank_bias {args.blank_bias})", file=sys.stderr)
     t0 = time.time()
     res = _measure(step, make_state, feats, args.iters)
     print(f"measure wall: {time.time()-t0:.1f}s (incl compile)", file=sys.stderr)
+
+    # Dual-arm default (VERDICT r4 #2 tail): when the run is the plain
+    # accuracy-mode default AND the committed decode-safety chain
+    # certifies the fast mode (trained margins dominate the int8 delta at
+    # every trained size — _fast_mode_certified), ALSO measure the fast
+    # arm (int8+bf16+Pallas) in the SAME process and make it the
+    # headline, with the accuracy arm reported alongside. The promotion
+    # is gated on artifacts, not asserted: delete/regress the chain and
+    # the bench falls back to the f32 headline.
+    fast = None
+    if (not args.single_arm and not args.batch and not args.pallas_att
+            and args.dtype == "f32" and args.quant == "none"):
+        cert = _fast_mode_certified()
+        if cert is None:
+            print("fast arm skipped: decode-safety chain artifacts absent "
+                  "or failing — f32 accuracy arm stays the headline",
+                  file=sys.stderr)
+        else:
+            import copy as _copy
+
+            fa = _copy.copy(args)
+            fa.dtype, fa.quant, fa.pallas_att = "bf16", "all", True
+            params_f, dtype_f = prep_arm(fa)
+            step_f = make_step(1, fa, params_f, dtype_f)
+            make_state_f = make_state_for(dtype_f)
+            rate_f = calibrate_emission(params_f, step_f, make_state_f)
+            print(f"fast-arm emission profile: {rate_f:.2f} tokens/chunk",
+                  file=sys.stderr)
+            res_f = _measure(step_f, make_state_f, feats, args.iters)
+            print(f"fast arm (int8+bf16+pallas): "
+                  f"{res_f['chained_mean']:.3f} ms chained mean (windowed "
+                  f"p50 {res_f['p50']:.3f} / p95 {res_f['p95']:.3f})",
+                  file=sys.stderr)
+            fast = {"res": res_f, "rate": rate_f, "cert": cert,
+                    "params": params_f, "step": step_f,
+                    "make_state": make_state_f}
 
     # Headline = chained mean (ONE fence per run): the r1-r3-comparable,
     # conservative number. The windowed p50/p95 are reported RAW: each
@@ -436,36 +582,47 @@ def main() -> int:
     # emission-profile sensitivity (VERDICT r3 #7): re-measure at a
     # SPARSER decode profile (~0.5 tok/chunk) by raising the blank bias ON
     # DEVICE — same compiled program, new joint-bias value, no recompile —
-    # so the headline cannot be flattered by blank-dominated decode.
-    sweep = [{"tokens_per_chunk": round(rate, 2),
-              "ms_per_chunk": round(p50, 3),
-              "windowed_p50_ms": round(res["p50"], 3)}]
-    if not args.batch and args.blank_bias:
+    # so the headline cannot be flattered by blank-dominated decode. Runs
+    # on the HEADLINE arm (the fast arm when the dual default promoted it).
+    def emission_sweep(params_, step_, make_state_, rate_, res_):
+        sweep = [{"tokens_per_chunk": round(rate_, 2),
+                  "ms_per_chunk": round(res_["chained_mean"], 3),
+                  "windowed_p50_ms": round(res_["p50"], 3)}]
+        if args.batch or not args.blank_bias or rate_ <= 0.7:
+            # primary already measured at the sparse profile (device-init
+            # random weights only reach ~3.0 or ~0.5 tok/chunk; the
+            # calibrator picks 0.5) — a second 0.5 row adds nothing
+            return sweep
         # calibrate toward ~0.5 tok/chunk: emission collapses fast in the
         # extra bias, so probe fine steps (4 steps each, no recompile) and
         # keep the rate closest to the target
-        base_b = np.asarray(params["joint"]["out"]["b"])
+        base_b = np.asarray(params_["joint"]["out"]["b"])
+
+        def with_extra(extra):
+            # keep the leaf dtype (bf16 on the fast arm): a silent numpy
+            # f32 upcast would retrace the compiled step
+            nb = (base_b.astype(np.float32) + 0.0).copy()
+            nb[cfg.blank_id] += extra
+            return jax.device_put(nb.astype(base_b.dtype))
+
         probes = []
         for extra in (0.2, 0.4, 0.6, 0.8, 1.0):
-            nb = base_b.copy()
-            nb[cfg.blank_id] += extra
-            params["joint"]["out"]["b"] = jax.device_put(nb)
-            r_e = emission_rate()
+            params_["joint"]["out"]["b"] = with_extra(extra)
+            r_e = emission_rate(step_, make_state_)
             probes.append((abs(r_e - 0.5), extra, r_e))
             if r_e < 0.2:
                 break
         _, extra, lo_rate = min(probes)
-        nb = base_b.copy()
-        nb[cfg.blank_id] += extra
-        params["joint"]["out"]["b"] = jax.device_put(nb)
-        res_lo = _measure(step, make_state, feats, max(args.iters // 2, 20))
+        params_["joint"]["out"]["b"] = with_extra(extra)
+        res_lo = _measure(step_, make_state_, feats, max(args.iters // 2, 20))
         print(f"emission sweep: {lo_rate:.2f} tok/chunk (extra bias "
               f"{extra:g}) -> chained mean {res_lo['chained_mean']:.3f} ms "
               f"(windowed p50 {res_lo['p50']:.3f})", file=sys.stderr)
         sweep.append({"tokens_per_chunk": round(lo_rate, 2),
                       "ms_per_chunk": round(res_lo["chained_mean"], 3),
                       "windowed_p50_ms": round(res_lo["p50"], 3)})
-        params["joint"]["out"]["b"] = jax.device_put(base_b)
+        params_["joint"]["out"]["b"] = jax.device_put(base_b)
+        return sweep
 
     # accuracy-certification rung of the benchmarked mode (PERFNOTES
     # "rung-honest parity verdicts"; the int8/bf16 fast mode's rung is the
@@ -490,7 +647,59 @@ def main() -> int:
             "tokens_per_chunk": round(rate, 2),
             "rung": rung,
         }))
+    elif fast is not None:
+        # certification decides ELIGIBILITY; the measurement decides
+        # SELECTION — if the fast arm doesn't actually beat the f32 arm
+        # in this run, the f32 arm keeps the headline (it also carries
+        # the stronger rung). Both arms always appear in the JSON.
+        fr = fast["res"]
+        fast_wins = fr["chained_mean"] < p50
+        print(f"headline arm: {'fast' if fast_wins else 'accuracy (f32)'} "
+              f"(fast {fr['chained_mean']:.3f} vs f32 {p50:.3f} ms)",
+              file=sys.stderr)
+        f32_report = {
+            "ms": round(p50, 3),
+            "vs_baseline": round(BASELINE_PER_240MS_MS / p50, 2),
+            "windowed_p50_ms": round(res["p50"], 3),
+            "windowed_p95_ms": round(p95, 3),
+            "tokens_per_chunk": round(rate, 2),
+            "rung": rung,
+        }
+        fast_report = {
+            "ms": round(fr["chained_mean"], 3),
+            "vs_baseline": round(BASELINE_PER_240MS_MS / fr["chained_mean"], 2),
+            "windowed_p50_ms": round(fr["p50"], 3),
+            "windowed_p95_ms": round(fr["p95"], 3),
+            "tokens_per_chunk": round(fast["rate"], 2),
+            "rung": "wer_gated_decode_safe_int8_chain",
+            "certification": fast["cert"],
+        }
+        hrep = fast_report if fast_wins else f32_report
+        hp50 = fr["chained_mean"] if fast_wins else p50
+        sweep = (emission_sweep(fast["params"], fast["step"],
+                                fast["make_state"], fast["rate"], fr)
+                 if fast_wins else
+                 emission_sweep(params, step, make_state, rate, res))
+        out = {
+            "metric": "streaming_chunk_p50_ms",
+            "value": round(hp50, 3),
+            "unit": "ms",
+            "vs_baseline": round(BASELINE_PER_240MS_MS / hp50, 2),
+            "windowed_p50_ms": hrep["windowed_p50_ms"],
+            "windowed_p95_ms": hrep["windowed_p95_ms"],
+            "tokens_per_chunk": hrep["tokens_per_chunk"],
+            "emission_sweep": sweep,
+            "rung": hrep["rung"],
+            "headline_arm": "fast" if fast_wins else "accuracy_f32",
+        }
+        if fast_wins:
+            out["certification"] = fast["cert"]
+            out["accuracy_mode"] = f32_report
+        else:
+            out["fast_mode"] = fast_report
+        print(json.dumps(out))
     else:
+        sweep = emission_sweep(params, step, make_state, rate, res)
         print(json.dumps({
             "metric": "streaming_chunk_p50_ms",
             "value": round(p50, 3),

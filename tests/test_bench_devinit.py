@@ -60,3 +60,58 @@ def test_drives_the_fused_step(pair):
         jnp.full((1,), cfg.valid_out_len, jnp.int32),
         drop_extra=cfg.drop_extra_pre_encoded, max_tokens=16)
     assert np.isfinite(np.asarray(out[1])).all()
+
+
+def _write_chain(tmp, dm, flips, wer, wer_pass=True, ratio=1.0):
+    import json
+    import os
+
+    d = os.path.join(tmp, "artifacts", "parity")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(
+            d, f"trained_margins_vs_int8_delta_d{dm}.json"), "w") as f:
+        json.dump({"safety_ratio_emission_p5_over_delta_e2e_p95": ratio,
+                   "decision_flip_rate_e2e": flips}, f)
+    with open(os.path.join(d, f"int8_wer_gate_d{dm}.json"), "w") as f:
+        json.dump({"wer": wer, "pass": wer_pass}, f)
+
+
+def test_fast_mode_certification_gate(tmp_path):
+    """The dual-arm headline promotion is gated on the committed
+    decode-safety chain: at BOTH trained sizes the int8 WER gate must
+    pass and the measured decision-flip rate must stay under 2%. Absent
+    or regressed artifacts -> None -> the bench keeps the f32 headline."""
+    from bench import _fast_mode_certified
+
+    root = str(tmp_path)
+    assert _fast_mode_certified(root) is None          # nothing committed
+
+    _write_chain(root, 256, flips=0.0032, wer=0.0)
+    assert _fast_mode_certified(root) is None          # d512 missing
+
+    _write_chain(root, 512, flips=0.0101, wer=0.0)
+    cert = _fast_mode_certified(root)
+    assert [c["d_model"] for c in cert] == [256, 512]
+    assert all(c["int8_wer"] <= 0.05 for c in cert)
+
+    _write_chain(root, 512, flips=0.0101, wer=0.12)    # WER regression
+    assert _fast_mode_certified(root) is None
+
+    _write_chain(root, 512, flips=0.0101, wer=0.0, wer_pass=False)
+    assert _fast_mode_certified(root) is None          # gate says fail
+
+    _write_chain(root, 512, flips=0.05, wer=0.0)       # flip-rate regression
+    assert _fast_mode_certified(root) is None
+
+
+def test_fast_mode_certified_against_repo_artifacts():
+    """Whatever the repo currently certifies must be internally
+    consistent: either None, or a two-point chain with passing numbers."""
+    from bench import _fast_mode_certified
+
+    cert = _fast_mode_certified()
+    if cert is not None:
+        assert [c["d_model"] for c in cert] == [256, 512]
+        for c in cert:
+            assert c["int8_wer"] <= 0.05
+            assert c["decision_flip_rate"] < 0.02
