@@ -522,16 +522,15 @@ def main() -> int:
     rate = calibrate_emission(params, step, make_state)
     print(f"emission profile: {rate:.2f} tokens/chunk/stream "
           f"(blank_bias {args.blank_bias})", file=sys.stderr)
-    t0 = time.time()
-    res = _measure(step, make_state, feats, args.iters)
-    print(f"measure wall: {time.time()-t0:.1f}s (incl compile)", file=sys.stderr)
 
     # Dual-arm default (VERDICT r4 #2 tail): when the run is the plain
     # accuracy-mode default AND the committed decode-safety chain
-    # certifies the fast mode (trained margins dominate the int8 delta at
-    # every trained size — _fast_mode_certified), ALSO measure the fast
-    # arm (int8+bf16+Pallas) in the SAME process and make it the
-    # headline, with the accuracy arm reported alongside. The promotion
+    # certifies the fast mode (_fast_mode_certified), ALSO measure the
+    # fast arm (int8+bf16+Pallas) in the SAME process, with the two arms
+    # INTERLEAVED at round granularity — tunnel speed drifts +-2x between
+    # minutes (docs/DEBUGGING.md), so sequential arm measurements flip
+    # the comparison run-to-run; alternating rounds give both arms the
+    # same drift exposure (the tools/perf_sweep.py rule). The promotion
     # is gated on artifacts, not asserted: delete/regress the chain and
     # the bench falls back to the f32 headline.
     fast = None
@@ -553,14 +552,36 @@ def main() -> int:
             rate_f = calibrate_emission(params_f, step_f, make_state_f)
             print(f"fast-arm emission profile: {rate_f:.2f} tokens/chunk",
                   file=sys.stderr)
-            res_f = _measure(step_f, make_state_f, feats, args.iters)
-            print(f"fast arm (int8+bf16+pallas): "
-                  f"{res_f['chained_mean']:.3f} ms chained mean (windowed "
-                  f"p50 {res_f['p50']:.3f} / p95 {res_f['p95']:.3f})",
-                  file=sys.stderr)
-            fast = {"res": res_f, "rate": rate_f, "cert": cert,
+            fast = {"rate": rate_f, "cert": cert,
                     "params": params_f, "step": step_f,
                     "make_state": make_state_f}
+
+    def _min_combine(a, b):
+        """Keep the faster-chained round's windowed stats, min the
+        chained mean (the drift-filtering estimator _measure itself
+        uses across its internal runs)."""
+        if a is None:
+            return b
+        keep = dict(b if b["chained_mean"] < a["chained_mean"] else a)
+        keep["chained_mean"] = min(a["chained_mean"], b["chained_mean"])
+        return keep
+
+    t0 = time.time()
+    if fast is None:
+        res = _measure(step, make_state, feats, args.iters)
+    else:
+        res = res_f = None
+        it = max(args.iters // 2, 20)
+        for _ in range(3):
+            res = _min_combine(res, _measure(step, make_state, feats, it))
+            res_f = _min_combine(
+                res_f, _measure(fast["step"], fast["make_state"], feats, it))
+        fast["res"] = res_f
+        print(f"fast arm (int8+bf16+pallas): "
+              f"{res_f['chained_mean']:.3f} ms chained mean (windowed "
+              f"p50 {res_f['p50']:.3f} / p95 {res_f['p95']:.3f}), "
+              f"3 interleaved rounds", file=sys.stderr)
+    print(f"measure wall: {time.time()-t0:.1f}s (incl compile)", file=sys.stderr)
 
     # Headline = chained mean (ONE fence per run): the r1-r3-comparable,
     # conservative number. The windowed p50/p95 are reported RAW: each
